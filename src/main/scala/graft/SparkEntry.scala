@@ -1,13 +1,411 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from the SURVEY.md §2 inventory
+  * (or the training-data-pipeline extension set), expressed as a pure
+  * Spark DataFrame program over the driver testdata. `oracleSql` carries
+  * the DuckDB-equivalent SQL; queries absent there (minhash/simhash/LSH
+  * ANN) get the driver's rows-only check.
+  *
+  * Oracle-fidelity conventions (see graft.core.Cols): decimal-exact sums
+  * cast to double once, single double divisions, second-truncated event
+  * timestamps, deterministic sorts with explicit tiebreaks, DuckDB casts
+  * (INT/BIGINT/DOUBLE) mirroring Spark's result types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's 8-way grouping-set count engine
+    * (bdqueimadas_incremental.py:403-471) in one GROUPING SETS pass. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.groupingSetCounts(lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregations
+    "q01_pricing_summary" -> ((s, d) => Aggregates.pricingSummary(lineitem(s, d))),
+    "q02_grouping_sets" -> ((s, d) => Aggregates.groupingSetCounts(lineitem(s, d))),
+    "q03_distinct_flags" -> ((s, d) => Aggregates.distinctFlags(lineitem(s, d))),
+    "q04_month_span" -> ((s, d) => Aggregates.monthSpan(lineitem(s, d))),
+    "q05_partial_merge" -> ((s, d) => Aggregates.partialMergeSum(lineitem(s, d))),
+    "q06_monthly_counts" -> ((s, d) => Aggregates.monthlyCounts(lineitem(s, d))),
+    "q24_sentinel_union" -> ((s, d) => Aggregates.sentinelUnion(lineitem(s, d))),
+    "q41_profile_stats" -> ((s, d) => Aggregates.profileStats(documents(s, d))),
+    "q42_zero_filled_days" -> ((s, d) =>
+      Aggregates.zeroFilledDays(events(s, d), "2024-01-01", "2024-01-31")),
+    "q43_ytd_membership" -> ((s, d) => Aggregates.ytdMembership(lineitem(s, d),
+      Seq("1998-01", "1998-02", "1998-03", "1998-04", "1998-05", "1998-06"))),
+    "q44_type_infer" -> ((s, d) => Aggregates.typeInfer(documents(s, d))),
+    // §2.5 windows
+    "q07_rolling_12m" -> ((s, d) => Windows.rolling12(orders(s, d))),
+    "q08_mom_yoy" -> ((s, d) => Windows.momYoy(orders(s, d))),
+    "q09_5yr_monthly_avg" -> ((s, d) => Windows.fiveYearMonthlyAvg(orders(s, d), 1996, 2000)),
+    "q10_topn_other" -> ((s, d) => Windows.topNOther(customer(s, d), nation(s, d), 5)),
+    "q11_share_of_total" -> ((s, d) =>
+      Windows.shareOfTotal(customer(s, d), nation(s, d), region(s, d))),
+    "q12_argmax_user" -> ((s, d) => Windows.argmaxUser(events(s, d))),
+    "q13_change_detection" -> ((s, d) => Windows.changeDetection(events(s, d))),
+    "q14_cadence" -> ((s, d) => Windows.cadence(events(s, d))),
+    "q25_multisort_topk" -> ((s, d) => Windows.multisortTopk(customer(s, d), nation(s, d), 10)),
+    "q45_topk_abs_pct" -> ((s, d) => Windows.topkByAbsPct(orders(s, d), 10)),
+    // §2.3 joins
+    "q15_yoy_outer" -> ((s, d) => Joins.yoyOuter(orders(s, d), 2000)),
+    "q16_inner_merge_series" -> ((s, d) => Joins.innerMergeSeries(lineitem(s, d), orders(s, d))),
+    "q17_anti_overlay" -> ((s, d) => Joins.antiOverlay(lineitem(s, d), orders(s, d))),
+    "q18_incremental_merge" -> ((s, d) => Joins.incrementalMerge(events(s, d), 5000L)),
+    "q19_dim_broadcast" -> ((s, d) =>
+      Joins.dimBroadcast(customer(s, d), nation(s, d), region(s, d))),
+    "q20_upsert_priority" -> ((s, d) => Joins.upsertPriority(orders(s, d), "2001-01")),
+    "q21_same_month_prev_year" -> ((s, d) => Joins.sameMonthPrevYear(orders(s, d))),
+    // §2.7 dedup + set ops
+    "q22_first_wins_dedup" -> ((s, d) => Dedup.firstWins(events(s, d))),
+    "q23_key_merge_dedup" -> ((s, d) => Dedup.keyMerge(documents(s, d))),
+    "q26_set_intersection" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = events(s, d)
+      val a = e.where(col("ts") < "2024-01-15").select(col("event_type")).distinct()
+      val b = e.where(col("ts") >= "2024-01-15").select(col("event_type")).distinct()
+      a.join(b, Seq("event_type")).orderBy("event_type")
+    }),
+    "q35_exact_dedup" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
+    "q36_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(documents(s, d), 0.5)),
+    "q37_simhash" -> ((s, d) => Dedup.simhash(documents(s, d), 200L)),
+    "q38_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(documents(s, d), 300L, 0.2)),
+    // §2.8 scalar functions / text analysis
+    "q27_string_normalize" -> ((s, d) => TextAnalysis.stringNormalize(documents(s, d))),
+    "q28_regex_extract" -> ((s, d) => TextAnalysis.regexExtractBuckets(documents(s, d))),
+    "q29_json_extract" -> ((s, d) => TextAnalysis.jsonExtract(events(s, d))),
+    "q30_content_hashes" -> ((s, d) => TextAnalysis.contentHashes(documents(s, d), 100L)),
+    "q31_token_stats" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
+    "q32_quality_score" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d), 200L)),
+    "q33_lang_id" -> ((s, d) => TextAnalysis.langId(documents(s, d), 200L)),
+    "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d), 100L)),
+    // similarity search
+    "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
+    "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
+    "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
+  )
+
+  private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val DSUM_PRICE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val DSUM_TOT = "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+  private val DSUM_BAL = "SUM(CAST(c_acctbal AS DECIMAL(18,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             $DSUM_QTY AS sum_qty, $DSUM_PRICE AS sum_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             $DSUM_QTY / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_grouping_sets" -> """
+      SELECT period, yr, state, biome, COUNT(*) AS value,
+             CAST(GROUPING(period) AS INT) AS g_period,
+             CAST(GROUPING(state) AS INT) AS g_state,
+             CAST(GROUPING(biome) AS INT) AS g_biome
+      FROM (SELECT strftime(l_shipdate, '%Y-%m') AS period,
+                   CAST(year(l_shipdate) AS INT) AS yr,
+                   l_returnflag AS state, l_linestatus AS biome FROM lineitem)
+      GROUP BY GROUPING SETS ((period, yr), (period, yr, biome), (yr), (yr, biome),
+        (yr, state), (yr, state, biome), (period, yr, state), (period, yr, state, biome))
+      ORDER BY g_period, g_state, g_biome, yr,
+               coalesce(period, ''), coalesce(state, ''), coalesce(biome, '')""",
+    "q03_distinct_flags" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      WHERE l_returnflag IS NOT NULL ORDER BY l_returnflag, l_linestatus""",
+    "q04_month_span" -> """
+      SELECT min(strftime(l_shipdate, '%Y-%m')) AS min_month,
+             max(strftime(l_shipdate, '%Y-%m')) AS max_month,
+             COUNT(*) AS cnt FROM lineitem""",
+    "q05_partial_merge" -> s"""
+      SELECT l_returnflag, COUNT(*) AS cnt, $DSUM_QTY AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q06_monthly_counts" -> """
+      SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1 ORDER BY m""",
+    "q07_rolling_12m" -> s"""
+      WITH mm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, $DSUM_TOT AS rev_dec
+                  FROM orders GROUP BY 1),
+      w AS (SELECT m, CAST(rev_dec AS DOUBLE) AS revenue,
+              CAST(SUM(rev_dec) OVER (ORDER BY m ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE) AS r12,
+              CASE WHEN COUNT(*) OVER (ORDER BY m ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) = 12
+                   THEN CAST(SUM(rev_dec) OVER (ORDER BY m ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) AS DOUBLE)
+                   ELSE NULL END AS r12_prior
+            FROM mm)
+      SELECT m, revenue, r12, r12_prior,
+             CASE WHEN r12_prior IS NULL OR r12_prior = 0 THEN NULL
+                  ELSE (r12 - r12_prior) / r12_prior * 100 END AS r12_pct
+      FROM w ORDER BY m""",
+    "q08_mom_yoy" -> s"""
+      WITH mm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, $DSUM_TOT AS rev_dec
+                  FROM orders GROUP BY 1),
+      l AS (SELECT m, CAST(rev_dec AS DOUBLE) AS revenue,
+              CAST(LAG(rev_dec, 1) OVER (ORDER BY m) AS DOUBLE) AS prev_m,
+              CAST(LAG(rev_dec, 12) OVER (ORDER BY m) AS DOUBLE) AS prev_y FROM mm)
+      SELECT m, revenue, prev_m, prev_y,
+             CASE WHEN prev_m IS NULL OR prev_m = 0 THEN NULL ELSE (revenue - prev_m) / prev_m * 100 END AS mom_pct,
+             CASE WHEN prev_y IS NULL OR prev_y = 0 THEN NULL ELSE (revenue - prev_y) / prev_y * 100 END AS yoy_pct
+      FROM l ORDER BY m""",
+    "q09_5yr_monthly_avg" -> s"""
+      WITH mm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, $DSUM_TOT AS tot
+                  FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 2000 GROUP BY 1)
+      SELECT substr(m, 6, 2) AS mm, CAST(SUM(tot) AS DOUBLE) / COUNT(*) AS avg_rev,
+             COUNT(*) AS n_years
+      FROM mm WHERE tot > 0 GROUP BY 1 ORDER BY mm""",
+    "q10_topn_other" -> s"""
+      WITH per AS (SELECT n_name, COUNT(*) AS cnt, $DSUM_BAL AS bal
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, n_name ASC) AS rn FROM per)
+      SELECT CASE WHEN rn <= 5 THEN n_name ELSE 'OUTROS' END AS label,
+             CAST(SUM(cnt) AS BIGINT) AS cnt, CAST(SUM(bal) AS DOUBLE) AS bal
+      FROM r GROUP BY 1 ORDER BY label""",
+    "q11_share_of_total" -> s"""
+      WITH per AS (SELECT r_name, n_name, $DSUM_BAL AS bal
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey
+                                 JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2)
+      SELECT r_name, n_name, CAST(bal AS DOUBLE) AS bal,
+             CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY r_name) AS DOUBLE) * 100 AS share_pct
+      FROM per ORDER BY r_name, n_name""",
+    "q12_argmax_user" -> """
+      WITH per AS (SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS tot
+                   FROM events GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tot DESC, user_id ASC) AS rn FROM per)
+      SELECT event_type, user_id, CAST(tot AS DOUBLE) AS total FROM r WHERE rn = 1
+      ORDER BY event_type""",
+    "q13_change_detection" -> """
+      WITH t AS (SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+      l AS (SELECT event_id, user_id,
+              t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS interval_s FROM t)
+      SELECT event_id, user_id, interval_s, interval_s > 0 AS changed FROM l ORDER BY event_id""",
+    "q14_cadence" -> """
+      WITH t AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+      iv AS (SELECT user_id, s FROM (
+               SELECT user_id, t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS s FROM t)
+             WHERE s IS NOT NULL AND s > 0),
+      a AS (SELECT user_id, COUNT(*) AS n, median(CAST(s AS DOUBLE)) AS median_s,
+              CAST(SUM(s) AS BIGINT) AS sx, CAST(SUM(s * s) AS BIGINT) AS sx2 FROM iv GROUP BY 1),
+      b AS (SELECT user_id, n, median_s, CAST(sx AS DOUBLE) / n AS mean_s,
+              sqrt(greatest(CAST(sx2 AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)) AS sd
+            FROM a),
+      c AS (SELECT user_id, n, median_s, mean_s,
+              CASE WHEN mean_s = 0 THEN NULL ELSE sd / mean_s END AS cv FROM b)
+      SELECT user_id, n, median_s, mean_s, cv,
+             CASE WHEN median_s <= 21600 THEN 'frequent' WHEN median_s <= 129600 THEN 'daily'
+                  WHEN median_s <= 691200 THEN 'weekly' ELSE 'irregular' END AS cadence,
+             CASE WHEN cv IS NULL THEN 'low' WHEN cv < 0.5 THEN 'high'
+                  WHEN cv < 1.0 THEN 'medium' ELSE 'low' END AS confidence
+      FROM c ORDER BY user_id""",
+    "q15_yoy_outer" -> s"""
+      WITH cur AS (SELECT o_orderpriority AS priority, $DSUM_TOT AS cur, COUNT(*) AS cur_cnt
+                   FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+      prev AS (SELECT o_orderpriority AS priority, $DSUM_TOT AS prev, COUNT(*) AS prev_cnt
+               FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1)
+      SELECT COALESCE(cur.priority, prev.priority) AS priority,
+             CAST(COALESCE(cur.cur, 0) AS DOUBLE) AS cur,
+             CAST(COALESCE(prev.prev, 0) AS DOUBLE) AS prev,
+             COALESCE(cur_cnt, 0) AS cur_cnt, COALESCE(prev_cnt, 0) AS prev_cnt,
+             CAST(COALESCE(cur.cur, 0) AS DOUBLE) - CAST(COALESCE(prev.prev, 0) AS DOUBLE) AS delta,
+             CASE WHEN CAST(COALESCE(prev.prev, 0) AS DOUBLE) = 0 THEN NULL
+                  ELSE (CAST(COALESCE(cur.cur, 0) AS DOUBLE) - CAST(COALESCE(prev.prev, 0) AS DOUBLE))
+                       / CAST(COALESCE(prev.prev, 0) AS DOUBLE) * 100 END AS pct
+      FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority ORDER BY priority""",
+    "q16_inner_merge_series" -> s"""
+      WITH q AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, $DSUM_QTY AS qty FROM lineitem GROUP BY 1),
+      r AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, CAST($DSUM_TOT AS DOUBLE) AS revenue FROM orders GROUP BY 1)
+      SELECT q.m AS m, qty, revenue FROM q JOIN r ON q.m = r.m ORDER BY m""",
+    "q17_anti_overlay" -> """
+      WITH base AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS cnt, 'base' AS src
+                    FROM lineitem GROUP BY 1),
+      om AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, COUNT(*) AS cnt FROM orders GROUP BY 1),
+      patch AS (SELECT m, cnt, 'patch' AS src FROM om WHERE m = (SELECT max(m) FROM om))
+      SELECT * FROM (
+        SELECT m, cnt, src FROM base WHERE m NOT IN (SELECT m FROM patch)
+        UNION ALL SELECT m, cnt, src FROM patch) ORDER BY m""",
+    "q18_incremental_merge" -> """
+      WITH ex AS (SELECT user_id, event_type, MIN(event_id) AS item_id, 'existing' AS src
+                  FROM events WHERE event_id < 5000 GROUP BY 1, 2),
+      cu AS (SELECT user_id, event_type, MIN(event_id) AS item_id, 'current' AS src
+             FROM events WHERE event_id >= 5000 GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT * FROM ex WHERE NOT EXISTS (
+          SELECT 1 FROM cu WHERE cu.user_id = ex.user_id AND cu.event_type = ex.event_type)
+        UNION ALL SELECT * FROM cu) ORDER BY user_id, event_type""",
+    "q19_dim_broadcast" -> """
+      SELECT r_name, COUNT(*) AS cnt,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1 ORDER BY r_name""",
+    "q20_upsert_priority" -> """
+      WITH l1 AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS priority,
+                         COUNT(*) AS cnt, 1 AS prio FROM orders GROUP BY 1, 2),
+      l2 AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS priority,
+                    COUNT(*) AS cnt, 2 AS prio FROM orders
+             WHERE strftime(o_orderdate, '%Y-%m') >= '2001-01' AND o_orderstatus <> 'X' GROUP BY 1, 2),
+      u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY m, priority ORDER BY prio DESC) AS rn FROM u)
+      SELECT m, priority, cnt, prio FROM r WHERE rn = 1 ORDER BY m, priority""",
+    "q21_same_month_prev_year" -> s"""
+      WITH mm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, CAST($DSUM_TOT AS DOUBLE) AS revenue
+                  FROM orders GROUP BY 1)
+      SELECT a.m AS m, a.revenue AS revenue, b.revenue AS prev_revenue,
+             CASE WHEN b.revenue IS NULL OR b.revenue = 0 THEN NULL
+                  ELSE (a.revenue - b.revenue) / b.revenue * 100 END AS yoy_pct
+      FROM mm a LEFT JOIN mm b
+        ON CAST(CAST(substr(a.m, 1, 4) AS INT) - 1 AS VARCHAR) || '-' || substr(a.m, 6, 2) = b.m
+      ORDER BY m""",
+    "q22_first_wins_dedup" -> """
+      WITH r AS (SELECT user_id, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+                 FROM events)
+      SELECT user_id, event_type, event_id, value FROM r WHERE rn = 1
+      ORDER BY user_id, event_type""",
+    "q23_key_merge_dedup" -> """
+      SELECT lower(trim(source)) AS key, MIN(doc_id) AS first_id, COUNT(*) AS cnt,
+             array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+      FROM documents GROUP BY 1 ORDER BY key""",
+    "q24_sentinel_union" -> """
+      SELECT * FROM (
+        SELECT strftime(l_shipdate, '%Y-%m') AS m, '__ALL__' AS flag, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT strftime(l_shipdate, '%Y-%m') AS m, l_linestatus AS flag, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2) ORDER BY m, flag""",
+    "q25_multisort_topk" -> s"""
+      WITH per AS (SELECT n_name, COUNT(*) AS cnt, CAST($DSUM_BAL AS DOUBLE) AS bal
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+      SELECT * FROM per ORDER BY cnt DESC, bal DESC, n_name ASC LIMIT 10""",
+    "q26_set_intersection" -> """
+      SELECT a.event_type FROM
+        (SELECT DISTINCT event_type FROM events WHERE ts < TIMESTAMP '2024-01-15') a
+        JOIN (SELECT DISTINCT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15') b
+        ON a.event_type = b.event_type ORDER BY 1""",
+    "q27_string_normalize" -> """
+      SELECT CASE WHEN upper(trim(lang)) IN ('', 'NAN', 'NONE') THEN NULL
+                  ELSE upper(trim(lang)) END AS norm_lang, COUNT(*) AS cnt
+      FROM documents GROUP BY 1 ORDER BY norm_lang""",
+    "q28_regex_extract" -> """
+      WITH t AS (SELECT TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num FROM documents)
+      SELECT src_num % 4 AS bucket, COUNT(*) AS cnt, MIN(src_num) AS min_src, MAX(src_num) AS max_src
+      FROM t GROUP BY 1 ORDER BY bucket""",
+    "q29_json_extract" -> """
+      WITH t AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM t GROUP BY 1 ORDER BY event_type""",
+    "q30_content_hashes" -> """
+      SELECT doc_id, sha256(text) AS sha256, md5(text) AS md5 FROM documents
+      WHERE doc_id < 100 ORDER BY doc_id""",
+    "q31_token_stats" -> """
+      WITH t AS (SELECT source, CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok FROM documents)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
+      FROM t GROUP BY 1 ORDER BY source""",
+    "q32_quality_score" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk,
+                        CAST(length(text) AS INT) AS n_chars_obs
+                 FROM documents WHERE doc_id < 200),
+      s AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
+              CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS INT) AS stop_hits,
+              n_chars_obs FROM t)
+      SELECT doc_id, n_tok, stop_hits, CAST(stop_hits AS DOUBLE) / n_tok AS stop_ratio, n_chars_obs,
+             CASE WHEN n_tok < 20 THEN 'short'
+                  WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.5 THEN 'low'
+                  WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.25 THEN 'medium'
+                  ELSE 'high' END AS quality
+      FROM s ORDER BY doc_id""",
+    "q33_lang_id" -> """
+      WITH t AS (SELECT doc_id, lang AS labeled, string_split(lower(trim(text)), ' ') AS tk
+                 FROM documents WHERE doc_id < 200),
+      s AS (SELECT doc_id, labeled,
+              CAST(len(list_filter(tk, x -> x IN ('the','of','and'))) AS INT) AS en_hits,
+              CAST(len(list_filter(tk, x -> x IN ('de','que','para'))) AS INT) AS pt_hits,
+              CAST(len(list_filter(tk, x -> x IN ('el','la','los'))) AS INT) AS es_hits
+            FROM t)
+      SELECT doc_id, labeled, en_hits, pt_hits, es_hits,
+             CASE WHEN en_hits > pt_hits AND en_hits > es_hits THEN 'en'
+                  WHEN pt_hits > en_hits AND pt_hits > es_hits THEN 'pt'
+                  WHEN es_hits > en_hits AND es_hits > pt_hits THEN 'es'
+                  ELSE 'unk' END AS guess
+      FROM s ORDER BY doc_id""",
+    "q34_fingerprint" -> """
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q35_exact_dedup" -> """
+      SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+      FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q38_ngram_jaccard" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                 FROM documents WHERE doc_id < 300),
+      s AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter,
+              CAST(len(a.sh) AS INT) AS na, CAST(len(b.sh) AS INT) AS nb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT a, b, inter, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2 ORDER BY a, b""",
+    "q39_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q41_profile_stats" -> """
+      SELECT source, COUNT(*) AS cnt, COUNT(DISTINCT lang) AS n_langs,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY source""",
+    "q42_zero_filled_days" -> """
+      WITH domain AS (SELECT CAST(d AS DATE) AS day
+                      FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(d)),
+      c AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+      SELECT domain.day AS day, COALESCE(n, 0) AS cnt
+      FROM domain LEFT JOIN c ON domain.day = c.day ORDER BY day""",
+    "q43_ytd_membership" -> s"""
+      SELECT COUNT(*) AS cnt, $DSUM_QTY AS sum_qty FROM lineitem
+      WHERE strftime(l_shipdate, '%Y-%m') IN ('1998-01','1998-02','1998-03','1998-04','1998-05','1998-06')""",
+    "q44_type_infer" -> """
+      WITH s AS (
+        SELECT 'doc_id' AS col_name,
+               CAST(SUM(CASE WHEN regexp_matches(CAST(doc_id AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS numeric_ratio,
+               COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS n_distinct, COUNT(*) AS n FROM documents
+        UNION ALL
+        SELECT 'lang',
+               CAST(SUM(CASE WHEN regexp_matches(CAST(lang AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               COUNT(DISTINCT CAST(lang AS VARCHAR)), COUNT(*) FROM documents
+        UNION ALL
+        SELECT 'n_chars',
+               CAST(SUM(CASE WHEN regexp_matches(CAST(n_chars AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               COUNT(DISTINCT CAST(n_chars AS VARCHAR)), COUNT(*) FROM documents)
+      SELECT col_name, numeric_ratio, n_distinct,
+             CASE WHEN numeric_ratio >= 0.95 THEN 'int'
+                  WHEN n_distinct <= 5 AND n >= 10 THEN 'categorical'
+                  ELSE 'string' END AS inferred
+      FROM s ORDER BY col_name""",
+    "q45_topk_abs_pct" -> s"""
+      WITH mm AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, $DSUM_TOT AS rev_dec
+                  FROM orders GROUP BY 1),
+      l AS (SELECT m, CAST(rev_dec AS DOUBLE) AS revenue,
+              CAST(LAG(rev_dec, 1) OVER (ORDER BY m) AS DOUBLE) AS prev_m FROM mm),
+      p AS (SELECT m, CASE WHEN prev_m IS NULL OR prev_m = 0 THEN NULL
+                           ELSE (revenue - prev_m) / prev_m * 100 END AS mom_pct FROM l)
+      SELECT m, COALESCE(mom_pct, 0) AS mom_pct FROM p
+      ORDER BY abs(COALESCE(mom_pct, 0)) DESC, m ASC LIMIT 10""",
+    "q46_cosine_near_dup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT a, b FROM p WHERE cos >= 0.4 ORDER BY a, b""",
+  )
 }

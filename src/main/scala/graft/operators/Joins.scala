@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.core.Cols._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale notes: every comparison join here runs over pre-aggregated
+  * year/month slices (small) → Catalyst broadcasts them; the key-level
+  * anti-join/union patterns (J6/J7/J11) are shuffle hash joins on the
+  * overlay key and stay distributed at 100 TB.
+  */
+object Joins {
+
+  /** Current-vs-previous-year outer merge with fillna(0) + deltas (J1/J2,
+    * bdqueimadas_overview.py:922-969). */
+  def yoyOuter(orders: DataFrame, curYear: Int): DataFrame = {
+    def totals(y: Int, v: String) =
+      orders.where(year(col("o_orderdate")) === y)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as(v),
+             count(lit(1)).as(v + "_cnt"))
+    totals(curYear, "cur").join(totals(curYear - 1, "prev"), Seq("priority"), "full_outer")
+      .na.fill(0)
+      .select(
+        col("priority"),
+        col("cur").cast(DoubleType).as("cur"),
+        col("prev").cast(DoubleType).as("prev"),
+        col("cur_cnt"), col("prev_cnt"),
+        (col("cur").cast(DoubleType) - col("prev").cast(DoubleType)).as("delta"))
+      .withColumn("pct", safePct(col("cur"), col("prev")))
+      .orderBy("priority")
+  }
+
+  /** Inner merge of two monthly series on period (J3,
+    * social/anp_producao/pipeline.py:294-298). */
+  def innerMergeSeries(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val qty = lineitem.groupBy(period(col("l_shipdate")).as("m"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val rev = orders.groupBy(period(col("o_orderdate")).as("m"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    qty.join(rev, Seq("m"), "inner").orderBy("m")
+  }
+
+  /** Anti-join + union period overlay (J6, bdqueimadas_overview.py:1368-1429):
+    * authoritative patch rows replace base rows for their months. The max
+    * month is joined in via a broadcast scalar frame — no driver collect. */
+  def antiOverlay(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val base = lineitem.groupBy(period(col("l_shipdate")).as("m"))
+      .agg(count(lit(1)).as("cnt")).withColumn("src", lit("base"))
+    val oMonthly = orders.groupBy(period(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val maxM = oMonthly.agg(max(col("m")).as("max_m"))
+    val patch = oMonthly.join(broadcast(maxM), col("m") === col("max_m"))
+      .select(col("m"), col("cnt")).withColumn("src", lit("patch"))
+    base.join(patch, Seq("m"), "left_anti")
+      .unionByName(patch)
+      .orderBy("m")
+  }
+
+  /** Incremental manifest merge (J7, cli.py:324-362): retain existing items
+    * whose key is absent from the current run, then union the current run. */
+  def incrementalMerge(events: DataFrame, splitId: Long): DataFrame = {
+    def items(df: DataFrame, src: String) =
+      df.groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("item_id"))
+        .withColumn("src", lit(src))
+    val existing = items(events.where(col("event_id") < splitId), "existing")
+    val current = items(events.where(col("event_id") >= splitId), "current")
+    existing.join(current, Seq("user_id", "event_type"), "left_anti")
+      .unionByName(current)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Map-side dimension join (J8, social/bdqueimadas_daily/pipeline.py:433-453):
+    * fact → small dims, explicitly broadcast. */
+  def dimBroadcast(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("r_name")
+
+  /** Upsert-by-key last-writer-wins across priority-ordered levels (J11,
+    * bdqueimadas_overview.py:1538-1606): union levels, keep highest
+    * priority per key via row_number. */
+  def upsertPriority(orders: DataFrame, overlayFrom: String): DataFrame = {
+    val l1 = orders.groupBy(period(col("o_orderdate")).as("m"),
+                            col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt")).withColumn("prio", lit(1))
+    val l2 = orders.where(period(col("o_orderdate")) >= overlayFrom)
+      .where(col("o_orderstatus") =!= "X")
+      .groupBy(period(col("o_orderdate")).as("m"),
+               col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt")).withColumn("prio", lit(2))
+    l1.unionByName(l2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("m", "priority").orderBy(col("prio").desc)))
+      .where(col("rn") === 1)
+      .select("m", "priority", "cnt", "prio")
+      .orderBy("m", "priority")
+  }
+
+  /** Same-month-previous-year comparison via computed key self-join (J5,
+    * bdqueimadas_overview.py:309-314): string-arithmetic prev-year key. */
+  def sameMonthPrevYear(orders: DataFrame): DataFrame = {
+    val monthly = orders.groupBy(period(col("o_orderdate")).as("m"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val prevKey = concat(
+      (substring(col("m"), 1, 4).cast("int") - 1).cast("string"),
+      lit("-"), substring(col("m"), 6, 2))
+    val prev = monthly.select(col("m").as("m_prev"), col("revenue").as("prev_revenue"))
+    monthly.withColumn("pk", prevKey)
+      .join(prev, col("pk") === col("m_prev"), "left")
+      .select(col("m"), col("revenue"), col("prev_revenue"))
+      .withColumn("yoy_pct", safePct(col("revenue"), col("prev_revenue")))
+      .orderBy("m")
+  }
+}

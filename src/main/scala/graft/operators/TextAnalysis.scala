@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Cols._
+
+/** Text-analysis operators for the training-data pipeline plus the
+  * reference's scalar-function surface (SURVEY.md §2.8): normalization,
+  * regex/JSON extraction, hashing, token statistics, quality scoring,
+  * language ID, fingerprinting. All pure `functions._` expressions —
+  * whole-stage-codegen friendly, no UDFs.
+  */
+object TextAnalysis {
+
+  /** String normalize + NA-ify then count (P3,
+    * bdqueimadas_incremental.py:734-748). */
+  def stringNormalize(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(normStr(col("lang")).as("norm_lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("norm_lang")
+
+  /** Regex extraction of a numeric key + bucketing (§2.8 regex family,
+    * e.g. year `(\d{4})` at bdqueimadas_incremental.py:1044-1048). */
+  def regexExtractBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"))
+      .groupBy((col("src_num") % 4).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min("src_num").as("min_src"), max("src_num").as("max_src"))
+      .orderBy("bucket")
+
+  /** JSON field extraction + aggregation (§2.8 JSON family,
+    * bdqueimadas_incremental.py:1067-1081 parse-or-null). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Content hashing: sha256 + md5 (§2.8 hash family, profiling.py:235-244
+    * via `sha2`). */
+  def contentHashes(docs: DataFrame, maxId: Long): DataFrame =
+    docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha256"), md5(col("text")).as("md5"))
+      .orderBy("doc_id")
+
+  private def toks(c: Column): Column = split(lower(trim(c)), " ")
+
+  /** Token counting per source (whitespace tokenizer; integer-exact). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), size(toks(col("text"))).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+           min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+      .orderBy("source")
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: token count, stopword ratio, length → label ladder
+    * (training-data quality gate; ratio is int/int → one double division). */
+  def qualityScore(docs: DataFrame, maxId: Long): DataFrame = {
+    val tk = toks(col("text"))
+    val hits = size(filter(tk, t => t.isin(StopWords: _*)))
+    docs.where(col("doc_id") < maxId)
+      .select(
+        col("doc_id"),
+        size(tk).as("n_tok"),
+        hits.as("stop_hits"),
+        (hits.cast("double") / size(tk)).as("stop_ratio"),
+        length(col("text")).as("n_chars_obs"))
+      .withColumn("quality",
+        when(col("n_tok") < 20, "short")
+          .when(col("stop_ratio") > 0.5, "low")
+          .when(col("stop_ratio") > 0.25, "medium")
+          .otherwise("high"))
+      .orderBy("doc_id")
+  }
+
+  private val EnWords = Seq("the", "of", "and")
+  private val PtWords = Seq("de", "que", "para")
+  private val EsWords = Seq("el", "la", "los")
+
+  /** Language-ID heuristic: disjoint stopword-list hit counts → argmax with
+    * deterministic tie → "unk". (n-gram-heuristic family.) */
+  def langId(docs: DataFrame, maxId: Long): DataFrame = {
+    val tk = toks(col("text"))
+    def hits(ws: Seq[String]) = size(filter(tk, t => t.isin(ws: _*)))
+    docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), col("lang").as("labeled"),
+        hits(EnWords).as("en_hits"), hits(PtWords).as("pt_hits"), hits(EsWords).as("es_hits"))
+      .withColumn("guess",
+        when(col("en_hits") > col("pt_hits") && col("en_hits") > col("es_hits"), "en")
+          .when(col("pt_hits") > col("en_hits") && col("pt_hits") > col("es_hits"), "pt")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("pt_hits"), "es")
+          .otherwise("unk"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text
+    * (rolling-hash-fingerprint family; deterministic across engines). */
+  def fingerprint(docs: DataFrame, maxId: Long): DataFrame =
+    docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+}
