@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("firstWins: lowest order key survives per key") {
+    val ev = Seq((5L, 1L, "a", 1.0), (2L, 1L, "a", 2.0), (7L, 1L, "b", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Dedup.firstWins(ev).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("a", 2L), ("b", 7L)))
+  }
+
+  test("exactDedup: identical texts collapse to min id") {
+    val out = Dedup.exactDedup(docs(
+      (1L, "same text here"), (5L, "same text here"), (3L, "other"))).collect()
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+  }
+
+  test("ngramJaccardPairs: identical docs have jaccard 1.0") {
+    val t = "a b c d e f g h i j"
+    val out = Dedup.ngramJaccardPairs(docs((1L, t), (2L, t), (3L, "x y z q w e r t y u")),
+      100L, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(3) == 1.0)
+  }
+
+  test("minhashPairs: finds identical docs, skips dissimilar") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words compose this second document body text"
+    val out = Dedup.minhashPairs(docs((1L, t), (2L, t), (3L, other)), 0.5).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(0))).toSet == Set((1L, 2L)) ||
+           out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts get identical hashes, different differ") {
+    val out = Dedup.simhash(docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")), 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("keyMerge: langs merged sorted-distinct") {
+    val d = Seq(
+      (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.keyMerge(d).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "srca")
+    assert(out.head.getString(3) == "de,en")
+  }
+}

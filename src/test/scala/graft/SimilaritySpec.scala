@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "0 AS label")
+
+  test("cosineTopK: exact duplicate vector ranks first") {
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val near = Seq(0.9f, 0.1f, 0.0f, 0.0f)
+    val far = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val out = Similarity.cosineTopK(emb((0L, v), (5L, near), (6L, far), (7L, v)), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1, 7L), (0L, 2, 5L)))
+  }
+
+  test("annLshTopK: same-bucket duplicate found") {
+    val v = Seq(1.0f, 1.0f, -1.0f, 1.0f, -1.0f, 1.0f, 1.0f, 1.0f)
+    val out = Similarity.annLshTopK(emb((0L, v), (9L, v)), 1, 3, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.contains((0L, 1, 9L)))
+  }
+
+  test("cosineNearDupPairs: only near pair passes threshold") {
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
+    val c = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val out = Similarity.cosineNearDupPairs(emb((1L, a), (2L, b), (3L, c)), 100L, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("stringNormalize: blank/NAN/NONE → null group") {
+    val out = TextAnalysis.stringNormalize(docs(
+      (1L, "t", " en "), (2L, "t", "NaN"), (3L, "t", ""), (4L, "t", "en")))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out(Some("EN")) == 2L)
+    assert(out(None) == 2L)
+  }
+
+  test("qualityScore: ladder on stopword ratio and length") {
+    val short = (1L, "tiny doc", "en")
+    val low = (2L, ("the a of " * 10).trim, "en")          // 30 tokens, all stopwords
+    val high = (3L, ("word stuff thing item " * 8).trim, "en") // 32 tokens, none
+    val out = TextAnalysis.qualityScore(docs(short, low, high), 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) == "short" && out(2L) == "low" && out(3L) == "high")
+  }
+
+  test("langId: stopword argmax with unk on tie") {
+    val out = TextAnalysis.langId(docs(
+      (1L, "the cat and the dog of it", "en"),
+      (2L, "de que para de que", "pt"),
+      (3L, "nothing matching here", "zz")), 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) == "en" && out(2L) == "pt" && out(3L) == "unk")
+  }
+
+  test("fingerprint: whitespace-insensitive") {
+    val out = TextAnalysis.fingerprint(docs(
+      (1L, "Hello   World", "en"), (2L, "hello world", "en")), 100L)
+      .collect().map(_.getString(1))
+    assert(out(0) == out(1))
+  }
+
+  test("tokenStats: exact token sums per source") {
+    val out = TextAnalysis.tokenStats(docs((1L, "a b c", "en"), (2L, "d e", "en")))
+      .collect()
+    assert(out.head.getLong(2) == 5L) // sum_tokens
+    assert(out.head.getInt(3) == 2 && out.head.getInt(4) == 3)
+  }
+}
