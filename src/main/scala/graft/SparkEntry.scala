@@ -84,6 +84,16 @@ object SparkEntry {
     "q33_lang_id" -> ((s, d) => TextAnalysis.langId(documents(s, d), 200L)),
     "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d), 100L)),
     // similarity search
+    "q47_topical_filter" -> ((s, d) =>
+      TextAnalysis.topicalFilter(documents(s, d), Seq("spark", "stream", "window"))),
+    "q48_distinct_preview" -> ((s, d) =>
+      Aggregates.distinctPreview(documents(s, d), "lang", 4)),
+    "q49_validation_join" -> ((s, d) => Joins.validationJoin(events(s, d), "2024-01-16")),
+    "q50_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, d)))
+        .toDF().where(org.apache.spark.sql.functions.col("media_id") < 100)
+        .orderBy("media_id")),
+    // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
@@ -400,6 +410,23 @@ object SparkEntry {
                            ELSE (revenue - prev_m) / prev_m * 100 END AS mom_pct FROM l)
       SELECT m, COALESCE(mom_pct, 0) AS mom_pct FROM p
       ORDER BY abs(COALESCE(mom_pct, 0)) DESC, m ASC LIMIT 10""",
+    "q47_topical_filter" -> """
+      SELECT lang, COUNT(*) AS cnt FROM documents
+      WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%stream%'
+         OR lower(text) LIKE '%window%'
+      GROUP BY 1 ORDER BY lang""",
+    "q48_distinct_preview" -> """
+      SELECT lang AS value, MIN(doc_id) AS first_seen FROM documents
+      GROUP BY 1 ORDER BY first_seen LIMIT 4""",
+    "q49_validation_join" -> """
+      WITH a AS (SELECT user_id, COUNT(*) AS cnt_a FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+      b AS (SELECT user_id, COUNT(*) AS cnt_b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1)
+      SELECT a.user_id AS user_id, cnt_a, cnt_b,
+             CASE WHEN cnt_b IS NULL THEN 'not_found'
+                  WHEN cnt_a = cnt_b THEN 'ok' ELSE 'mismatch' END AS status
+      FROM a LEFT JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -141,6 +141,14 @@ object Aggregates {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("source")
 
+  /** Distinct preview in first-seen order (A18, audits/utils.py:152-160):
+    * first k distinct values of a column ordered by first appearance. */
+  def distinctPreview(docs: DataFrame, column: String, k: Int): DataFrame =
+    docs.groupBy(col(column).as("value"))
+      .agg(min(col("doc_id")).as("first_seen"))
+      .orderBy("first_seen")
+      .limit(k)
+
   /** Type inference by ratio (A17, audits/utils.py:126-149): per column,
     * numeric-parse ratio and distinct count drive a type verdict. */
   def typeInfer(docs: DataFrame): DataFrame = {

@@ -105,6 +105,22 @@ object Joins {
       .orderBy("m", "priority")
   }
 
+  /** Key-match validation join (J9,
+    * social/research_trends/pipeline.py:371-400): compare per-key
+    * aggregates from two sources, emit ok/mismatch/not_found. */
+  def validationJoin(events: DataFrame, splitTs: String): DataFrame = {
+    def agg(df: DataFrame, v: String) =
+      df.groupBy("user_id").agg(count(lit(1)).as(v))
+    val a = agg(events.where(col("ts") < splitTs), "cnt_a")
+    val b = agg(events.where(col("ts") >= splitTs), "cnt_b")
+    a.join(b, Seq("user_id"), "left")
+      .select(col("user_id"), col("cnt_a"), col("cnt_b"),
+        when(col("cnt_b").isNull, "not_found")
+          .when(col("cnt_a") === col("cnt_b"), "ok")
+          .otherwise("mismatch").as("status"))
+      .orderBy("user_id")
+  }
+
   /** Same-month-previous-year comparison via computed key self-join (J5,
     * bdqueimadas_overview.py:309-314): string-arithmetic prev-year key. */
   def sameMonthPrevYear(orders: DataFrame): DataFrame = {

@@ -98,6 +98,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Topical any-of substring filter (P11,
+    * social/research_trends/pipeline.py:192-220): keep docs whose text
+    * contains ≥1 required term (case-insensitive), count per lang. */
+  def topicalFilter(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val lowered = lower(col("text"))
+    val pred = terms.map(t => lowered.contains(t)).reduce(_ || _)
+    docs.where(pred).groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (rolling-hash-fingerprint family; deterministic across engines). */
   def fingerprint(docs: DataFrame, maxId: Long): DataFrame =

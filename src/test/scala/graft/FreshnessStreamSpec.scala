@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Freshness
+import graft.streaming.Freshness.SourceObservation
+
+class FreshnessStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("changeDetection: keyed state across micro-batches, date precision collapses") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SourceObservation]
+    val q = Freshness.changeDetection(input.toDS())
+      .writeStream.format("memory").queryName("chg")
+      .outputMode("append").start()
+
+    input.addData(
+      SourceObservation("w1", "r1", ts("2024-01-01 10:00:00"), ts("2024-01-01 08:00:00"), "datetime"))
+    q.processAllAvailable()
+    input.addData(
+      // same modification time → unchanged
+      SourceObservation("w1", "r1", ts("2024-01-02 10:00:00"), ts("2024-01-01 08:00:00"), "datetime"),
+      // moved by 26h → changed
+      SourceObservation("w1", "r1", ts("2024-01-03 10:00:00"), ts("2024-01-02 10:00:00"), "datetime"))
+    q.processAllAvailable()
+    input.addData(
+      // date precision: same DAY as previous state (2024-01-02) → unchanged
+      SourceObservation("w1", "r1", ts("2024-01-04 10:00:00"), ts("2024-01-02 23:00:00"), "date"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("chg").orderBy("observedAt").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Boolean]("changed")).toSeq ==
+      Seq(false, false, true, false))
+    // interval of the one change: 08:00 Jan 1 → 10:00 Jan 2 = 26 h
+    assert(rows(2).getAs[Double]("intervalHours") == 26.0)
+  }
+
+  test("dailyCounts: watermark-closed windows only") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = Freshness.dailyCounts(df).writeStream
+      .format("memory").queryName("daily").outputMode("append").start()
+
+    input.addData((ts("2024-01-01 05:00:00"), "click"), (ts("2024-01-01 06:00:00"), "click"))
+    q.processAllAvailable()
+    // advance watermark past Jan 1 + 1 day
+    input.addData((ts("2024-01-03 01:00:00"), "click"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-05 01:00:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("daily").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(2)).toMap
+    assert(rows.get("2024-01-01").contains(2L)) // closed window emitted
+    assert(!rows.contains("2024-01-05"))        // open window withheld
+  }
+}
