@@ -89,6 +89,38 @@ object SparkEntry {
     "q48_distinct_preview" -> ((s, d) =>
       Aggregates.distinctPreview(documents(s, d), "lang", 4)),
     "q49_validation_join" -> ((s, d) => Joins.validationJoin(events(s, d), "2024-01-16")),
+    "q51_nested_explode" -> ((s, d) => {
+      // A13 (social/research_trends/pipeline.py:271-332): nest events per
+      // user as array<struct>, explode, count per inner key — the
+      // collect→explode round trip preserves the multiset, so the oracle
+      // is the direct aggregation.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      events(s, d)
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("event_type").as("t"), col("value").as("v"))).as("items"))
+        .select(explode(col("items")).as("it"))
+        .groupBy(col("it.t").as("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("it.v").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+        .orderBy("event_type")
+    }),
+    "q52_url_policy" -> ((s, d) => {
+      // P10 over a deterministic synthetic listing derived from documents.
+      import org.apache.spark.sql.functions._
+      val listing = documents(s, d).select(
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, "dados.gov.br")
+            .when(col("doc_id") % 3 === 1, "inpe.br")
+            .otherwise("evil.example.com"),
+          lit("/"), col("source"), lit("/f"), col("doc_id"),
+          when(col("doc_id") % 2 === 0, ".csv").otherwise(".zip")).as("url"),
+        col("source"))
+      Discovery.policyFilter(listing, Seq("dados.gov.br", "inpe.br"),
+          Seq(".csv"), "/f1[13579]")
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    }),
     "q50_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, d)))
         .toDF().where(org.apache.spark.sql.functions.col("media_id") < 100)
@@ -427,6 +459,25 @@ object SparkEntry {
              CASE WHEN cnt_b IS NULL THEN 'not_found'
                   WHEN cnt_a = cnt_b THEN 'ok' ELSE 'mismatch' END AS status
       FROM a LEFT JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q51_nested_explode" -> """
+      SELECT event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY 1 ORDER BY event_type""",
+    "q52_url_policy" -> """
+      WITH listing AS (
+        SELECT 'https://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'dados.gov.br'
+                     WHEN doc_id % 3 = 1 THEN 'inpe.br'
+                     ELSE 'evil.example.com' END) ||
+               '/' || source || '/f' || doc_id ||
+               (CASE WHEN doc_id % 2 = 0 THEN '.csv' ELSE '.zip' END) AS url,
+               source
+        FROM documents)
+      SELECT source, COUNT(*) AS cnt FROM listing
+      WHERE regexp_extract(url, '^https://([^/]+)/', 1) IN ('dados.gov.br', 'inpe.br')
+        AND url LIKE '%.csv'
+        AND NOT regexp_matches(url, '/f1[13579]')
+      GROUP BY 1 ORDER BY source""",
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -1,0 +1,90 @@
+package graft.functions
+
+import java.text.Normalizer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String-normalization surface (SURVEY.md §2.8, §2.10): the short list
+  * of operations that genuinely need custom code (NFKD accent strip,
+  * Unicode-category emoji strip) plus builtin-composed slug/label/format
+  * helpers. UDFs are registered lazily; everything else stays in
+  * codegen-friendly builtins.
+  *
+  * Reference: accent strip social/bdqueimadas_daily/pipeline.py:448-453,
+  * emoji strip :502-510, slugify datasets/eia/petroleum_weekly.py:25-29,
+  * pt-BR formatting reports/builders/bdqueimadas_overview.py:1340-1357,
+  * period regex datasets/cvm/ckan_dataset.py:22,248-264.
+  */
+object Normalize {
+
+  /** NFKD-decompose and drop combining marks: "Amazônia" → "Amazonia". */
+  def stripAccentsJvm(s: String): String =
+    if (s == null) null
+    else Normalizer.normalize(s, Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}+", "")
+
+  /** Drop symbol/modifier/surrogate categories + emoji plane. */
+  def stripEmojiJvm(s: String): String =
+    if (s == null) null
+    else s.codePoints().toArray.filter { cp =>
+      val t = Character.getType(cp)
+      t != Character.OTHER_SYMBOL && t != Character.MODIFIER_SYMBOL &&
+      t != Character.SURROGATE && !(cp >= 0x1F000 && cp <= 0x1FAFF)
+    }.foldLeft(new java.lang.StringBuilder)((b, cp) => b.appendCodePoint(cp)).toString
+
+  private val stripAccentsUdf = udf(stripAccentsJvm _)
+  private val stripEmojiUdf = udf(stripEmojiJvm _)
+
+  def stripAccents(c: Column): Column = stripAccentsUdf(c)
+  def stripEmoji(c: Column): Column = stripEmojiUdf(c)
+
+  /** Slug: accent-strip → lowercase → non-alnum runs → single '-'. */
+  def slugify(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(stripAccents(c)), "[^a-z0-9]+", "-"),
+      "(^-+)|(-+$)", "")
+
+  /** pt-BR integer formatting: 1234567 → "1.234.567" (builtin compose:
+    * en-US grouping then swap separators). */
+  def ptbrInt(c: Column): Column =
+    translate(format_number(c.cast("long"), 0), ",", ".")
+
+  /** pt-BR percent: 12.345 → "12,35%" (2 decimals, comma decimal). */
+  def ptbrPct(c: Column): Column =
+    concat(translate(format_number(c.cast("double"), 2), ".,", ",."), lit("%"))
+
+  /** Period "YYYY[-MM]" extraction from free text (the reference's
+    * `((?:19|20)\d{2})(?:[-_]?([01]\d))?` family). */
+  def extractYear(c: Column): Column = {
+    val y = regexp_extract(c, "((?:19|20)\\d{2})", 1)
+    when(y === "", lit(null).cast("int")).otherwise(y.cast("int"))
+  }
+
+  def extractPeriod(c: Column): Column = {
+    val y = regexp_extract(c, "((?:19|20)\\d{2})[-_]?([01]\\d)?", 1)
+    val m = regexp_extract(c, "((?:19|20)\\d{2})[-_]?([01]\\d)", 2)
+    when(y === "", lit(null).cast("string"))
+      .when(m === "", y)
+      .otherwise(concat(y, lit("-"), m))
+  }
+
+  /** Month labels (PT/EN) via element_at over literal arrays
+    * (bdqueimadas_overview.py:1689-1712). */
+  private val MonthsPt = Seq("jan", "fev", "mar", "abr", "mai", "jun",
+    "jul", "ago", "set", "out", "nov", "dez")
+  private val MonthsEn = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  def monthLabel(monthNum: Column, locale: String): Column = {
+    val arr = if (locale == "pt") MonthsPt else MonthsEn
+    element_at(typedLit(arr), monthNum.cast("int"))
+  }
+
+  /** PT month abbreviation → month number (ANP `MÊS` column,
+    * social/anp_producao/pipeline.py:108-165). */
+  def ptMonthToNum(c: Column): Column = {
+    val m = MonthsPt.zipWithIndex.map { case (n, i) => (n, i + 1) }.toMap
+    val pairs = m.toSeq.sortBy(_._2).flatMap { case (n, i) => Seq(lit(n), lit(i)) }
+    element_at(map(pairs: _*), lower(trim(c)).substr(1, 3))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.Normalize
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripAccents: NFKD removes combining marks") {
+    val out = Seq("Amazônia", "São Paulo", "Pará", "açúcar")
+      .toDF("s").select(Normalize.stripAccents($"s")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Amazonia", "Sao Paulo", "Para", "acucar"))
+  }
+
+  test("stripEmoji: symbols dropped, text kept") {
+    assert(Normalize.stripEmojiJvm("fogo 🔥 no Brasil ✨!") == "fogo  no Brasil !")
+  }
+
+  test("slugify") {
+    val out = Seq("Produção de Petróleo (Mensal)", "  EIA -- Weekly! ")
+      .toDF("s").select(Normalize.slugify($"s")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("producao-de-petroleo-mensal", "eia-weekly"))
+  }
+
+  test("pt-BR formatting") {
+    val out = Seq((1234567L, 12.345)).toDF("n", "p")
+      .select(Normalize.ptbrInt($"n"), Normalize.ptbrPct($"p"))
+      .collect().head
+    assert(out.getString(0) == "1.234.567")
+    assert(out.getString(1) == "12,35%" || out.getString(1) == "12,34%") // HALF_EVEN vs HALF_UP
+  }
+
+  test("period extraction") {
+    val out = Seq("focos_mensal_br_202403.csv", "inf_diario_fi_2019.zip", "nope")
+      .toDF("s")
+      .select(Normalize.extractPeriod($"s"), Normalize.extractYear($"s"))
+      .collect()
+    assert(out(0).getString(0) == "2024-03" && out(0).getInt(1) == 2024)
+    assert(out(1).getString(0) == "2019")
+    assert(out(2).isNullAt(0))
+  }
+
+  test("pt month abbreviation") {
+    val out = Seq("JAN", "dez", " Mar ").toDF("s")
+      .select(Normalize.ptMonthToNum($"s")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 12, 3))
+  }
+}
