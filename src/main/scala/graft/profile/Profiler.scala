@@ -71,6 +71,7 @@ object Profiler {
       case s if TabularSuffixes.contains(s) => profileTabular(path, sha, size, s)
       case "zip" => profileZip(path, sha, size)
       case "json" => profileJson(path, sha, size)
+      case "xml" => profileXml(path, sha, size)
       case other =>
         ResourceProfile(path, size, sha, other, None, None, Nil, "skipped",
           Seq(ProfileWarning("unsupported_format", other)), None)
@@ -118,6 +119,22 @@ object Profiler {
         Some(ArchiveProfile(entries.length, members,
           entries.map(_.getSize).filter(_ > 0).sum, tabular)))
     } finally z.close()
+  }
+
+  /** XML probe (S6, profiling.py:338-350): root tag only. */
+  private def profileXml(path: String, sha: String, size: Long): ResourceProfile = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val root = "<([A-Za-z_][\\w.:-]*)".r.findFirstMatchIn(
+      text.replaceAll("<\\?.*?\\?>", "").replaceAll("<!--.*?-->", ""))
+      .map(_.group(1))
+    root match {
+      case Some(tag) =>
+        ResourceProfile(path, size, sha, "xml", None, None, Seq(tag), "ok", Nil, None)
+      case None =>
+        ResourceProfile(path, size, sha, "xml", None, None, Nil, "failed",
+          Seq(ProfileWarning("xml_parse", "no root element")), None)
+    }
   }
 
   /** JSON probe (S5): top-level array → row_count; object → column list. */

@@ -47,6 +47,12 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profiler.profilePath(write("m.xyz", "?".getBytes)).profileStatus == "skipped")
   }
 
+  test("xml probe: root tag") {
+    val p = Profiler.profilePath(write("d.xml",
+      "<?xml version=\"1.0\"?>\n<!-- c --><Dataset><Row/></Dataset>".getBytes))
+    assert(p.columns == Seq("Dataset") && p.profileStatus == "ok")
+  }
+
   test("manifest: strict meta, item normalization, status derivation") {
     val meta = Manifest.normalizeMeta(Seq(
       "source_agency" -> JStr("INPE"), "spice" -> JStr("extra"),
