@@ -89,6 +89,10 @@ object SparkEntry {
     "q48_distinct_preview" -> ((s, d) =>
       Aggregates.distinctPreview(documents(s, d), "lang", 4)),
     "q49_validation_join" -> ((s, d) => Joins.validationJoin(events(s, d), "2024-01-16")),
+    "q53_hist2d" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Aggregates.histogram2d(events(s, d), col("value"), col("user_id"), 50.0, 100.0)
+    }),
     "q51_nested_explode" -> ((s, d) => {
       // A13 (social/research_trends/pipeline.py:271-332): nest events per
       // user as array<struct>, explode, count per inner key — the
@@ -459,6 +463,10 @@ object SparkEntry {
              CASE WHEN cnt_b IS NULL THEN 'not_found'
                   WHEN cnt_a = cnt_b THEN 'ok' ELSE 'mismatch' END AS status
       FROM a LEFT JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q53_hist2d" -> """
+      SELECT CAST(floor(value / 50.0) AS BIGINT) AS xb,
+             CAST(floor(user_id / 100.0) AS BIGINT) AS yb, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2 ORDER BY xb, yb""",
     "q51_nested_explode" -> """
       SELECT event_type, COUNT(*) AS cnt,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v

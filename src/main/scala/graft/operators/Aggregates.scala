@@ -141,6 +141,26 @@ object Aggregates {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("source")
 
+  /** 2-D density histogram (the daily pipeline's hexbin map,
+    * social/bdqueimadas_daily/pipeline.py:621-683, as a rectangular-bin
+    * groupBy — one shuffle at any scale; rendering is driver-side). */
+  def histogram2d(df: DataFrame, x: org.apache.spark.sql.Column,
+                  y: org.apache.spark.sql.Column,
+                  xBin: Double, yBin: Double): DataFrame =
+    df.select(floor(x / xBin).cast("long").as("xb"),
+              floor(y / yBin).cast("long").as("yb"))
+      .groupBy("xb", "yb").agg(count(lit(1)).as("cnt"))
+      .orderBy("xb", "yb")
+
+  /** Salted two-phase aggregation for skewed keys (SURVEY scale note:
+    * "skewed keys → salting or AQE skew-join"): phase 1 aggregates
+    * (key, salt) partials, phase 2 merges per key — the hot key's rows
+    * spread across `salts` reducers instead of one. */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("pcnt"))
+      .groupBy(col(key)).agg(sum("pcnt").as("cnt"))
+
   /** Distinct preview in first-seen order (A18, audits/utils.py:152-160):
     * first k distinct values of a column ordered by first appearance. */
   def distinctPreview(docs: DataFrame, column: String, k: Int): DataFrame =

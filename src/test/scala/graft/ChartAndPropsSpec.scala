@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.operators.Aggregates
+import graft.reports.ChartSpec
+import graft.sources.Sniff
+import graft.functions.Normalize
+
+class ChartSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chart spec: closed-month gate, previous year, 5-yr zero-excluded avg") {
+    val rows = for (y <- 2019 to 2024; mm <- 1 to 12)
+      yield (f"$y-$mm%02d", (if (y == 2021 && mm == 3) 0 else 100 + mm).toLong)
+    val monthly = rows.toDF("m", "cnt")
+    val spec = ChartSpec.fromMonthly(monthly, refYear = 2024, lastClosedMonth = 5)
+    assert(spec.current.take(5).forall(_.isDefined) && spec.current.drop(5).forall(_.isEmpty))
+    assert(spec.previous.forall(_.isDefined))
+    // month 3: 2021 value 0 excluded → avg of 4 years of 103
+    assert(spec.avg5y(2).contains(103.0))
+    val json = ChartSpec.toJson(spec)
+    assert(json.contains("\"month_labels\"") && json.contains("\"avg_5y\""))
+    assert(json.contains("null")) // gated months render as null
+  }
+
+  test("salted count equals plain count") {
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val salted = Aggregates.saltedCount(df, "k", 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted("hot") == 900L && salted.size == 101)
+  }
+}
+
+/** Property-style exhaustive checks (the scalatest↔scalacheck bridge
+  * artifact is not in the offline cache; gen spaces are enumerated). */
+class PropertySpec extends AnyFunSuite {
+  private val rng = new scala.util.Random(42)
+
+  test("sniffer recovers the delimiter for any regular table") {
+    for (d <- Seq(';', ',', '|', '\t'); nCols <- 2 to 6; nRows <- 2 to 8) {
+      val rows = Seq.fill(nRows)(Seq.fill(nCols)("ab3").mkString(d.toString))
+      assert(Sniff.delimiter(rows.mkString("\n")) == d, s"d=$d cols=$nCols rows=$nRows")
+    }
+  }
+
+  test("splitLine is inverse of join for delimiter-free cells") {
+    val gen = Gen.listOfN(4, Gen.alphaNumStr.map(_.take(6)))
+    for (d <- Seq(';', ',', '|'); _ <- 1 to 50) {
+      val cells = gen.sample.getOrElse(List("a", "b", "c", "d"))
+      assert(Sniff.splitLine(cells.mkString(d.toString), d).toSeq == cells)
+    }
+  }
+
+  test("stripAccents is idempotent and length-preserving for precomposed latin") {
+    val alphabet = "áéíóúâêôãõçà"
+    for (_ <- 1 to 100) {
+      val s = Seq.fill(8)(alphabet(rng.nextInt(alphabet.length))).mkString
+      val once = Normalize.stripAccentsJvm(s)
+      assert(Normalize.stripAccentsJvm(once) == once)
+      assert(once.length == s.length)
+      assert(once.forall(c => c < 128))
+    }
+  }
+
+}
