@@ -93,16 +93,22 @@ object Dedup {
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
     val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
+    // The signature table is docs × 16 longs — tiny next to the corpus.
+    // Persist it: it feeds band generation AND both sides of the
+    // candidate self-join, and Spark does not reuse the aggregate subplan
+    // across those branches (without this, the scan+shingle+hash pipeline
+    // runs once per branch — 8× the work).
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val perBand = Bands
-    val rowsPerBand = NumPerms / perBand
-    val bandFrames = (0 until perBand).map { b =>
+    val rowsPerBand = NumPerms / Bands
+    // one posexplode over the 4 band keys — a single subtree over sigs
+    val bandKeys = (0 until Bands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"h$p"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        xxhash64(ks: _*).as("bkey"))
+      xxhash64(ks: _*)
     }
-    val bands = bandFrames.reduce(_ unionByName _)
+    val bands = sigs.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
