@@ -97,7 +97,8 @@ object DailyPipeline {
     val regionDim = StateRegion.toDF("uf2", "region")
     val dim = nameDim.join(regionDim, col("uf") === col("uf2"))
       .select(col("state_key"), col("uf"), col("region"))
-    df.withColumn("state_key", lower(Normalize.stripAccents(col("estado"))))
+    df.withColumn("state_key",
+        lower(graft.functions.StripAccents(col("estado")))) // codegen expr, not UDF
       .join(broadcast(dim), Seq("state_key"), "left")
       .groupBy(coalesce(col("region"), lit("Desconhecida")).as("region"))
       .agg(count(lit(1)).as("cnt"))
