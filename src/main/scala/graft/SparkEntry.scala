@@ -84,6 +84,9 @@ object SparkEntry {
     "q33_lang_id" -> ((s, d) => TextAnalysis.langId(documents(s, d), 200L)),
     "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d), 100L)),
     // similarity search
+    "q54_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenStats(documents(s, d))),
+    "q55_winnow_fp" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(documents(s, d), 200L, 8, 4)),
     "q47_topical_filter" -> ((s, d) =>
       TextAnalysis.topicalFilter(documents(s, d), Seq("spark", "stream", "window"))),
     "q48_distinct_preview" -> ((s, d) =>
@@ -446,6 +449,13 @@ object SparkEntry {
                            ELSE (revenue - prev_m) / prev_m * 100 END AS mom_pct FROM l)
       SELECT m, COALESCE(mom_pct, 0) AS mom_pct FROM p
       ORDER BY abs(COALESCE(mom_pct, 0)) DESC, m ASC LIMIT 10""",
+    "q54_bpe_tokens" -> """
+      WITH t AS (SELECT source,
+              CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
+            FROM documents)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+             MIN(n_bpe) AS min_bpe, MAX(n_bpe) AS max_bpe
+      FROM t GROUP BY 1 ORDER BY source""",
     "q47_topical_filter" -> """
       SELECT lang, COUNT(*) AS cnt FROM documents
       WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%stream%'

@@ -78,6 +78,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish regex tokenization (GPT-2-style pretokenizer simplified to
+    * an RE2-compatible subset: letter runs, digit runs, punctuation runs,
+    * each with optional leading space). Counting-only — the engine's
+    * token-budget statistics layer. */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))
+    docs
+      .select(col("source"), size(toks).as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"),
+           min("n_bpe").as("min_bpe"), max("n_bpe").as("max_bpe"))
+      .orderBy("source")
+  }
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting):
+    * hash every k-char gram, then keep the minimum hash of each sliding
+    * window of `w` grams — the standard winnowing selection. Output is
+    * the distinct fingerprint set per doc; docs sharing fingerprints are
+    * near-dup candidates. Hash values are engine-specific (xxhash64) —
+    * rows-only checked. */
+  def winnowFingerprints(docs: DataFrame, maxId: Long, k: Int, w: Int): DataFrame = {
+    val t = lower(col("text"))
+    val grams = transform(
+      sequence(lit(1), length(t) - lit(k - 1)),
+      i => xxhash64(substr(t, i, lit(k))))
+    // min per window of w gram-hashes
+    val mins = transform(
+      sequence(lit(0), size(grams) - lit(w)),
+      j => array_min(slice(grams, j + lit(1), lit(w))))
+    docs.where(col("doc_id") < maxId && length(t) >= k + w)
+      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_fp"), min("fp").as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   private val EnWords = Seq("the", "of", "and")
   private val PtWords = Seq("de", "que", "para")
   private val EsWords = Seq("el", "la", "los")

@@ -42,6 +42,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(1))
   }
 
+  test("bpeTokenStats: letter/digit/punct runs with leading spaces") {
+    // "ab3 x!" → lowercased: tokens: "ab", "3", " x", "!"
+    val out = TextAnalysis.bpeTokenStats(docs((1L, "ab3 x!", "en")))
+      .collect().head
+    assert(out.getLong(2) == 4L)
+  }
+
+  test("winnowFingerprints: identical docs share fingerprints, sets deterministic") {
+    val t = "the quick brown fox jumps over the lazy dog repeatedly"
+    val out = TextAnalysis.winnowFingerprints(
+      docs((1L, t, "en"), (2L, t, "en"), (3L, "completely different content here okay", "en")),
+      100L, 8, 4).collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(1L) == byId(2L))   // identical text → identical fingerprint profile
+    assert(byId(1L) != byId(3L))
+  }
+
   test("tokenStats: exact token sums per source") {
     val out = TextAnalysis.tokenStats(docs((1L, "a b c", "en"), (2L, "d e", "en")))
       .collect()
