@@ -135,6 +135,7 @@ object SparkEntry {
     // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
+    "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
   )
 

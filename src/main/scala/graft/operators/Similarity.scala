@@ -74,6 +74,60 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors: coarse-quantize
+    * the corpus with k-means centroids, assign each vector to its
+    * nearest list, and search only the `nprobe` lists closest to each
+    * query — the classic FAISS-style scale path. Training is
+    * MLlib KMeans (seeded, deterministic per build); assignment and
+    * search are pure DataFrame joins: candidates shuffle on their list
+    * id, queries broadcast with their probe lists, no cross join.
+    * Recall/latency trades off via nlist/nprobe. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nList: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val vecs = base.withColumn("features", array_to_vector(col("e")))
+
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(vecs.where(col("vec_id") >= nQueries))
+
+    val assigned = model.transform(vecs)
+
+    // per-query probe lists: distance to every centroid (nList is tiny →
+    // a literal frame, broadcast), keep the nProbe nearest
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("list_id", "centroid")
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("dist", -dot(col("qe"), col("centroid"))) // cosine-ish: max dot
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+
+    val cand = assigned.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("vid"), col("e").as("ce"),
+        col("nrm").as("cn"), col("list_id"))
+
+    probes.join(cand, Seq("list_id"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range
     * (correctness slice; the scale path would LSH-bucket first). */
   def cosineNearDupPairs(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {

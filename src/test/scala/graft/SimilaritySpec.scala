@@ -25,6 +25,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((0L, 1, 9L)))
   }
 
+  test("ivfTopK: finds the planted duplicate, returns k-bounded ranks") {
+    val rng = new scala.util.Random(7)
+    def rv() = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val q0 = rv()
+    val rows = Seq((0L, q0)) ++ (5L to 40L).map(i => (i, rv())) :+ ((50L, q0))
+    val out = Similarity.ivfTopK(emb(rows: _*), 1, 3, nList = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length <= 3 && out.nonEmpty)
+    assert(out.head == ((0L, 1, 50L))) // exact duplicate ranks first
+  }
+
   test("cosineNearDupPairs: only near pair passes threshold") {
     val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
     val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
