@@ -60,6 +60,21 @@ object SparkEntry {
       Joins.dimBroadcast(customer(s, d), nation(s, d), region(s, d))),
     "q20_upsert_priority" -> ((s, d) => Joins.upsertPriority(orders(s, d), "2001-01")),
     "q21_same_month_prev_year" -> ((s, d) => Joins.sameMonthPrevYear(orders(s, d))),
+    "q57_asof_join" -> ((s, d) => {
+      // for each click event, the latest purchase by the same user at or
+      // before it (ordered by event_id — strictly increasing, engine-exact)
+      import org.apache.spark.sql.functions._
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value").as("click_value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value").as("purchase_value"))
+      Joins.asOfJoin(clicks, purchases, "user_id", "event_id",
+          Seq("purchase_value"))
+        .select(col("user_id"), col("event_id"), col("click_value"),
+          col("asof_purchase_value"))
+        .orderBy("event_id")
+    }),
     // §2.7 dedup + set ops
     "q22_first_wins_dedup" -> ((s, d) => Dedup.firstWins(events(s, d))),
     "q23_key_merge_dedup" -> ((s, d) => Dedup.keyMerge(documents(s, d))),
@@ -309,6 +324,16 @@ object SparkEntry {
       FROM mm a LEFT JOIN mm b
         ON CAST(CAST(substr(a.m, 1, 4) AS INT) - 1 AS VARCHAR) || '-' || substr(a.m, 6, 2) = b.m
       ORDER BY m""",
+    "q57_asof_join" -> """
+      WITH clicks AS (SELECT user_id, event_id, value AS click_value FROM events
+                      WHERE event_type = 'click'),
+      purchases AS (SELECT user_id, event_id AS p_id, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, c.event_id AS event_id, c.click_value,
+             p.purchase_value AS asof_purchase_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.event_id >= p.p_id
+      ORDER BY event_id""",
     "q22_first_wins_dedup" -> """
       WITH r AS (SELECT user_id, event_type, event_id, value,
                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn

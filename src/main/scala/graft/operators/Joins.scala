@@ -105,6 +105,38 @@ object Joins {
       .orderBy("m", "priority")
   }
 
+  /** As-of (point-in-time) join — the operator Spark lacks natively
+    * (generalizes the reference's as-of/lag self-comparison J4,
+    * anp_producao/pipeline.py:293-319). For every left row, attach the
+    * most recent right row of the same key with right.ord ≤ left.ord.
+    *
+    * Implementation is the scale-correct union+window form: tag both
+    * sides, union, ONE shuffle on the key, carry the last non-null right
+    * value forward with an unbounded-preceding window, keep left rows.
+    * No range explosion, no per-key collect; ties at equal ord resolve
+    * right-before-left (inclusive as-of). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ord: String,
+               payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .withColumns(payload.map(p => s"_r_$p" -> lit(null).cast(right.schema(p).dataType)).toMap)
+    val rTagged = right.select(
+      (Seq(col(key), col(ord), lit(0).as("_side")) ++
+        payload.map(p => col(p).as(s"_r_$p"))): _*)
+    val unioned = lTagged.select(
+        (Seq(col(key), col(ord), col("_side")) ++
+          left.columns.filterNot(c => c == key || c == ord).map(col) ++
+          payload.map(p => col(s"_r_$p"))): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ord).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"asof_$p", last(col(s"_r_$p"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .drop("_side" +: payload.map(p => s"_r_$p"): _*)
+  }
+
   /** Key-match validation join (J9,
     * social/research_trends/pipeline.py:371-400): compare per-key
     * aggregates from two sources, emit ok/mismatch/not_found. */

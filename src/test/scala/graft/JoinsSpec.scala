@@ -53,6 +53,23 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSet == Set(("2000-02", 1), ("2001-02", 2)))
   }
 
+  test("asOfJoin: latest right ≤ left per key, null before first right") {
+    val clicks = Seq((1L, 10L, 1.0), (1L, 30L, 2.0), (2L, 5L, 3.0))
+      .toDF("user_id", "event_id", "click_value")
+    val purchases = Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (2L, 50L, 300.0))
+      .toDF("user_id", "event_id", "purchase_value")
+    val out = Joins.asOfJoin(clicks, purchases, "user_id", "event_id",
+        Seq("purchase_value"))
+      .orderBy("user_id", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("asof_purchase_value")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, Some(100.0)),  // purchase@8 ≤ click@10
+      (1L, 30L, Some(200.0)),  // purchase@20 is the latest ≤ 30
+      (2L, 5L, None)))         // no purchase yet
+  }
+
   test("sameMonthPrevYear: matches via computed key") {
     val df = orders(("2023-05-01", 100.0, "P"), ("2024-05-01", 150.0, "P"))
     val out = Joins.sameMonthPrevYear(df).collect()
