@@ -51,6 +51,21 @@ object SparkEntry {
     "q14_cadence" -> ((s, d) => Windows.cadence(events(s, d))),
     "q25_multisort_topk" -> ((s, d) => Windows.multisortTopk(customer(s, d), nation(s, d), 10)),
     "q45_topk_abs_pct" -> ((s, d) => Windows.topkByAbsPct(orders(s, d), 10)),
+    "q58_range_join" -> ((s, d) => {
+      // for each error event, clicks by the same user in the prior hour
+      import org.apache.spark.sql.functions._
+      val e = events(s, d)
+      val t = unix_timestamp(date_trunc("second", col("ts")))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), t.as("t"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), t.as("t"))
+      Joins.rangeJoinBucketed(errors, clicks, "user_id", "t", 3600L)
+        .select("user_id", "event_id", "n_in_window")
+        .orderBy("event_id")
+    }),
+    "q59_sessionize" -> ((s, d) => Windows.sessionize(events(s, d), 1800L)),
+    "q60_month_pivot" -> ((s, d) => Windows.monthPivot(orders(s, d))),
     // §2.3 joins
     "q15_yoy_outer" -> ((s, d) => Joins.yoyOuter(orders(s, d), 2000)),
     "q16_inner_merge_series" -> ((s, d) => Joins.innerMergeSeries(lineitem(s, d), orders(s, d))),
@@ -522,6 +537,32 @@ object SparkEntry {
         AND url LIKE '%.csv'
         AND NOT regexp_matches(url, '/f1[13579]')
       GROUP BY 1 ORDER BY source""",
+    "q58_range_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+      errors AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'error'),
+      clicks AS (SELECT user_id, t AS ct FROM e WHERE event_type = 'click')
+      SELECT er.user_id AS user_id, er.event_id AS event_id,
+             COUNT(c.ct) AS n_in_window
+      FROM errors er LEFT JOIN clicks c
+        ON er.user_id = c.user_id AND c.ct >= er.t - 3600 AND c.ct < er.t
+      GROUP BY 1, 2 ORDER BY event_id""",
+    "q59_sessionize" -> """
+      WITH t AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events),
+      x AS (SELECT user_id, t,
+              CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800
+                   THEN 1 ELSE 0 END AS brk
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      s AS (SELECT user_id, t,
+              CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM x)
+      SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "q60_month_pivot" -> ("""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, """ +
+      (1 to 12).map(m => f"COUNT(*) FILTER (WHERE strftime(o_orderdate, '%%m') = '$m%02d') AS m$m%02d")
+        .mkString(", ") + """
+      FROM orders GROUP BY 1 ORDER BY yr"""),
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -137,6 +137,33 @@ object Joins {
       .drop("_side" +: payload.map(p => s"_r_$p"): _*)
   }
 
+  /** Bucketed range join — the scalable pattern for time-proximity
+    * joins Spark would otherwise plan as a broadcast-nested-loop: bucket
+    * both sides by a coarse granule of the order axis, equi-join on
+    * (key, bucket) for the buckets a range can span, then apply the
+    * precise range predicate. Shuffles on (key, bucket) — never a cross
+    * join, skew bounded by granule width. Here: for each left event,
+    * count right events of the same key within the trailing `window`
+    * (exclusive of the row itself). */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                        ord: String, window: Long): DataFrame = {
+    val l = left.withColumn("_b", floor(col(ord) / window))
+    // right rows appear in their own granule and the next — a trailing
+    // window of width `window` spans at most those two
+    val r = right.select(col(key).as("_rk"), col(ord).as("_r_ord"))
+      .withColumn("_rb", floor(col("_r_ord") / window))
+      .select(col("_rk"), col("_r_ord"),
+        explode(array(col("_rb"), col("_rb") + 1)).as("_b2"))
+    // precise range lives IN the join condition so left rows with no
+    // in-range partner keep their single null row (count 0)
+    l.join(r,
+        col(key) === col("_rk") && col("_b") === col("_b2") &&
+          col("_r_ord") >= col(ord) - window && col("_r_ord") < col(ord),
+        "left")
+      .groupBy(left.columns.map(col): _*)
+      .agg(count(col("_r_ord")).as("n_in_window"))
+  }
+
   /** Key-match validation join (J9,
     * social/research_trends/pipeline.py:371-400): compare per-key
     * aggregates from two sources, emit ok/mismatch/not_found. */

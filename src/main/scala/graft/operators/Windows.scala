@@ -158,6 +158,40 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Sessionization (gaps-and-islands): events of a key belong to one
+    * session while consecutive gaps stay ≤ `gapSeconds`. Session id =
+    * running sum of gap-break flags — one keyed window, fully
+    * distributed (Structured Streaming's `session_window` is the
+    * streaming twin; this portable form is also the DuckDB oracle). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val t = unix_timestamp(date_trunc("second", col("ts"))).cast(LongType)
+    val wOrd = Window.partitionBy("user_id").orderBy("t")
+    val brk = when(col("t") - lag(col("t"), 1).over(wOrd) > gapSeconds ||
+                   lag(col("t"), 1).over(wOrd).isNull, 1).otherwise(0)
+    events.select(col("user_id"), t.as("t"))
+      .withColumn("brk", brk)
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("s_start"), max("t").as("s_end"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
+  /** Month pivot (the reference's per-month count maps,
+    * bdqueimadas_overview.py:1896-1899, as a relational pivot):
+    * one row per year, one column per calendar month. */
+  def monthPivot(orders: DataFrame): DataFrame = {
+    val base = orders.select(year(col("o_orderdate")).as("yr"),
+      date_format(col("o_orderdate"), "MM").as("mm"))
+    val months = (1 to 12).map(m => f"$m%02d")
+    val pivoted = base.groupBy("yr").pivot("mm", months).agg(count(lit(1)))
+    months.foldLeft(pivoted) { (df, m) =>
+      df.withColumn(s"m$m", coalesce(col(m), lit(0L))).drop(m)
+    }.orderBy("yr")
+  }
+
   /** Cadence classification (A20, freshness/classifier.py:80-163): per key,
     * median + coefficient of variation of inter-event intervals → cadence
     * label + confidence. Moments computed from exact integer sums so the

@@ -70,6 +70,20 @@ class JoinsSpec extends SparkSpec {
       (2L, 5L, None)))         // no purchase yet
   }
 
+  test("rangeJoinBucketed: trailing-window counts incl. cross-granule and empty") {
+    val l = Seq((1L, 100L, 3650L), (1L, 101L, 7300L), (2L, 102L, 500L))
+      .toDF("user_id", "event_id", "t")
+    val r = Seq((1L, 3600L), (1L, 100L), (1L, 7200L)).toDF("user_id", "t")
+    val out = Joins.rangeJoinBucketed(l, r, "user_id", "t", 3600L)
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Long]("n_in_window")).toMap
+    // event@3650: rights at 3600 (in [50,3650)) and 100 (in) → 2
+    assert(out(100L) == 2L)
+    // event@7300: rights at 7200 (in [3700,7300)) only → 1 (3600 < 3700)
+    assert(out(101L) == 1L)
+    // user 2: no rights → 0 (row preserved)
+    assert(out(102L) == 0L)
+  }
+
   test("sameMonthPrevYear: matches via computed key") {
     val df = orders(("2023-05-01", 100.0, "P"), ("2024-05-01", 150.0, "P"))
     val out = Joins.sameMonthPrevYear(df).collect()

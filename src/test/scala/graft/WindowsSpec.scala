@@ -44,6 +44,26 @@ class WindowsSpec extends SparkSpec {
     assert(out(2L) == "weekly")
   }
 
+  test("sessionize: gap splits sessions, counts exact") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 11:30:00"), // 80-min gap → new session
+      (2L, "2024-01-01 09:00:00"))
+      .map { case (u, s) => (u, java.sql.Timestamp.valueOf(s)) }
+      .toDF("user_id", "ts")
+    val out = Windows.sessionize(ev, 1800L).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("monthPivot: zero-filled month columns") {
+    val df = orders(("2024-01-15", 1.0), ("2024-01-20", 2.0), ("2024-03-01", 3.0))
+    val out = Windows.monthPivot(df).collect().head
+    assert(out.getAs[Long]("m01") == 2L)
+    assert(out.getAs[Long]("m02") == 0L)
+    assert(out.getAs[Long]("m03") == 1L)
+  }
+
   test("topNOther: tail collapses into OUTROS") {
     val cust = (0 until 10).map(i => (i.toLong, i % 3, 10.0))
       .toDF("c_custkey", "c_nationkey", "c_acctbal")
