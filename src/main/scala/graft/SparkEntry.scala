@@ -166,6 +166,7 @@ object SparkEntry {
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
     "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
+    "q61_lsh_near_dup" -> ((s, d) => Similarity.lshNearDupPairs(embeddings(s, d), 0.35)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
   )
 

@@ -128,8 +128,28 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** LSH-bucketed embedding near-duplicate pairs — the scale path for
+    * `cosineNearDupPairs`: pairs form only within sign-LSH buckets
+    * (shuffle on bucket key), then the exact cosine threshold verifies.
+    * Recall bounded by bucket collisions of true near-dups (near-dup
+    * vectors agree on most sign bits). */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("bucket", bucketKey(col("e"), nBits))
+    val a = base.select(col("bucket"), col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = base.select(col("bucket"), col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("a", "b")
+      .orderBy("a", "b")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range
-    * (correctness slice; the scale path would LSH-bucket first). */
+    * (correctness slice; the scale path is `lshNearDupPairs`). */
   def cosineNearDupPairs(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {
     val base = emb.where(col("vec_id") < maxId)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))

@@ -40,6 +40,25 @@ class FreshnessStreamSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("intervalHours") == 26.0)
   }
 
+  test("update-mode republication: late rows revise emitted aggregates") {
+    // §2.9 "republication handling": update-mode windowed agg re-emits a
+    // bucket when late-but-within-watermark data lands.
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = graft.streaming.Freshness.dailyCounts(df, watermark = "10 days")
+      .writeStream.format("memory").queryName("upd").outputMode("update").start()
+    input.addData((ts("2024-01-01 05:00:00"), "click"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 06:00:00"), "click")) // late revision
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("upd").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(2)))
+    // bucket emitted twice: first count 1, revised count 2
+    assert(emitted.contains(("2024-01-01", 1L)) && emitted.contains(("2024-01-01", 2L)))
+  }
+
   test("dailyCounts: watermark-closed windows only") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
