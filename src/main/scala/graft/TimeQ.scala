@@ -14,7 +14,27 @@ object TimeQ {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n = name match {
+        case "sig36" =>
+          import org.apache.spark.sql.functions._
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          val tk = split(lower(trim(col("text"))), " ")
+          val staged = docs.where(size(tk) >= 3)
+            .select(col("doc_id"), transform(tk, t => xxhash64(t)).as("th"))
+            .select(col("doc_id"), array_distinct(transform(
+              sequence(lit(0), size(col("th")) - lit(3)),
+              j => xxhash64(element_at(col("th"), j + lit(1)),
+                element_at(col("th"), j + lit(2)),
+                element_at(col("th"), j + lit(3))))).as("sh"))
+            .select(col("doc_id"), explode(col("sh")).as("s"))
+          val nAggs = sys.env.getOrElse("SIG_AGGS", "16").toInt
+          if (nAggs == 0) staged.count()
+          else {
+            val sigCols = (0 until nAggs).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
+            staged.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).count()
+          }
+        case _ => SparkEntry.queries(name)(spark, sfDir).count()
+      }
       println(f"[time] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
     }
     spark.stop()

@@ -88,10 +88,28 @@ object Dedup {
     * Pipeline: shingle → 16 min-hashes in ONE aggregation pass → 4 band
     * keys → shuffle-join on band key for candidates → Jaccard verify on
     * candidates only. No cross join at any scale. */
+  /** Distinct hashed 3-gram shingles as ROWS, not arrays: posexplode
+    * tokens, hash each token once (codegen'd xxhash64), combine three
+    * consecutive token hashes with a lead() window. Array higher-order
+    * functions (`transform`) are CodegenFallback — interpreted per
+    * element — and measured ~10× slower than this flat columnar form on
+    * the signature path. (Exact string shingles are still used for
+    * candidate verification, where volume is tiny.) */
+  private def hashedShingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("t")).as("h"))
+      .withColumn("h1", lead("h", 1).over(w))
+      .withColumn("h2", lead("h", 2).over(w))
+      .where(col("h2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h"), col("h1"), col("h2")).as("s"))
+      .distinct()
+  }
+
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val base = docs.where(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = hashedShingleRows(docs)
     val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
     // The signature table is docs × 16 longs — tiny next to the corpus.
     // Persist it: it feeds band generation AND both sides of the

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two double arrays — same evaluation
-    * order as DuckDB's `list_dot_product`, so results match bit-for-bit. */
+    * order as DuckDB's `list_dot_product`, so results match bit-for-bit.
+    * Native codegen expression (graft.functions.DotProduct); the
+    * zip_with/aggregate HOF form is interpreted and ~10× slower. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -96,19 +96,26 @@ object TextAnalysis {
     * hash every k-char gram, then keep the minimum hash of each sliding
     * window of `w` grams — the standard winnowing selection. Output is
     * the distinct fingerprint set per doc; docs sharing fingerprints are
-    * near-dup candidates. Hash values are engine-specific (xxhash64) —
-    * rows-only checked. */
+    * near-dup candidates. Implemented as flat rows (explode positions →
+    * codegen'd substr+xxhash64 → forward-frame window min) — array
+    * higher-order functions are interpreted and ~20× slower here. Hash
+    * values are engine-specific — rows-only checked. */
   def winnowFingerprints(docs: DataFrame, maxId: Long, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = lower(col("text"))
-    val grams = transform(
-      sequence(lit(1), length(t) - lit(k - 1)),
-      i => xxhash64(substr(t, i, lit(k))))
-    // min per window of w gram-hashes
-    val mins = transform(
-      sequence(lit(0), size(grams) - lit(w)),
-      j => array_min(slice(grams, j + lit(1), lit(w))))
-    docs.where(col("doc_id") < maxId && length(t) >= k + w)
-      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+    val grams = docs.where(col("doc_id") < maxId && length(t) >= k + w)
+      .select(col("doc_id"), t.as("txt"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("txt")) - lit(k - 1))).as("pos"),
+        col("txt"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(substr(col("txt"), col("pos"), lit(k))).as("g"))
+    val wnd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("in_frame", count(lit(1)).over(wnd))
+      .withColumn("fp", min("g").over(wnd))
+      .where(col("in_frame") === w)
+      .select(col("doc_id"), col("fp")).distinct()
       .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_fp"), min("fp").as("min_fp"))
       .orderBy("doc_id")
   }
