@@ -231,4 +231,34 @@ object Windows {
           .otherwise("low"))
       .orderBy("user_id")
   }
+
+  /** The reference's exact cadence ladder + confidence rules
+    * (freshness/classifier.py:116-135 `_cadence_for`, :138-154
+    * `_confidence_for`) as column expressions over per-key aggregates
+    * (observations, changes, median interval DAYS, cv, warnings count,
+    * methods count). The event-scale `cadence` above is the
+    * testdata-calibrated variant; this is the faithful one. */
+  def referenceCadence(obs: org.apache.spark.sql.Column,
+                       changes: org.apache.spark.sql.Column,
+                       medianDays: org.apache.spark.sql.Column,
+                       cv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(obs >= 6 && changes < 2, "ad_hoc")
+      .when(changes < 3, "insufficient_data")
+      .when(cv.isNotNull && cv > 0.75, "irregular")
+      .when(obs >= 30 && medianDays.isNotNull && medianDays <= 1.5, "daily")
+      .when(obs >= 8 && medianDays.isNotNull &&
+        medianDays.between(5, 10), "weekly")
+      .when(medianDays.isNotNull && medianDays.between(25, 35), "monthly")
+      .otherwise("irregular")
+
+  def referenceConfidence(obs: org.apache.spark.sql.Column,
+                          changes: org.apache.spark.sql.Column,
+                          cv: org.apache.spark.sql.Column,
+                          nWarnings: org.apache.spark.sql.Column,
+                          nMethods: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(changes < 3 || obs < 6 || nWarnings > 0, "low")
+      .when(nMethods > 1, "low")
+      .when(obs >= 30 && (cv.isNull || cv <= 0.25), "high")
+      .when(cv.isNull || cv <= 0.75, "medium")
+      .otherwise("low")
 }
