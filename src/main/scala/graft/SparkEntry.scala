@@ -66,6 +66,29 @@ object SparkEntry {
     }),
     "q59_sessionize" -> ((s, d) => Windows.sessionize(events(s, d), 1800L)),
     "q60_month_pivot" -> ((s, d) => Windows.monthPivot(orders(s, d))),
+    "q62_part_types" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      part(s, d)
+        .select(col("p_brand"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          col("p_retailprice"), col("p_size"))
+        .groupBy("p_brand", "type_head")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          min("p_size").as("min_size"), max("p_size").as("max_size"))
+        .orderBy("p_brand", "type_head")
+    }),
+    "q63_supplier_balance" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal"))
+        .orderBy("n_name")
+    }),
     // §2.3 joins
     "q15_yoy_outer" -> ((s, d) => Joins.yoyOuter(orders(s, d), 2000)),
     "q16_inner_merge_series" -> ((s, d) => Joins.innerMergeSeries(lineitem(s, d), orders(s, d))),
@@ -564,6 +587,17 @@ object SparkEntry {
       (1 to 12).map(m => f"COUNT(*) FILTER (WHERE strftime(o_orderdate, '%%m') = '$m%02d') AS m$m%02d")
         .mkString(", ") + """
       FROM orders GROUP BY 1 ORDER BY yr"""),
+    "q62_part_types" -> """
+      SELECT p_brand, regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             MIN(p_size) AS min_size, MAX(p_size) AS max_size
+      FROM part GROUP BY 1, 2 ORDER BY p_brand, type_head""",
+    "q63_supplier_balance" -> """
+      SELECT n_name, COUNT(*) AS cnt,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY n_name""",
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
