@@ -165,6 +165,24 @@ object SparkEntry {
              sum(col("it.v").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
         .orderBy("event_type")
     }),
+    "q64_nested_two_level" -> ((s, d) => {
+      // A13 full shape (social/research_trends/pipeline.py:284-327):
+      // two-level nested arrays (user → type → values), double explode,
+      // count with dedup keys. Round trip preserves multisets → oracle
+      // is the equivalent direct aggregation with distinct users.
+      import org.apache.spark.sql.functions._
+      val inner = events(s, d).groupBy("user_id", "event_type")
+        .agg(collect_list(col("value")).as("vals"))
+      val nested = inner.groupBy("user_id")
+        .agg(collect_list(struct(col("event_type").as("t"), col("vals"))).as("groups"))
+      nested
+        .select(col("user_id"), explode(col("groups")).as("g"))
+        .select(col("user_id"), col("g.t").as("event_type"),
+          explode(col("g.vals")).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
     "q52_url_policy" -> ((s, d) => {
       // P10 over a deterministic synthetic listing derived from documents.
       import org.apache.spark.sql.functions._
@@ -545,6 +563,9 @@ object SparkEntry {
     "q51_nested_explode" -> """
       SELECT event_type, COUNT(*) AS cnt,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY 1 ORDER BY event_type""",
+    "q64_nested_two_level" -> """
+      SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY 1 ORDER BY event_type""",
     "q52_url_policy" -> """
       WITH listing AS (
