@@ -51,11 +51,17 @@ object Joins {
   def antiOverlay(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val base = lineitem.groupBy(period(col("l_shipdate")).as("m"))
       .agg(count(lit(1)).as("cnt")).withColumn("src", lit("base"))
-    val oMonthly = orders.groupBy(period(col("o_orderdate")).as("m"))
+    // max month via a window over the aggregated series (single subtree,
+    // no scalar-join that would duplicate the aggregate subplan); the
+    // tiny patch is persisted because the anti-join and the union both
+    // consume it and Spark re-executes shared subplans per branch.
+    val patch = orders.groupBy(period(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("cnt"))
-    val maxM = oMonthly.agg(max(col("m")).as("max_m"))
-    val patch = oMonthly.join(broadcast(maxM), col("m") === col("max_m"))
+      .withColumn("max_m", max(col("m")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .where(col("m") === col("max_m"))
       .select(col("m"), col("cnt")).withColumn("src", lit("patch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.join(patch, Seq("m"), "left_anti")
       .unionByName(patch)
       .orderBy("m")
