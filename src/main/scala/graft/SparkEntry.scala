@@ -126,6 +126,7 @@ object SparkEntry {
     "q35_exact_dedup" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
     "q36_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(documents(s, d), 0.5)),
     "q37_simhash" -> ((s, d) => Dedup.simhash(documents(s, d), 200L)),
+    "q65_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(documents(s, d), 2000L, 6)),
     "q38_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(documents(s, d), 300L, 0.2)),
     // §2.8 scalar functions / text analysis
     "q27_string_normalize" -> ((s, d) => TextAnalysis.stringNormalize(documents(s, d))),

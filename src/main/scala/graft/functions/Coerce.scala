@@ -58,4 +58,35 @@ object Coerce {
     val t = trim(c)
     when(t.rlike("^[+-]?[0-9]+$"), t.cast("long")).otherwise(lit(null).cast("long"))
   }
+
+  /** gov.br "atualizado em dd/MM/yyyy HHhmm" label in America/Sao_Paulo →
+    * UTC timestamp (datasets/anp/govbr.py:49-52,160-184; normalization
+    * target is Z-suffixed ISO, datasets/noticias_agricolas/dates.py:52-56). */
+  def saoPauloLabelToUtc(c: Column): Column = {
+    val cleaned = regexp_extract(trim(c), "(\\d{2}/\\d{2}/\\d{4} \\d{2}[h:]\\d{2})", 1)
+    val normalized = regexp_replace(cleaned, "h", ":")
+    to_utc_timestamp(
+      try_to_timestamp(normalized, lit("dd/MM/yyyy HH:mm")), "America/Sao_Paulo")
+  }
+
+  /** "Publicado em dd/MM/yyyy HH:mm" news label, São Paulo → UTC
+    * (datasets/noticias_agricolas/dates.py:11-27). */
+  def publishedLabelToUtc(c: Column): Column = saoPauloLabelToUtc(c)
+
+  /** RFC-1123 HTTP date ("Wed, 21 Oct 2015 07:28:00 GMT") → timestamp
+    * (profiling.py:165-174). Spark 3+ rejects 'EEE' parse patterns, so
+    * the weekday/zone are stripped and the GMT core parsed (session UTC). */
+  def rfc1123(c: Column): Column =
+    try_to_timestamp(
+      regexp_extract(trim(c), "(\\d{1,2} \\w{3} \\d{4} \\d{2}:\\d{2}:\\d{2})", 1),
+      lit("d MMM yyyy HH:mm:ss"))
+
+  /** EIA label "Dec. 31, 2025" (datasets/eia/petroleum_weekly.py:31-38):
+    * strip the abbreviation dot, parse month-name date. */
+  def eiaLabelDate(c: Column): Column =
+    try_to_timestamp(regexp_replace(trim(c), "\\.", ""), lit("MMM d, yyyy"))
+
+  /** UTC Z-suffixed ISO output format (profiling.py:67-68). */
+  def isoZ(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 }

@@ -157,6 +157,27 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SimHash near-duplicate candidate pairs: band the 60-bit simhash
+    * into 4×15-bit keys (two docs within hamming distance 3 share ≥1
+    * band), group by band, verify with bit_count(xor) ≤ maxHamming.
+    * Same shuffle-on-band-key shape as MinHash LSH — no cross join. */
+  def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int): DataFrame = {
+    val sims = simhash(docs, maxId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "bkey")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** 63-bit SimHash per document (token-weighted): each token's md5-derived
     * 63-bit hash votes ±1 per bit; the sign vector is the fingerprint.
     * One explode + one aggregation — fully distributed. */

@@ -51,6 +51,14 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("simhashPairs: identical docs pair at hamming 0, dissimilar don't") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val out = Dedup.simhashPairs(docs(
+      (1L, t), (2L, t), (3L, "totally different words all over here now")), 100L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("keyMerge: langs merged sorted-distinct") {
     val d = Seq(
       (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))

@@ -124,6 +124,21 @@ class CoerceSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(1234.56), Some(1.234), Some(12.5), None, Some(1234.5)))
   }
 
+  test("label date parses: São Paulo labels, RFC-1123, EIA") {
+    val df = Seq((
+      "atualizado em 15/03/2024 14h30",
+      "Wed, 21 Oct 2015 07:28:00 GMT",
+      "Dec. 31, 2025")).toDF("gov", "http", "eia")
+    val r = df.select(
+      Coerce.isoZ(Coerce.saoPauloLabelToUtc($"gov")),
+      Coerce.isoZ(Coerce.rfc1123($"http")),
+      Coerce.isoZ(Coerce.eiaLabelDate($"eia"))).collect().head
+    // 14:30 São Paulo (UTC-3) → 17:30 UTC
+    assert(r.getString(0) == "2024-03-15T17:30:00Z")
+    assert(r.getString(1) == "2015-10-21T07:28:00Z")
+    assert(r.getString(2) == "2025-12-31T00:00:00Z")
+  }
+
   test("long coerce") {
     val df = Seq("42", " 7 ", "4.2", "abc").toDF("s")
     val out = df.select(Coerce.toLongCoerce($"s")).collect()
