@@ -66,12 +66,15 @@ object Focos {
     val spark = subset.sparkSession
     val v = "focos_" + java.util.UUID.randomUUID.toString.replace("-", "")
     subset.createOrReplaceTempView(v)
+    // finest-granularity partials feed the ×8 Expand (see
+    // Aggregates.groupingSetCounts for the scale rationale)
     val out = spark.sql(s"""
-      SELECT period_month, year, state, biome, COUNT(*) AS value,
+      SELECT period_month, year, state, biome, SUM(cnt) AS value,
              CAST(GROUPING(period_month) AS INT) AS g_period,
              CAST(GROUPING(state) AS INT) AS g_state,
              CAST(GROUPING(biome) AS INT) AS g_biome
-      FROM $v
+      FROM (SELECT period_month, year, state, biome, COUNT(*) AS cnt
+            FROM $v GROUP BY 1, 2, 3, 4)
       GROUP BY GROUPING SETS (
         (period_month, year), (period_month, year, biome), (year),
         (year, biome), (year, state), (year, state, biome),
