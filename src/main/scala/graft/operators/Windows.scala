@@ -212,9 +212,12 @@ object Windows {
       .select(
         col("user_id"), col("n"), col("median_s"),
         (col("sx").cast(DoubleType) / col("n")).as("mean_s"),
-        sqrt(col("sx2").cast(DoubleType) / col("n") -
-          (col("sx").cast(DoubleType) / col("n")) * (col("sx").cast(DoubleType) / col("n")))
-          .as("sd"))
+        // clamp at 0: equal intervals give variance exactly 0 in theory
+        // but float error can land at -1e-12 → sqrt NaN (oracle clamps too)
+        sqrt(greatest(
+          col("sx2").cast(DoubleType) / col("n") -
+            (col("sx").cast(DoubleType) / col("n")) * (col("sx").cast(DoubleType) / col("n")),
+          lit(0.0))).as("sd"))
       .select(
         col("user_id"), col("n"), col("median_s"), col("mean_s"),
         when(col("mean_s") === 0, lit(null).cast(DoubleType))
