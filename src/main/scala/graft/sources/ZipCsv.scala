@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -20,26 +19,35 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object ZipCsv {
 
-  /** First `.csv`/`.txt` member of the archive by sorted name, or None. */
-  private def firstTabularMember(bytes: Array[Byte]): Option[(String, Array[Byte])] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val members = Iterator.continually(zin.getNextEntry)
-      .takeWhile(_ != null)
-      .filterNot(_.isDirectory)
-      .map { e =>
-        val name = e.getName
+  private def isTabular(name: String): Boolean = {
+    val l = name.toLowerCase
+    l.endsWith(".csv") || l.endsWith(".txt")
+  }
+
+  /** First `.csv`/`.txt` member by sorted name, extracted in two
+    * streaming passes (names only, then the one target member) — memory
+    * stays bounded by the MEMBER size, never the archive size, so a
+    * task handles multi-GB archives without buffering them. */
+  private def firstTabularMember(open: () => java.io.InputStream): Option[(String, Array[Byte])] = {
+    val names = {
+      val zin = new ZipInputStream(open())
+      try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .filterNot(_.isDirectory).map(_.getName).filter(isTabular).toVector
+      finally zin.close()
+    }
+    names.sorted.headOption.map { target =>
+      val zin = new ZipInputStream(open())
+      try {
+        val it = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
         val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](65536)
-        var n = zin.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-        name -> out.toByteArray
-      }.toVector
-    members
-      .filter { case (n, _) =>
-        val l = n.toLowerCase; l.endsWith(".csv") || l.endsWith(".txt")
-      }
-      .sortBy(_._1)
-      .headOption
+        it.find(_.getName == target).foreach { _ =>
+          val buf = new Array[Byte](65536)
+          var n = zin.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+        }
+        target -> out.toByteArray
+      } finally zin.close()
+    }
   }
 
   /** Parse one decoded tabular payload: sniff delimiter, resolve the
@@ -75,11 +83,15 @@ object ZipCsv {
   def readZips(spark: SparkSession, glob: String,
                roles: Seq[(String, Seq[String])]): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
-      firstTabularMember(pds.toArray()) match {
+      // corrupt archives are skipped, not fatal (on_bad_lines spirit at
+      // the archive level); the profiler reports them separately
+      try firstTabularMember(() => pds.open()) match {
         case Some((_, memberBytes)) =>
           val (text, _) = Sniff.decode(memberBytes)
           parsePayload(text, roles, path)
         case None => Iterator.empty
+      } catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
+        Iterator.empty
       }
     }
     spark.createDataFrame(rows, schemaFor(roles))

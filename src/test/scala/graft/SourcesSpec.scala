@@ -89,6 +89,11 @@ class ZipCsvSpec extends SparkSpec {
     assert(by("2023-03") == (("SÃO PAULO", "MATA ATLÂNTICA")))
     assert(rows.count(_.getAs[String]("state") == null) == 1)
 
+    // corrupt archive in the same glob is skipped, not fatal
+    val junk = new FileOutputStream(new File(dir, "broken.zip"))
+    junk.write("this is not a zip".getBytes); junk.close()
+    assert(Focos.fromZips(spark, dir.getAbsolutePath + "/*.zip").count() == 4)
+
     // A1 over the subset: per-set null dropping
     val agg = Focos.groupingSetCounts(subset).collect()
     val yearSet = agg.filter(r => r.getAs[Int]("g_period") == 1 &&
