@@ -53,9 +53,13 @@ object Focos {
         normStr(col("raw_biome")).as("biome"))
   }
 
+  /** Roles the reference hard-errors on when unresolvable
+    * (bdqueimadas_incremental.py:805-824): datetime/state/biome. */
+  val RequiredRoles: Set[String] = Set("raw_datetime", "raw_state", "raw_biome")
+
   /** Full pipeline from a glob of focos ZIP archives. */
   def fromZips(spark: SparkSession, glob: String): DataFrame =
-    normalizedSubset(ZipCsv.readZips(spark, glob, Roles))
+    normalizedSubset(ZipCsv.readZips(spark, glob, Roles, RequiredRoles))
 
   /** The 8 per-set aggregates as one GROUPING SETS pass over the
     * normalized subset, with the reference's per-set null-key dropping

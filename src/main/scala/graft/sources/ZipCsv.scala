@@ -53,15 +53,24 @@ object ZipCsv {
   /** Parse one decoded tabular payload: sniff delimiter, resolve the
     * header against `roles`, project each data row onto the role order;
     * rows whose field count differs from the header are skipped
-    * (`on_bad_lines="skip"`). Missing roles yield null columns. */
+    * (`on_bad_lines="skip"`). Missing optional roles yield null columns;
+    * missing REQUIRED roles are a hard error naming the file — the
+    * reference's unresolvable-column semantics
+    * (bdqueimadas_incremental.py:805-824). */
   private def parsePayload(text: String, roles: Seq[(String, Seq[String])],
-                           sourceName: String): Iterator[Row] = {
+                           sourceName: String,
+                           required: Set[String]): Iterator[Row] = {
     val lines = text.split("\r?\n").iterator.filter(_.nonEmpty)
     if (!lines.hasNext) return Iterator.empty
     val sample = text.substring(0, math.min(text.length, 8192))
     val d = Sniff.delimiter(sample)
     val header = Sniff.splitLine(lines.next(), d)
     val resolved = ColumnResolver.resolve(header.toSeq, roles.toMap)
+    val missing = required.filterNot(resolved.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unresolvable required columns ${missing.mkString(", ")} in $sourceName " +
+          s"(header: ${header.mkString(", ")})")
     val idx = roles.map { case (role, _) => resolved.get(role) }
     lines.flatMap { line =>
       val fields = Sniff.splitLine(line, d)
@@ -79,16 +88,19 @@ object ZipCsv {
 
   /** Read a glob of ZIP archives: each archive's first tabular member is
     * sniffed, decoded, resolved, and projected to `roles` (ordered
-    * candidate lists). All-string output — the coerce-cast layer types it. */
+    * candidate lists). All-string output — the coerce-cast layer types it.
+    * Roles in `required` hard-error when a file's header cannot resolve
+    * them. */
   def readZips(spark: SparkSession, glob: String,
-               roles: Seq[(String, Seq[String])]): DataFrame = {
+               roles: Seq[(String, Seq[String])],
+               required: Set[String] = Set.empty): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       // corrupt archives are skipped, not fatal (on_bad_lines spirit at
       // the archive level); the profiler reports them separately
       try firstTabularMember(() => pds.open()) match {
         case Some((_, memberBytes)) =>
           val (text, _) = Sniff.decode(memberBytes)
-          parsePayload(text, roles, path)
+          parsePayload(text, roles, path, required)
         case None => Iterator.empty
       } catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
         Iterator.empty
@@ -99,10 +111,11 @@ object ZipCsv {
 
   /** Read bare CSV/TXT files with the same sniff/resolve semantics. */
   def readCsvs(spark: SparkSession, glob: String,
-               roles: Seq[(String, Seq[String])]): DataFrame = {
+               roles: Seq[(String, Seq[String])],
+               required: Set[String] = Set.empty): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       val (text, _) = Sniff.decode(pds.toArray())
-      parsePayload(text, roles, path)
+      parsePayload(text, roles, path, required)
     }
     spark.createDataFrame(rows, schemaFor(roles))
   }

@@ -89,6 +89,18 @@ class ZipCsvSpec extends SparkSpec {
     assert(by("2023-03") == (("SÃO PAULO", "MATA ATLÂNTICA")))
     assert(rows.count(_.getAs[String]("state") == null) == 1)
 
+    // a file missing a REQUIRED column errors with the file named
+    val badDir = java.nio.file.Files.createTempDirectory("badcols").toFile
+    val bz = new java.util.zip.ZipOutputStream(
+      new FileOutputStream(new File(badDir, "nofocos.zip")))
+    bz.putNextEntry(new java.util.zip.ZipEntry("m.csv"))
+    bz.write("id;quando;valor\n1;x;y\n".getBytes); bz.closeEntry(); bz.close()
+    val err = intercept[org.apache.spark.SparkException] {
+      Focos.fromZips(spark, badDir.getAbsolutePath + "/*.zip").count()
+    }
+    assert(err.getMessage.contains("unresolvable required columns") ||
+      Option(err.getCause).exists(_.getMessage.contains("unresolvable required columns")))
+
     // corrupt archive in the same glob is skipped, not fatal
     val junk = new FileOutputStream(new File(dir, "broken.zip"))
     junk.write("this is not a zip".getBytes); junk.close()
