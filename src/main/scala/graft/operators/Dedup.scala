@@ -58,16 +58,26 @@ object Dedup {
 
   /** Bounded pairwise n-gram Jaccard (the oracle-checkable dedup slice):
     * 3-word-shingle sets, |∩|/|∪| ≥ threshold, ids below `maxId`.
-    * Integer set sizes → one double division → engine-exact. */
+    * Relational form: distinct shingles as ROWS, |∩| via an equi-join on
+    * the shingle string (codegen'd, no array set ops, no nested-loop
+    * pair join) — pairs with an empty intersection have jaccard 0 and
+    * fall out naturally (threshold > 0). Integer counts → one double
+    * division → engine-exact. */
   def ngramJaccardPairs(docs: DataFrame, maxId: Long, threshold: Double): DataFrame = {
-    val t = docs.where(col("doc_id") < maxId && size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-    val a = t.select(col("doc_id").as("a"), col("sh").as("sha"))
-    val b = t.select(col("doc_id").as("b"), col("sh").as("shb"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sha"), col("shb"))).as("inter"),
-        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    val rows = docs.where(col("doc_id") < maxId && size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      // consumed three times (two join sides + sizes): persist so the
+      // shingle transform runs once per doc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+    val inter = rows.select(col("doc_id").as("a"), col("s"))
+      .join(rows.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("int").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)

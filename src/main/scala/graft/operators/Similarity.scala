@@ -156,6 +156,7 @@ object Similarity {
     val base = emb.where(col("vec_id") < maxId)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
