@@ -510,17 +510,21 @@ object SparkEntry {
       WITH s AS (
         SELECT 'doc_id' AS col_name,
                CAST(SUM(CASE WHEN regexp_matches(CAST(doc_id AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS numeric_ratio,
+               CAST(SUM(CASE WHEN try_strptime(CAST(doc_id AS VARCHAR), '%Y-%m-%d %H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dt_ratio,
                COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS n_distinct, COUNT(*) AS n FROM documents
         UNION ALL
         SELECT 'lang',
                CAST(SUM(CASE WHEN regexp_matches(CAST(lang AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(SUM(CASE WHEN try_strptime(CAST(lang AS VARCHAR), '%Y-%m-%d %H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
                COUNT(DISTINCT CAST(lang AS VARCHAR)), COUNT(*) FROM documents
         UNION ALL
         SELECT 'n_chars',
                CAST(SUM(CASE WHEN regexp_matches(CAST(n_chars AS VARCHAR), '^[0-9]+$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+               CAST(SUM(CASE WHEN try_strptime(CAST(n_chars AS VARCHAR), '%Y-%m-%d %H:%M:%S') IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
                COUNT(DISTINCT CAST(n_chars AS VARCHAR)), COUNT(*) FROM documents)
-      SELECT col_name, numeric_ratio, n_distinct,
+      SELECT col_name, numeric_ratio, dt_ratio, n_distinct,
              CASE WHEN numeric_ratio >= 0.95 THEN 'int'
+                  WHEN dt_ratio >= 0.8 THEN 'datetime'
                   WHEN n_distinct <= 5 AND n >= 10 THEN 'categorical'
                   ELSE 'string' END AS inferred
       FROM s ORDER BY col_name""",

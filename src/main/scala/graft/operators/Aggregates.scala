@@ -184,13 +184,16 @@ object Aggregates {
       docs.agg(
         lit(name).as("col_name"),
         (sum(c.rlike("^[0-9]+$").cast("int")) / count(lit(1))).as("numeric_ratio"),
+        (sum(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")).isNotNull.cast("int")) /
+          count(lit(1))).as("dt_ratio"),
         countDistinct(c).as("n_distinct"),
         count(lit(1)).as("n"))
     }
     val stats = Seq("doc_id", "lang", "n_chars").map(colStats).reduce(_ unionByName _)
     stats.select(
-      col("col_name"), col("numeric_ratio"), col("n_distinct"),
+      col("col_name"), col("numeric_ratio"), col("dt_ratio"), col("n_distinct"),
       when(col("numeric_ratio") >= 0.95, "int")
+        .when(col("dt_ratio") >= 0.8, "datetime")
         .when(col("n_distinct") <= 5 && col("n") >= 10, "categorical")
         .otherwise("string").as("inferred"))
       .orderBy("col_name")

@@ -68,7 +68,7 @@ class AggregatesSpec extends SparkSpec {
     val docs = (0 until 20).map(i => (i.toLong, s"text $i", "en", "src", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Aggregates.typeInfer(docs).collect()
-      .map(r => r.getString(0) -> r.getString(3)).toMap
+      .map(r => r.getString(0) -> r.getAs[String]("inferred")).toMap
     assert(out("doc_id") == "int")
     assert(out("lang") == "categorical")
     assert(out("n_chars") == "int")
