@@ -68,6 +68,25 @@ object Normalize {
       .otherwise(concat(y, lit("-"), m))
   }
 
+  /** COIDS-style listing keys (datasets/inpe/bdqueimadas_focos_coids.py:
+    * 15-21,145-199): yyyymmdd day key and yyyymmdd_HHMM 10-minute key. */
+  def extractDayKey(c: Column): Column =
+    try_to_timestamp(
+      regexp_extract(c, "((?:19|20)\\d{2}[01]\\d[0-3]\\d)", 1), lit("yyyyMMdd"))
+      .cast("date")
+
+  def extractTenMinKey(c: Column): Column =
+    try_to_timestamp(
+      regexp_extract(c, "((?:19|20)\\d{2}[01]\\d[0-3]\\d_[0-2]\\d[0-5]\\d)", 1),
+      lit("yyyyMMdd_HHmm"))
+
+  /** Brazilian UF extracted from a path segment (`.../RJ/...` or
+    * `_RJ_`/`_RJ.`; bdqueimadas_focos_coids.py:21,196-199). */
+  def ufFromPath(c: Column): Column = {
+    val uf = upper(regexp_extract(c, "(?i)[/_]([a-z]{2})[/_.]", 1))
+    when(uf === "", lit(null).cast("string")).otherwise(uf)
+  }
+
   /** Month labels (PT/EN) via element_at over literal arrays
     * (bdqueimadas_overview.py:1689-1712). */
   private val MonthsPt = Seq("jan", "fev", "mar", "abr", "mai", "jun",

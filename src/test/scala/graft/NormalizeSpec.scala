@@ -39,6 +39,21 @@ class NormalizeSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("COIDS keys and UF from path") {
+    val out = Seq(
+      ("focos_10min_20240115_0230.csv", "/coids/RJ/focos_20240115.csv"))
+      .toDF("f", "p")
+      .select(Normalize.extractTenMinKey($"f").cast("string"),
+        Normalize.extractDayKey($"p").cast("string"),
+        Normalize.ufFromPath($"p"))
+      .collect().head
+    assert(out.getString(0) == "2024-01-15 02:30:00")
+    assert(out.getString(1) == "2024-01-15")
+    assert(out.getString(2) == "RJ")
+    assert(Seq(("nothing.csv", "x")).toDF("p", "x")
+      .select(Normalize.ufFromPath($"p")).collect().head.isNullAt(0))
+  }
+
   test("pt month abbreviation") {
     val out = Seq("JAN", "dez", " Mar ").toDF("s")
       .select(Normalize.ptMonthToNum($"s")).collect().map(_.getInt(0))
