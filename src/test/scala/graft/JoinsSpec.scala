@@ -70,6 +70,16 @@ class JoinsSpec extends SparkSpec {
       (2L, 5L, None)))         // no purchase yet
   }
 
+  test("asOfJoin: multiple payload columns carry together") {
+    val l = Seq((1L, 10L)).toDF("user_id", "event_id")
+    val r = Seq((1L, 5L, 100.0, "first"), (1L, 8L, 200.0, "second"))
+      .toDF("user_id", "event_id", "v", "tag")
+    val out = Joins.asOfJoin(l, r, "user_id", "event_id", Seq("v", "tag"))
+      .collect().head
+    assert(out.getAs[Double]("asof_v") == 200.0)
+    assert(out.getAs[String]("asof_tag") == "second")
+  }
+
   test("rangeJoinBucketed: trailing-window counts incl. cross-granule and empty") {
     val l = Seq((1L, 100L, 3650L), (1L, 101L, 7300L), (2L, 102L, 500L))
       .toDF("user_id", "event_id", "t")
