@@ -83,4 +83,17 @@ object Freshness {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("day"), col("event_type"), col("cnt"))
+
+  /** The reference's 7-day sliding file window as an event-time stream
+    * (P12, daily/pipeline.py:353-369): one row per (7-day window sliding
+    * daily, key), closed by the watermark. */
+  def slidingWindowCounts(events: DataFrame, width: String = "7 days",
+                          slide: String = "1 day",
+                          watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("cnt"))
 }

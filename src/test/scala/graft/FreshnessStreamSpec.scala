@@ -59,6 +59,22 @@ class FreshnessStreamSpec extends SparkSpec {
     assert(emitted.contains(("2024-01-01", 1L)) && emitted.contains(("2024-01-01", 2L)))
   }
 
+  test("slidingWindowCounts: event lands in overlapping 7-day windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = graft.streaming.Freshness.slidingWindowCounts(df)
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    input.addData((ts("2024-01-10 12:00:00"), "click"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-25 00:00:00"), "click")) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val starts = spark.table("slide").collect().map(_.getTimestamp(0).toString.take(10))
+    // the Jan-10 event appears in 7 overlapping daily-sliding windows
+    assert(starts.count(s => s >= "2024-01-04" && s <= "2024-01-10") == 7)
+  }
+
   test("dailyCounts: watermark-closed windows only") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
