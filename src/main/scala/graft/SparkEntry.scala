@@ -440,13 +440,15 @@ object SparkEntry {
              MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
       FROM t GROUP BY 1 ORDER BY source""",
     "q32_quality_score" -> """
-      WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk,
+      WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS tk,
                         CAST(length(text) AS INT) AS n_chars_obs
                  FROM documents WHERE doc_id < 200),
       s AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
               CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS INT) AS stop_hits,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
               n_chars_obs FROM t)
-      SELECT doc_id, n_tok, stop_hits, CAST(stop_hits AS DOUBLE) / n_tok AS stop_ratio, n_chars_obs,
+      SELECT doc_id, n_tok, stop_hits, CAST(stop_hits AS DOUBLE) / n_tok AS stop_ratio,
+             punct_ratio, n_chars_obs,
              CASE WHEN n_tok < 20 THEN 'short'
                   WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.5 THEN 'low'
                   WHEN CAST(stop_hits AS DOUBLE) / n_tok > 0.25 THEN 'medium'

@@ -63,12 +63,14 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, maxId: Long): DataFrame = {
     val tk = toks(col("text"))
     val hits = size(filter(tk, t => t.isin(StopWords: _*)))
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
     docs.where(col("doc_id") < maxId)
       .select(
         col("doc_id"),
         size(tk).as("n_tok"),
         hits.as("stop_hits"),
         (hits.cast("double") / size(tk)).as("stop_ratio"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
         length(col("text")).as("n_chars_obs"))
       .withColumn("quality",
         when(col("n_tok") < 20, "short")

@@ -22,7 +22,7 @@ class TextAnalysisSpec extends SparkSpec {
     val low = (2L, ("the a of " * 10).trim, "en")          // 30 tokens, all stopwords
     val high = (3L, ("word stuff thing item " * 8).trim, "en") // 32 tokens, none
     val out = TextAnalysis.qualityScore(docs(short, low, high), 100L)
-      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("quality")).toMap
     assert(out(1L) == "short" && out(2L) == "low" && out(3L) == "high")
   }
 
