@@ -68,6 +68,23 @@ object Normalize {
       .otherwise(concat(y, lit("-"), m))
   }
 
+  /** pt-BR accent RESTORATION for display labels (the reference keeps a
+    * wordlist mapping accent-stripped uppercase names back to their
+    * proper forms, daily/pipeline.py:475-499): known names restore
+    * exactly, unknown fall back to initcap. */
+  private val RestoreMap: Map[String, String] = Map(
+    "AMAPA" -> "Amapá", "CEARA" -> "Ceará", "ESPIRITO SANTO" -> "Espírito Santo",
+    "GOIAS" -> "Goiás", "MARANHAO" -> "Maranhão", "PARA" -> "Pará",
+    "PARAIBA" -> "Paraíba", "PARANA" -> "Paraná", "PIAUI" -> "Piauí",
+    "RONDONIA" -> "Rondônia", "SAO PAULO" -> "São Paulo",
+    "AMAZONIA" -> "Amazônia", "MATA ATLANTICA" -> "Mata Atlântica")
+
+  def restoreAccentsPt(c: Column): Column = {
+    val pairs = RestoreMap.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    coalesce(element_at(map(pairs: _*), upper(stripAccents(trim(c)))),
+      initcap(lower(trim(c))))
+  }
+
   /** COIDS-style listing keys (datasets/inpe/bdqueimadas_focos_coids.py:
     * 15-21,145-199): yyyymmdd day key and yyyymmdd_HHMM 10-minute key. */
   def extractDayKey(c: Column): Column =
