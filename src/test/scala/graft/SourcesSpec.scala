@@ -38,6 +38,13 @@ class SniffSpec extends AnyFunSuite {
     assert(Sniff.splitLine("a;\"b;c\";\"d\"\"e\"", ';').toSeq == Seq("a", "b;c", "d\"e"))
   }
 
+  test("resolver: first candidate in role order wins when both present") {
+    // data_pas is force-preferred over datahora (reference :795-801)
+    val r = ColumnResolver.resolve(
+      Seq("datahora", "data_pas", "estado", "bioma"), Focos.Roles.toMap)
+    assert(r("raw_datetime") == 1) // data_pas, not datahora
+  }
+
   test("resolver: normalized ordered candidates") {
     val r = ColumnResolver.resolve(
       Seq("ID", "Data/Pas", "ESTADO ", "Bioma"),
@@ -132,6 +139,15 @@ class CoerceSpec extends SparkSpec {
     assert(iso(1).contains("2024-01-05 10:00:00.0"))
     assert(iso(2).isEmpty)
     assert(iso(3).contains("2024-01-05 00:00:00.0"))
+  }
+
+  test("ptbr decimal: negatives and dotted-thousands-without-comma") {
+    val out = Seq("-1.234,56", "-12,5", "2.000.000")
+      .toDF("s").select(Coerce.ptbrDecimal($"s")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // no comma → dots kept → "2.000.000" is not numeric → null,
+    // exactly pandas to_numeric(errors="coerce") on the same heuristic
+    assert(out.toSeq == Seq(Some(-1234.56), Some(-12.5), None))
   }
 
   test("ptbr decimal: comma-presence heuristic") {
