@@ -56,6 +56,7 @@ class IncrementalStore(spark: SparkSession, cacheDir: String,
     * partials plus reuse stats. */
   def build(partitions: Seq[(String, String)],
             compute: String => DataFrame): (DataFrame, Stats) = {
+    require(partitions.nonEmpty, "incremental build needs at least one partition")
     val manifest = loadManifest()
     val (reused, rebuilt) = partitions.partition { case (key, fp) =>
       manifest.get(key).contains(fp + "|" + buildSignature) &&

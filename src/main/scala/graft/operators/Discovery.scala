@@ -52,6 +52,14 @@ object Discovery {
   * intersection/union membership. Input: (file, cols array<string>). */
 object Audit {
 
+  /** Glue: (file, cols) audit frame from profiler output — the A16 input
+    * shape straight from `Profiler.profilePath` results. */
+  def fromProfiles(spark: org.apache.spark.sql.SparkSession,
+                   profiles: Seq[graft.profile.ResourceProfile]): DataFrame = {
+    import spark.implicits._
+    profiles.map(p => (p.path, p.columns)).toDF("file", "cols")
+  }
+
   /** Per-column presence: files containing it + whether it is in every
     * file (intersection member). */
   def schemaPresence(files: DataFrame): DataFrame = {

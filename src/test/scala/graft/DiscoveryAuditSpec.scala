@@ -34,6 +34,25 @@ class DiscoveryAuditSpec extends SparkSpec {
     assert(out.toSeq == Seq("https://dados.gov.br/x/a.csv"))
   }
 
+  test("audit from profiler output end-to-end") {
+    import java.io.{File, FileOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("audits").toFile
+    def put(name: String, content: String): String = {
+      val f = new File(dir, name)
+      val o = new FileOutputStream(f); o.write(content.getBytes); o.close()
+      f.getAbsolutePath
+    }
+    val profiles = Seq(
+      graft.profile.Profiler.profilePath(put("f1.csv", "a;b;c\n1;2;3\n")),
+      graft.profile.Profiler.profilePath(put("f2.csv", "a;b;c\n4;5;6\n")),
+      graft.profile.Profiler.profilePath(put("f3.csv", "a;b;d\n7;8;9\n")))
+    val frame = Audit.fromProfiles(spark, profiles)
+    val modal = Audit.modalSchema(frame).collect().head
+    assert(modal.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(Audit.divergentFiles(frame).collect().map(_.getString(0)).toSeq
+      .exists(_.endsWith("f3.csv")))
+  }
+
   test("audit: presence, modal schema, divergents") {
     val files = Seq(
       ("f1", Seq("a", "b", "c")), ("f2", Seq("a", "b", "c")),
