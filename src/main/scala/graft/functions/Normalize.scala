@@ -53,6 +53,15 @@ object Normalize {
   def ptbrPct(c: Column): Column =
     concat(translate(format_number(c.cast("double"), 2), ".,", ",."), lit("%"))
 
+  /** pt-BR compact magnitude label (anp_producao/pipeline.py:379-382):
+    * ≥1e9 → "x,y bi", ≥1e6 → "x,y mi", else grouped integer. */
+  def ptbrCompact(c: Column): Column = {
+    def oneDec(x: Column) = translate(format_number(x, 1), ".,", ",.")
+    when(abs(c) >= 1e9, concat(oneDec(c / 1e9), lit(" bi")))
+      .when(abs(c) >= 1e6, concat(oneDec(c / 1e6), lit(" mi")))
+      .otherwise(ptbrInt(c))
+  }
+
   /** Period "YYYY[-MM]" extraction from free text (the reference's
     * `((?:19|20)\d{2})(?:[-_]?([01]\d))?` family). */
   def extractYear(c: Column): Column = {

@@ -21,6 +21,15 @@ class NormalizeSpec extends SparkSpec {
     assert(out.toSeq == Seq("producao-de-petroleo-mensal", "eia-weekly"))
   }
 
+  test("pt-BR compact magnitudes") {
+    val out = Seq((2_300_000_000.0, 4_500_000.0, 1234.0)).toDF("b", "m", "i")
+      .select(Normalize.ptbrCompact($"b"), Normalize.ptbrCompact($"m"),
+        Normalize.ptbrCompact($"i")).collect().head
+    assert(out.getString(0) == "2,3 bi")
+    assert(out.getString(1) == "4,5 mi")
+    assert(out.getString(2) == "1.234")
+  }
+
   test("pt-BR formatting") {
     val out = Seq((1234567L, 12.345)).toDF("n", "p")
       .select(Normalize.ptbrInt($"n"), Normalize.ptbrPct($"p"))
