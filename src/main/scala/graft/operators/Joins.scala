@@ -166,7 +166,7 @@ object Joins {
         col(key) === col("_rk") && col("_b") === col("_b2") &&
           col("_r_ord") >= col(ord) - window && col("_r_ord") < col(ord),
         "left")
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(left.columns.toIndexedSeq.map(col): _*)
       .agg(count(col("_r_ord")).as("n_in_window"))
   }
 
