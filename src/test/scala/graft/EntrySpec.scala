@@ -1,0 +1,23 @@
+package graft
+
+/** The driver smoke-checks SparkEntry.entry for rows > 0 at sf0.001 —
+  * assert exactly that contract here so a regression fails fast. */
+class EntrySpec extends SparkSpec {
+  test("entry: flagship grouping-set query returns rows at sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set(
+      "period", "yr", "state", "biome", "value", "g_period", "g_state", "g_biome"))
+  }
+
+  test("every declared query has either an oracle or is known rows-only") {
+    val rowsOnly = Set("q36_minhash_pairs", "q37_simhash", "q40_ann_lsh",
+      "q50_multimodal_features", "q55_winnow_fp", "q56_ivf_topk",
+      "q61_lsh_near_dup", "q65_simhash_pairs")
+    val declared = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")
+    assert((declared -- oracled) == rowsOnly,
+      s"unexpected rows-only set: ${declared -- oracled}")
+  }
+}
