@@ -25,10 +25,20 @@ object Bench {
         "orders", "lineitem", "events", "documents", "embeddings")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
                catch { case _: Throwable => () })
+    // Per-query: one untimed warmup run (absorbs first-touch Janino
+    // codegen — round-1 showed q37 at 14.9 s cold vs 0.4 s steady), then
+    // the median of 3 timed reps. Bench noise between single runs is
+    // ±15-30%; the median is the signal.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (untimed)
+      val times = Seq.fill(reps)(once()).sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

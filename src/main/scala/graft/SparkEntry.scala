@@ -200,10 +200,20 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("cnt"))
         .orderBy("source")
     }),
-    "q50_multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(documents(s, d)))
-        .toDF().where(org.apache.spark.sql.functions.col("media_id") < 100)
-        .orderBy("media_id")),
+    "q50_multimodal_features" -> ((s, d) => {
+      // Scalar feature columns (f1..f8 via element_at) — the driver's
+      // checker canonicalizes by sorting column values, which an
+      // array<float> column breaks; the Dataset decode pipeline is
+      // unchanged, only the output projection is flattened.
+      import org.apache.spark.sql.functions._
+      val feats = Multimodal.extractFeatures(
+        Multimodal.fromDocuments(documents(s, d))).toDF()
+      val fcols = (1 to 8).map(i =>
+        element_at(col("features"), i).cast("double").as(s"f$i"))
+      feats.where(col("media_id") < 100)
+        .select(col("media_id") +: col("kind") +: col("n_bytes").cast("int").as("n_bytes") +: fcols: _*)
+        .orderBy("media_id")
+    }),
     // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),

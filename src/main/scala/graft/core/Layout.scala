@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Physical-layout utilities (SURVEY.md §4 guidance: partition focos
   * data by year so Catalyst partition-prunes the recent-N selection;
@@ -51,6 +51,4 @@ object Layout {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.selectedPartitions.totalNumberOfFiles
     }.sum
-
-  def withWarehouse(spark: SparkSession): SparkSession = spark
 }

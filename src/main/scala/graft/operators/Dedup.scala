@@ -85,8 +85,14 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  private val NumPerms = 16
-  private val Bands = 4   // 4 bands × 4 rows: catches jaccard ≳ 0.5
+  // 22 bands × 3 rows = 66 permutations. The LSH s-curve for (b, r) is
+  // P(candidate | jaccard j) = 1 - (1 - j^r)^b; at the declared q36
+  // threshold 0.5 this gives 1-(1-0.125)^22 ≈ 0.947, rising to ≈1.0 by
+  // j = 0.7 — vs only ~23% for the old 4×4 banding. DedupRecallSpec
+  // asserts the resulting recall against the exact q38 pair set.
+  private val BandRows = 3
+  private val Bands = 22
+  private val NumPerms = Bands * BandRows
 
   /** Deterministic 64-bit hash of a string under permutation seed `p`.
     * xxhash64 is whole-stage-codegen native — one hash per permutation
@@ -129,10 +135,9 @@ object Dedup {
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val rowsPerBand = NumPerms / Bands
-    // one posexplode over the 4 band keys — a single subtree over sigs
+    // one posexplode over the band keys — a single subtree over sigs
     val bandKeys = (0 until Bands).map { b =>
-      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"h$p"))
+      val ks = (b * BandRows until (b + 1) * BandRows).map(p => col(s"h$p"))
       xxhash64(ks: _*)
     }
     val bands = sigs.select(col("doc_id"),
@@ -168,15 +173,24 @@ object Dedup {
   }
 
   /** SimHash near-duplicate candidate pairs: band the 60-bit simhash
-    * into 4×15-bit keys (two docs within hamming distance 3 share ≥1
-    * band), group by band, verify with bit_count(xor) ≤ maxHamming.
-    * Same shuffle-on-band-key shape as MinHash LSH — no cross join. */
+    * into `maxHamming + 1` keys — by pigeonhole, two fingerprints within
+    * hamming distance `maxHamming` differ in at most `maxHamming` bands,
+    * so at least one band key matches exactly (recall is 1.0 by
+    * construction, asserted in DedupRecallSpec). Group by band key,
+    * verify with bit_count(xor) ≤ maxHamming. Same shuffle-on-band-key
+    * shape as MinHash LSH — no cross join. */
   def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int): DataFrame = {
+    val numBands = maxHamming + 1
+    val bits = 60
+    require(numBands <= bits, s"maxHamming $maxHamming needs more bands than bits")
+    // distribute the 60 bits as evenly as possible across the bands
+    val widths = (0 until numBands).map(b => bits / numBands + (if (b < bits % numBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).init
     val sims = simhash(docs, maxId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+      posexplode(array((0 until numBands).map(b =>
+        shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))): _*))
         .as(Seq("band", "bkey")))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -188,9 +202,9 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** 63-bit SimHash per document (token-weighted): each token's md5-derived
-    * 63-bit hash votes ±1 per bit; the sign vector is the fingerprint.
-    * One explode + one aggregation — fully distributed. */
+  /** 60-bit SimHash per document (token-weighted): each token's
+    * xxhash64-derived low 60 bits vote ±1 per bit; the sign vector is
+    * the fingerprint. One explode + one aggregation — fully distributed. */
   def simhash(docs: DataFrame, maxId: Long): DataFrame = {
     val tok = docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))

@@ -58,11 +58,21 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Count of whitespace tokens of `c` that equal one of `ws` — as a
+    * single codegen'd regexp_count over the lowered text instead of a
+    * `filter` array HOF (HOFs are CodegenFallback — interpreted; the
+    * repo perf rule bans them from hot paths). Tokens are space-
+    * delimited, so space-or-edge lookarounds reproduce exact token
+    * equality. */
+  private def wordHits(c: Column, ws: Seq[String]): Column =
+    regexp_count(lower(trim(c)),
+      lit("(?<=^| )(" + ws.mkString("|") + ")(?= |$)")).cast("int")
+
   /** Quality scoring: token count, stopword ratio, length → label ladder
     * (training-data quality gate; ratio is int/int → one double division). */
   def qualityScore(docs: DataFrame, maxId: Long): DataFrame = {
     val tk = toks(col("text"))
-    val hits = size(filter(tk, t => t.isin(StopWords: _*)))
+    val hits = wordHits(col("text"), StopWords)
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
     docs.where(col("doc_id") < maxId)
       .select(
@@ -129,8 +139,7 @@ object TextAnalysis {
   /** Language-ID heuristic: disjoint stopword-list hit counts → argmax with
     * deterministic tie → "unk". (n-gram-heuristic family.) */
   def langId(docs: DataFrame, maxId: Long): DataFrame = {
-    val tk = toks(col("text"))
-    def hits(ws: Seq[String]) = size(filter(tk, t => t.isin(ws: _*)))
+    def hits(ws: Seq[String]) = wordHits(col("text"), ws)
     docs.where(col("doc_id") < maxId)
       .select(col("doc_id"), col("lang").as("labeled"),
         hits(EnWords).as("en_hits"), hits(PtWords).as("pt_hits"), hits(EsWords).as("es_hits"))
