@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, BufferedReader, InputStream, InputStreamReader}
+import java.nio.ByteBuffer
+import java.nio.CharBuffer
+import java.nio.charset.{Charset, CodingErrorAction}
 import java.util.zip.ZipInputStream
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -16,55 +20,100 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * header (schemas drift between files — SURVEY §7 "What's hard"), and
   * the output is the union of per-file projections onto the requested
   * roles, already normalized to canonical column names.
+  *
+  * MEMORY CONTRACT: per-task memory is O(line), never O(member). The
+  * member is decoded through a BufferedReader over the (zip) stream;
+  * charset and delimiter are sniffed from a bounded 8 KB prefix via
+  * mark/reset. A multi-GB member inside one archive streams through a
+  * small task heap (proven by ZipLargeMemberSpec's 256 MB-heap probe).
   */
 object ZipCsv {
+
+  /** Bytes sampled for charset + delimiter sniffing. */
+  val SniffBytes = 8192
 
   private def isTabular(name: String): Boolean = {
     val l = name.toLowerCase
     l.endsWith(".csv") || l.endsWith(".txt")
   }
 
-  /** First `.csv`/`.txt` member by sorted name, extracted in two
-    * streaming passes (names only, then the one target member) — memory
-    * stays bounded by the MEMBER size, never the archive size, so a
-    * task handles multi-GB archives without buffering them. */
-  private def firstTabularMember(open: () => java.io.InputStream): Option[(String, Array[Byte])] = {
-    val names = {
-      val zin = new ZipInputStream(open())
-      try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory).map(_.getName).filter(isTabular).toVector
-      finally zin.close()
-    }
-    names.sorted.headOption.map { target =>
-      val zin = new ZipInputStream(open())
-      try {
-        val it = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        val out = new java.io.ByteArrayOutputStream()
-        it.find(_.getName == target).foreach { _ =>
-          val buf = new Array[Byte](65536)
-          var n = zin.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-        }
-        target -> out.toByteArray
-      } finally zin.close()
-    }
+  /** Name of the first `.csv`/`.txt` member by sorted name — one
+    * streaming pass over entry headers, no payload read. */
+  private def firstTabularName(open: () => InputStream): Option[String] = {
+    val zin = new ZipInputStream(open())
+    try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .filterNot(_.isDirectory).map(_.getName).filter(isTabular)
+      .foldLeft(Option.empty[String]) {
+        case (acc, n) => Some(acc.fold(n)(a => if (n < a) n else a))
+      }
+    finally zin.close()
   }
 
-  /** Parse one decoded tabular payload: sniff delimiter, resolve the
-    * header against `roles`, project each data row onto the role order;
-    * rows whose field count differs from the header are skipped
-    * (`on_bad_lines="skip"`). Missing optional roles yield null columns;
-    * missing REQUIRED roles are a hard error naming the file — the
-    * reference's unresolvable-column semantics
-    * (bdqueimadas_incremental.py:805-824). */
-  private def parsePayload(text: String, roles: Seq[(String, Seq[String])],
-                           sourceName: String,
-                           required: Set[String]): Iterator[Row] = {
-    val lines = text.split("\r?\n").iterator.filter(_.nonEmpty)
-    if (!lines.hasNext) return Iterator.empty
-    val sample = text.substring(0, math.min(text.length, 8192))
-    val d = Sniff.delimiter(sample)
-    val header = Sniff.splitLine(lines.next(), d)
+  /** Charset of a bounded prefix, with the reference's fallback chain
+    * utf-8 → cp1252 → latin-1 (Sniff.decode semantics, prefix-based: a
+    * multi-byte char truncated at the prefix edge is NOT a utf-8
+    * failure — the decoder is fed with endOfInput=false). */
+  private[sources] def detectCharset(prefix: Array[Byte]): String = {
+    def strictOk(cs: String): Boolean = {
+      val dec = Charset.forName(cs).newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val out = CharBuffer.allocate(prefix.length + 8)
+      !dec.decode(ByteBuffer.wrap(prefix), out, false).isError
+    }
+    if (strictOk("UTF-8")) "UTF-8"
+    else if (strictOk("windows-1252")) "windows-1252"
+    else "ISO-8859-1"
+  }
+
+  /** Lenient decode of the sniff prefix for delimiter detection. */
+  private def decodePrefix(prefix: Array[Byte], cs: String): String = {
+    val dec = Charset.forName(cs).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val out = CharBuffer.allocate(prefix.length + 8)
+    dec.decode(ByteBuffer.wrap(prefix), out, false)
+    out.flip().toString
+  }
+
+  /** Sniff charset + delimiter from an 8 KB prefix (mark/reset — nothing
+    * is buffered beyond the sniff window), then stream lines through a
+    * BufferedReader. Mid-stream malformed bytes are replaced, not fatal:
+    * the charset verdict is made on the prefix, and at scale one bad
+    * byte must not kill a task. Returns (delimiter, line iterator); the
+    * caller owns closing via exhaustion of the iterator. */
+  private[sources] def sniffedLines(raw: InputStream): (Char, Iterator[String]) = {
+    val in = new BufferedInputStream(raw, 1 << 16)
+    in.mark(SniffBytes + 8)
+    val prefix = in.readNBytes(SniffBytes)
+    in.reset()
+    val bom = prefix.length >= 3 && prefix(0) == 0xEF.toByte &&
+      prefix(1) == 0xBB.toByte && prefix(2) == 0xBF.toByte
+    val body = if (bom) java.util.Arrays.copyOfRange(prefix, 3, prefix.length) else prefix
+    if (bom) { val skipped = in.skip(3); require(skipped == 3) }
+    val cs = detectCharset(body)
+    val d = Sniff.delimiter(decodePrefix(body, cs))
+    val dec = Charset.forName(cs).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val reader = new BufferedReader(new InputStreamReader(in, dec), 1 << 16)
+    (d, Iterator.continually(reader.readLine()).takeWhile(_ != null))
+  }
+
+  /** Parse sniffed lines: resolve the header against `roles`, project
+    * each data row onto the role order; rows whose field count differs
+    * from the header are skipped (`on_bad_lines="skip"`). Missing
+    * optional roles yield null columns; missing REQUIRED roles are a
+    * hard error naming the file — the reference's unresolvable-column
+    * semantics (bdqueimadas_incremental.py:805-824). Header resolution
+    * is eager (errors surface at call time); data rows stream lazily. */
+  private[sources] def parseLines(d: Char, lines: Iterator[String],
+                                  roles: Seq[(String, Seq[String])],
+                                  sourceName: String,
+                                  required: Set[String]): Iterator[Row] = {
+    val ne = lines.filter(_.nonEmpty)
+    if (!ne.hasNext) return Iterator.empty
+    val header = Sniff.splitLine(ne.next(), d)
     val resolved = ColumnResolver.resolve(header.toSeq, roles.toMap)
     val missing = required.filterNot(resolved.contains)
     if (missing.nonEmpty)
@@ -72,7 +121,7 @@ object ZipCsv {
         s"unresolvable required columns ${missing.mkString(", ")} in $sourceName " +
           s"(header: ${header.mkString(", ")})")
     val idx = roles.map { case (role, _) => resolved.get(role) }
-    lines.flatMap { line =>
+    ne.flatMap { line =>
       val fields = Sniff.splitLine(line, d)
       if (fields.length != header.length) None // bad line → skip
       else Some(Row.fromSeq(sourceName +: idx.map {
@@ -81,6 +130,54 @@ object ZipCsv {
       }))
     }
   }
+
+  /** Guard a streaming row iterator: I/O / zip corruption mid-stream
+    * ends the file's rows (the archive-level `on_bad_lines` spirit) and
+    * closes the stream; anything else propagates. The stream is also
+    * closed on normal exhaustion. */
+  private def guarded(it: Iterator[Row], close: () => Unit): Iterator[Row] =
+    new Iterator[Row] {
+      private var done = false
+      private def finish(): Unit = if (!done) {
+        done = true
+        try close() catch { case _: java.io.IOException => () }
+      }
+      override def hasNext: Boolean =
+        !done && {
+          val h = try it.hasNext catch {
+            case _: java.io.IOException | _: java.util.zip.ZipException =>
+              finish(); false
+          }
+          if (!h) finish()
+          h
+        }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException
+        it.next()
+      }
+    }
+
+  /** Streaming parse of one archive's first tabular member. Exposed
+    * within the package so the bounded-heap probe (ZipLargeMemberSpec)
+    * can drive it without a SparkSession. */
+  private[sources] def zipRows(open: () => InputStream,
+                               path: String,
+                               roles: Seq[(String, Seq[String])],
+                               required: Set[String]): Iterator[Row] =
+    firstTabularName(open) match {
+      case None => Iterator.empty
+      case Some(target) =>
+        val zin = new ZipInputStream(open())
+        val positioned =
+          try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+            .exists(_.getName == target)
+          catch { case e: Throwable => zin.close(); throw e }
+        if (!positioned) { zin.close(); Iterator.empty }
+        else {
+          val (d, lines) = sniffedLines(zin)
+          guarded(parseLines(d, lines, roles, path, required), () => zin.close())
+        }
+    }
 
   private def schemaFor(roles: Seq[(String, Seq[String])]): StructType =
     StructType(StructField("source_file", StringType, nullable = false) +:
@@ -97,25 +194,23 @@ object ZipCsv {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       // corrupt archives are skipped, not fatal (on_bad_lines spirit at
       // the archive level); the profiler reports them separately
-      try firstTabularMember(() => pds.open()) match {
-        case Some((_, memberBytes)) =>
-          val (text, _) = Sniff.decode(memberBytes)
-          parsePayload(text, roles, path, required)
-        case None => Iterator.empty
-      } catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
+      try zipRows(() => pds.open(), path, roles, required)
+      catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
         Iterator.empty
       }
     }
     spark.createDataFrame(rows, schemaFor(roles))
   }
 
-  /** Read bare CSV/TXT files with the same sniff/resolve semantics. */
+  /** Read bare CSV/TXT files with the same sniff/resolve semantics —
+    * also line-streamed, O(line) task memory. */
   def readCsvs(spark: SparkSession, glob: String,
                roles: Seq[(String, Seq[String])],
                required: Set[String] = Set.empty): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
-      val (text, _) = Sniff.decode(pds.toArray())
-      parsePayload(text, roles, path, required)
+      val in = pds.open()
+      val (d, lines) = sniffedLines(in)
+      guarded(parseLines(d, lines, roles, path, required), () => in.close())
     }
     spark.createDataFrame(rows, schemaFor(roles))
   }
