@@ -214,6 +214,88 @@ object SparkEntry {
         .select(col("media_id") +: col("kind") +: col("n_bytes").cast("int").as("n_bytes") +: fcols: _*)
         .orderBy("media_id")
     }),
+    // round-2 oracle coverage for previously test-only operators
+    "q66_schema_audit" -> ((s, d) => {
+      // A16 (audits/inpe/bdqueimadas_focos.py:62-155) over a synthetic
+      // (file, cols) frame derived from documents the way q52 derives
+      // URLs: base 3-column schema, extras keyed off the source number.
+      import org.apache.spark.sql.functions._
+      val sn = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val empty = array().cast("array<string>")
+      val files = documents(s, d).select(col("source"), sn.as("sn")).distinct()
+        .select(col("source").as("file"),
+          concat(array(lit("id"), lit("name"), lit("value")),
+            when(col("sn") % 3 === 0, array(lit("extra_a"))).otherwise(empty),
+            when(col("sn") % 4 === 0, array(lit("extra_b"))).otherwise(empty)).as("cols"))
+      Audit.schemaPresence(files).withColumnRenamed("column", "col_name")
+    }),
+    "q67_state_topn_window" -> ((s, d) => {
+      // A10 (social/anp_producao/pipeline.py:328-344): top-8 states at
+      // the latest period + OUTROS over the trailing 6-month window.
+      import org.apache.spark.sql.functions._
+      val df = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("periodo"),
+          col("n_name").as("uf"), col("o_totalprice").as("valor"))
+      graft.reports.AnpPipeline.stateSeriesWithOther(df, "2001-06", 6, 8)
+    }),
+    "q68_latest_n" -> ((s, d) => {
+      // O4–O6 (datasets/cvm/ckan_dataset.py:267-275): period extraction
+      // from filenames + latest-N selection over a synthetic listing.
+      import org.apache.spark.sql.functions._
+      val listing = documents(s, d).select(
+        concat(lit("https://x/f"), col("doc_id")).as("url"),
+        concat(lit("inf_"), (col("doc_id") % 6 + 2019).cast("string"), lit("_"),
+          lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"), lit(".zip")).as("filename"))
+      Discovery.selectLatest(listing, 10)
+    }),
+    "q69_window_select" -> ((s, d) => {
+      // P12 (social/bdqueimadas_daily/pipeline.py:353-369): resources
+      // dated from filenames, < as-of (incomplete day excluded), last 7.
+      import org.apache.spark.sql.functions._
+      val listing = documents(s, d).select(
+        concat(lit("daily_"),
+          date_format(date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 60).cast("int")), "yyyyMMdd"),
+          lit(".csv")).as("filename")).distinct()
+      graft.reports.DailyPipeline.selectWindow(listing, "2024-02-15", 7,
+          excludeAsOf = true)
+        .orderBy(org.apache.spark.sql.functions.col("day").desc)
+    }),
+    "q70_catalog_join" -> ((s, d) => {
+      // J10 (catalog/build.py:63-101): configured cards left-join their
+      // published manifests; unpublished cards keep null metadata.
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val sn = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val cards = docs.select(col("source").as("id"),
+          concat(lit("manifests/"), col("source"), lit(".json")).as("manifest_path"))
+        .distinct()
+      val manifests = docs.groupBy("source")
+        .agg(count(lit(1)).as("item_count"), max("n_chars").as("max_chars"))
+        .where(sn % 3 =!= 0)
+        .select(concat(lit("manifests/"), col("source"), lit(".json")).as("manifest_path"),
+          col("item_count"),
+          when(col("max_chars") > 500, "complete").otherwise("partial")
+            .as("generation_status"))
+      cards.join(manifests, Seq("manifest_path"), "left")
+        .select(col("id"), col("manifest_path"), col("generation_status"),
+          col("item_count"))
+        .orderBy("id")
+    }),
+    "q71_rowcol_counts" -> ((s, d) => {
+      // A19 (profiling.py:269-297): per-file row/column counting profile
+      // over the q66 synthetic schema family.
+      import org.apache.spark.sql.functions._
+      val sn = regexp_extract(col("file"), "src(\\d+)", 1).cast("int")
+      documents(s, d).groupBy(col("source").as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("file"), col("n_rows"),
+          (lit(3) + (sn % 3 === 0).cast("int") + (sn % 4 === 0).cast("int"))
+            .as("n_cols"))
+        .orderBy("file")
+    }),
     // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
@@ -636,6 +718,72 @@ object SparkEntry {
              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY 1 ORDER BY n_name""",
+    "q66_schema_audit" -> """
+      WITH f AS (SELECT DISTINCT source, CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn
+                 FROM documents),
+      t AS (SELECT COUNT(*) AS files_total FROM f),
+      e AS (
+        SELECT source AS file, 'id' AS col_name FROM f
+        UNION ALL SELECT source, 'name' FROM f
+        UNION ALL SELECT source, 'value' FROM f
+        UNION ALL SELECT source, 'extra_a' FROM f WHERE sn % 3 = 0
+        UNION ALL SELECT source, 'extra_b' FROM f WHERE sn % 4 = 0)
+      SELECT col_name, COUNT(DISTINCT file) AS files_present, files_total,
+             COUNT(DISTINCT file) = files_total AS in_all
+      FROM e CROSS JOIN t GROUP BY col_name, files_total ORDER BY col_name""",
+    "q67_state_topn_window" -> """
+      WITH st AS (SELECT strftime(o_orderdate, '%Y-%m') AS periodo, n_name AS uf,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS valor
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                              JOIN nation ON c_nationkey = n_nationkey
+                  GROUP BY 1, 2),
+      top AS (SELECT uf FROM st WHERE periodo = '2001-06' AND valor > 0
+              ORDER BY valor DESC, uf ASC LIMIT 8)
+      SELECT periodo,
+             CASE WHEN uf IN (SELECT uf FROM top) THEN uf ELSE 'OUTROS' END AS series,
+             CAST(SUM(valor) AS DOUBLE) AS valor
+      FROM st
+      WHERE CAST(periodo || '-01' AS DATE) BETWEEN DATE '2001-01-01' AND DATE '2001-06-01'
+      GROUP BY 1, 2 ORDER BY periodo, series""",
+    "q68_latest_n" -> """
+      WITH listing AS (
+        SELECT 'https://x/f' || CAST(doc_id AS VARCHAR) AS url,
+               'inf_' || CAST(doc_id % 6 + 2019 AS VARCHAR) || '_' ||
+                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '.zip' AS filename,
+               CAST(doc_id % 6 + 2019 AS VARCHAR) || '-' ||
+                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS period
+        FROM documents)
+      SELECT url, filename, period FROM listing
+      ORDER BY period DESC, url ASC LIMIT 10""",
+    "q69_window_select" -> """
+      WITH listing AS (
+        SELECT DISTINCT
+          'daily_' || strftime(DATE '2024-01-01' + CAST(doc_id % 60 AS INT), '%Y%m%d')
+            || '.csv' AS filename,
+          DATE '2024-01-01' + CAST(doc_id % 60 AS INT) AS day
+        FROM documents)
+      SELECT filename, day FROM listing WHERE day < DATE '2024-02-15'
+      ORDER BY day DESC LIMIT 7""",
+    "q70_catalog_join" -> """
+      WITH cards AS (SELECT DISTINCT source AS id,
+                            'manifests/' || source || '.json' AS manifest_path
+                     FROM documents),
+      m AS (SELECT 'manifests/' || source || '.json' AS manifest_path,
+                   COUNT(*) AS item_count,
+                   CASE WHEN MAX(n_chars) > 500 THEN 'complete' ELSE 'partial' END
+                     AS generation_status
+            FROM documents GROUP BY source
+            HAVING CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 3 <> 0)
+      SELECT id, cards.manifest_path AS manifest_path, generation_status, item_count
+      FROM cards LEFT JOIN m ON cards.manifest_path = m.manifest_path
+      ORDER BY id""",
+    "q71_rowcol_counts" -> """
+      SELECT source AS file, COUNT(*) AS n_rows,
+             CAST(3 + CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 3 = 0
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 = 0
+                           THEN 1 ELSE 0 END AS INT) AS n_cols
+      FROM documents GROUP BY source ORDER BY file""",
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -103,15 +103,23 @@ object Aggregates {
 
   /** Sentinel union of "all" + per-dimension aggregates (D3,
     * bdqueimadas_incremental.py:266-289): same shape as a grouping-set
-    * output with an explicit `__ALL__` marker. */
+    * output with an explicit `__ALL__` marker. ONE scan: pre-aggregate
+    * to (m, flag) partials, then GROUPING SETS ((m), (m, flag)) over the
+    * partials — the round-1 two-branch union scanned lineitem twice. */
   def sentinelUnion(li: DataFrame): DataFrame = {
-    val all = li.groupBy(period(col("l_shipdate")).as("m"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("flag", lit("__ALL__"))
-    val by = li.groupBy(period(col("l_shipdate")).as("m"), col("l_linestatus").as("flag"))
-      .agg(count(lit(1)).as("cnt"))
-    all.select("m", "flag", "cnt").unionByName(by.select("m", "flag", "cnt"))
-      .orderBy("m", "flag")
+    val spark = li.sparkSession
+    val v = "su_lineitem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    li.createOrReplaceTempView(v)
+    val out = spark.sql(s"""
+      SELECT m, coalesce(flag, '__ALL__') AS flag, SUM(cnt) AS cnt
+      FROM (SELECT date_format(l_shipdate, 'yyyy-MM') AS m,
+                   l_linestatus AS flag, COUNT(*) AS cnt
+            FROM $v GROUP BY 1, 2)
+      GROUP BY GROUPING SETS ((m), (m, flag))
+      ORDER BY m, flag
+    """)
+    spark.catalog.dropTempView(v)
+    out
   }
 
   /** Membership (YTD-style) sum over an explicit month set (P9/A5,
