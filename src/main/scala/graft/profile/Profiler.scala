@@ -72,10 +72,138 @@ object Profiler {
       case "zip" => profileZip(path, sha, size)
       case "json" => profileJson(path, sha, size)
       case "xml" => profileXml(path, sha, size)
+      case "xlsx" => profileXlsx(path, sha, size)
+      case "xls" =>
+        // legacy binary workbook: the reference's pandas reader fails on
+        // these without xlrd and reports partial (profiling.py:306-312)
+        ResourceProfile(path, size, sha, "xls", None, None, Nil, "partial",
+          Seq(ProfileWarning("unsupported_format",
+            "Excel profile failed: legacy binary format")), None)
       case other =>
         ResourceProfile(path, size, sha, other, None, None, Nil, "skipped",
           Seq(ProfileWarning("unsupported_format", other)), None)
     }
+  }
+
+  /** Excel scan (S4, profiling.py:300-318): first sheet's header row →
+    * columns; data rows (header excluded) → row_count. XLSX is ZIP +
+    * sheet XML, so this needs no spreadsheet library: a StAX stream over
+    * `xl/worksheets/sheet1.xml` counts `<row>` elements and resolves the
+    * first row's cells against `xl/sharedStrings.xml` — memory stays
+    * O(shared strings), never O(sheet). Failures → partial, mirroring
+    * the reference's catch-all. */
+  private def profileXlsx(path: String, sha: String, size: Long): ResourceProfile =
+    try {
+      val z = new ZipFile(path)
+      try {
+        val names = z.entries().asScala.map(_.getName).toVector
+        val sheets = names.filter(n => n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
+        // sheet1.xml is the conventional first sheet; fall back to the
+        // lexicographically first worksheet member
+        val sheet = sheets.sortBy(n => (if (n == "xl/worksheets/sheet1.xml") 0 else 1, n))
+          .headOption
+        sheet match {
+          case None =>
+            ResourceProfile(path, size, sha, "xlsx", None, None, Nil, "partial",
+              Seq(ProfileWarning("unsupported_format",
+                "Excel profile failed: no worksheet member")), None)
+          case Some(sn) =>
+            val shared = names.find(_ == "xl/sharedStrings.xml")
+              .map(ss => readSharedStrings(z.getInputStream(z.getEntry(ss))))
+              .getOrElse(Vector.empty)
+            val (totalRows, headers) = scanSheet(z.getInputStream(z.getEntry(sn)), shared)
+            val dataRows = math.max(0L, totalRows - 1)
+            ResourceProfile(path, size, sha, "xlsx", Some(dataRows),
+              Some(headers.length), headers, "ok", Nil, None)
+        }
+      } finally z.close()
+    } catch {
+      case e: Exception =>
+        ResourceProfile(path, size, sha, "xlsx", None, None, Nil, "partial",
+          Seq(ProfileWarning("unsupported_format",
+            s"Excel profile failed: ${e.getClass.getSimpleName}")), None)
+    }
+
+  private def xmlReader(in: java.io.InputStream): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** sharedStrings.xml → indexed strings (rich-text `<t>` runs inside
+    * one `<si>` concatenate). */
+  private def readSharedStrings(in: java.io.InputStream): Vector[String] = {
+    import javax.xml.stream.XMLStreamConstants._
+    val r = xmlReader(in)
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inT = false
+    try {
+      while (r.hasNext) r.next() match {
+        case START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur.clear()
+            case "t" => inT = true
+            case _ =>
+          }
+        case CHARACTERS | CDATA if inT => cur.append(r.getText)
+        case END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString
+            case _ =>
+          }
+        case _ =>
+      }
+      out.result()
+    } finally r.close()
+  }
+
+  /** One streaming pass over a worksheet: total `<row>` count + the
+    * first row's cell values (shared-string refs resolved, inline
+    * strings and raw `<v>` taken as-is). */
+  private def scanSheet(in: java.io.InputStream,
+                        shared: Vector[String]): (Long, Seq[String]) = {
+    import javax.xml.stream.XMLStreamConstants._
+    val r = xmlReader(in)
+    var rows = 0L
+    var inFirstRow = false
+    var cellType: Option[String] = None
+    var capture = false
+    val sb = new StringBuilder
+    val headers = Seq.newBuilder[String]
+    try {
+      while (r.hasNext) r.next() match {
+        case START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              rows += 1
+              if (rows == 1) inFirstRow = true
+            case "c" if inFirstRow =>
+              cellType = Option(r.getAttributeValue(null, "t"))
+              sb.clear()
+            case "v" | "t" if inFirstRow => capture = true
+            case _ =>
+          }
+        case CHARACTERS | CDATA if capture => sb.append(r.getText)
+        case END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" => capture = false
+            case "c" if inFirstRow =>
+              val raw = sb.toString
+              headers += (cellType match {
+                case Some("s") =>
+                  raw.trim.toIntOption.flatMap(shared.lift).getOrElse(raw)
+                case _ => raw
+              })
+            case "row" if inFirstRow => inFirstRow = false
+            case _ =>
+          }
+        case _ =>
+      }
+      (rows, headers.result())
+    } finally r.close()
   }
 
   private def profileTabular(path: String, sha: String, size: Long,

@@ -53,6 +53,43 @@ class ProfileSpec extends AnyFunSuite {
     assert(p.columns == Seq("Dataset") && p.profileStatus == "ok")
   }
 
+  test("xlsx probe: sheet-1 header columns + data row count (S4)") {
+    // minimal-but-real xlsx: ZIP with content types, workbook, shared
+    // strings (incl. a rich-text run), and a sheet with 3 data rows
+    val f = new File(dir, "wb.xlsx")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    def member(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    member("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    member("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="Plan1" sheetId="1"/></sheets></workbook>""")
+    member("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst count="3" uniqueCount="3">""" +
+        """<si><t>ano</t></si><si><r><t>es</t></r><r><t>tado</t></r></si><si><t>valor</t></si></sst>""")
+    member("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>obs</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>2024</v></c><c r="B2" t="s"><v>2</v></c><c r="C2"><v>1.5</v></c></row>""" +
+        """<row r="3"><c r="A3"><v>2025</v></c><c r="B3" t="s"><v>2</v></c><c r="C3"><v>2.5</v></c></row>""" +
+        """<row r="4"><c r="A4"><v>2026</v></c><c r="B4" t="s"><v>2</v></c><c r="C4"><v>3.5</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    z.close()
+    val p = Profiler.profilePath(f.getAbsolutePath)
+    assert(p.profileStatus == "ok", p.profileWarnings.toString)
+    assert(p.rowCount.contains(3L))
+    assert(p.columns == Seq("ano", "estado", "obs"))
+    assert(p.columnCount.contains(3))
+
+    // legacy .xls and corrupt .xlsx report partial, mirroring the
+    // reference's Excel catch-all
+    assert(Profiler.profilePath(write("old.xls", "junk".getBytes)).profileStatus == "partial")
+    val broken = Profiler.profilePath(write("bad.xlsx", "not a zip".getBytes))
+    assert(broken.profileStatus == "partial")
+    assert(broken.profileWarnings.head.message.startsWith("Excel profile failed"))
+  }
+
   test("manifest: strict meta, item normalization, status derivation") {
     val meta = Manifest.normalizeMeta(Seq(
       "source_agency" -> JStr("INPE"), "spice" -> JStr("extra"),
