@@ -94,22 +94,22 @@ object Joins {
   /** Upsert-by-key last-writer-wins across priority-ordered levels (J11,
     * bdqueimadas_overview.py:1538-1606): union levels, keep highest
     * priority per key via row_number. */
-  def upsertPriority(orders: DataFrame, overlayFrom: String): DataFrame = {
-    val l1 = orders.groupBy(period(col("o_orderdate")).as("m"),
-                            col("o_orderpriority").as("priority"))
-      .agg(count(lit(1)).as("cnt")).withColumn("prio", lit(1))
-    val l2 = orders.where(period(col("o_orderdate")) >= overlayFrom)
-      .where(col("o_orderstatus") =!= "X")
-      .groupBy(period(col("o_orderdate")).as("m"),
-               col("o_orderpriority").as("priority"))
-      .agg(count(lit(1)).as("cnt")).withColumn("prio", lit(2))
-    l1.unionByName(l2)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("m", "priority").orderBy(col("prio").desc)))
-      .where(col("rn") === 1)
-      .select("m", "priority", "cnt", "prio")
+  def upsertPriority(orders: DataFrame, overlayFrom: String): DataFrame =
+    // ONE scan + one shuffle: both levels are conditional aggregates of
+    // the same (m, priority) group — the overlay level "exists" for a
+    // group iff any row passes its filter (cnt2 > 0 in the overlay
+    // window), exactly when the round-1 two-scan union emitted an l2 row
+    // that the priority window then picked.
+    orders.groupBy(period(col("o_orderdate")).as("m"),
+                   col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt1"),
+           count(when(col("o_orderstatus") =!= "X", 1)).as("cnt2"))
+      .select(col("m"), col("priority"),
+        when(col("m") >= overlayFrom && col("cnt2") > 0, col("cnt2"))
+          .otherwise(col("cnt1")).as("cnt"),
+        when(col("m") >= overlayFrom && col("cnt2") > 0, lit(2))
+          .otherwise(lit(1)).as("prio"))
       .orderBy("m", "priority")
-  }
 
   /** As-of (point-in-time) join — the operator Spark lacks natively
     * (generalizes the reference's as-of/lag self-comparison J4,
