@@ -296,6 +296,15 @@ object SparkEntry {
             .as("n_cols"))
         .orderBy("file")
     }),
+    "q72_near_dup_components" -> ((s, d) => {
+      // Dedup closure: exact-verified jaccard-0.5 pairs → connected
+      // components (GraphX min-label propagation) → keep-first map.
+      // At corpus scale the edge input is minhashPairs; the exact pair
+      // generator here keeps the query oracle-checkable end-to-end.
+      val docs = documents(s, d)
+      val edges = Dedup.ngramJaccardPairs(docs, 500L, 0.5).select("a", "b")
+      Dedup.nearDupComponents(docs, edges, 500L)
+    }),
     // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
@@ -784,6 +793,23 @@ object SparkEntry {
                     + CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 = 0
                            THEN 1 ELSE 0 END AS INT) AS n_cols
       FROM documents GROUP BY source ORDER BY file""",
+    "q72_near_dup_components" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                 FROM documents WHERE doc_id < 500),
+      s AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter,
+              CAST(len(a.sh) AS INT) AS na, CAST(len(b.sh) AS INT) AS nb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      pairs AS (SELECT a, b FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, MIN(dst) AS component
+      FROM reach GROUP BY 1 ORDER BY doc_id""",
     "q46_cosine_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("nearDupComponents: chains collapse transitively, singletons self-label") {
+    import spark.implicits._
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+    // chain 1-2-3 (no direct 1-3 edge), pair 5-6, singleton 4
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.nearDupComponents(d, edges, 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("nearDupComponents: no edges -> every doc its own component") {
+    import spark.implicits._
+    val d = docs((1L, "a"), (2L, "b"))
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Dedup.nearDupComponents(d, edges, 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("simhashPairs: identical docs pair at hamming 0, dissimilar don't") {
     val t = "alpha beta gamma delta epsilon zeta eta theta"
     val out = Dedup.simhashPairs(docs(
