@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape assertions for the properties that matter at 100 TB:
+  * column pruning reaching the parquet scan, single-scan rewrites
+  * staying single-scan, and dimension joins staying broadcast. Uses the
+  * statically-planned physical plan (pre-AQE) so the asserted shape is
+  * the planner's decision, not a runtime re-plan. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collectWithSubqueries { case s: FileSourceScanExec => s }
+
+  test("q01: scan reads only the five needed lineitem columns") {
+    val ss = scans(plan("q01_pricing_summary"))
+    assert(ss.nonEmpty)
+    assert(ss.head.requiredSchema.fieldNames.toSet ==
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  test("q02: grouping sets is one scan, pruned to l_shipdate + dims") {
+    val ss = scans(plan("q02_grouping_sets"))
+    assert(ss.length == 1)
+    assert(ss.head.requiredSchema.fieldNames.toSet ==
+      Set("l_shipdate", "l_returnflag", "l_linestatus"))
+  }
+
+  test("q24 and q20: single-scan rewrites stay single-scan") {
+    assert(scans(plan("q24_sentinel_union")).length == 1)
+    assert(scans(plan("q20_upsert_priority")).length == 1)
+  }
+
+  test("q19 and q67: dimension joins broadcast") {
+    val p19 = plan("q19_dim_broadcast")
+    assert(p19.collectWithSubqueries { case b: BroadcastHashJoinExec => b }.length >= 2)
+    val p67 = plan("q67_state_topn_window")
+    assert(p67.collectWithSubqueries { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
+  test("q35 exact dedup: filter pushdown is absent (full scan by design), one scan only") {
+    assert(scans(plan("q35_exact_dedup")).length == 1)
+  }
+
+  test("q30: doc_id predicate reaches the scan as a pushed filter") {
+    val ss = scans(plan("q30_content_hashes"))
+    assert(ss.nonEmpty)
+    assert(ss.head.metadata.get("PushedFilters").exists(_.contains("LessThan(doc_id")))
+  }
+}
