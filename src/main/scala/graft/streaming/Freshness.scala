@@ -84,6 +84,22 @@ object Freshness {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("day"), col("event_type"), col("cnt"))
 
+  /** Event-time sessionization on an unbounded stream — the streaming
+    * form of the batch gaps-and-islands operator (Windows.sessionize,
+    * q59): Spark's native session_window merges events within `gap` per
+    * key and the watermark closes sessions, so state is bounded by open
+    * sessions, not history. Session end is last-event + gap (the
+    * session_window contract); the batch operator reports last-event —
+    * starts and counts are identical. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n_events"))
+
   /** The reference's 7-day sliding file window as an event-time stream
     * (P12, daily/pipeline.py:353-369): one row per (7-day window sliding
     * daily, key), closed by the watermark. */

@@ -40,6 +40,38 @@ class FreshnessStreamSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("intervalHours") == 26.0)
   }
 
+  test("sessions: streaming session_window matches batch sessionize starts/counts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.Freshness.sessions(df, gap = "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: two sessions (gap > 30 min between 10:40 and 12:00);
+    // user 2: one session
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:20:00"), 1L),
+      (ts("2024-01-01 10:40:00"), 1L), (ts("2024-01-01 12:00:00"), 1L),
+      (ts("2024-01-01 11:00:00"), 2L))
+    input.addData(events: _*)
+    // advance the watermark far enough to close every session
+    input.addData((ts("2024-01-02 00:00:00"), 99L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-03 00:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    // batch analog over the same rows (q59 semantics)
+    val batch = graft.operators.Windows.sessionize(
+        events.toDF("ts2", "user_id").selectExpr("user_id",
+          "cast(ts2 as timestamp) as ts", "0L as event_id", "'click' as event_type",
+          "0.0 as value", "'{}' as props"), 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed.map { case (u, st, n) => (u, st.getTime / 1000, n) } == batch)
+  }
+
   test("update-mode republication: late rows revise emitted aggregates") {
     // §2.9 "republication handling": update-mode windowed agg re-emits a
     // bucket when late-but-within-watermark data lands.
