@@ -232,6 +232,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus dedup — the one-call 100 TB path: MinHash-LSH
+    * candidate pairs (banded, no cross join) → exact-Jaccard verify →
+    * connected-components closure → keep the minimum doc_id of every
+    * near-dup cluster. Returns the surviving rows of `docs`. */
+  def dedupCorpus(docs: DataFrame, threshold: Double): DataFrame = {
+    val edges = minhashPairs(docs, threshold).select("a", "b")
+    val comps = nearDupComponents(docs, edges, Long.MaxValue)
+    docs.join(comps.where(col("doc_id") === col("component")).select("doc_id"),
+      Seq("doc_id"))
+  }
+
   /** 60-bit SimHash per document (token-weighted): each token's
     * xxhash64-derived low 60 bits vote ±1 per bit; the sign vector is
     * the fingerprint. One explode + one aggregation — fully distributed. */

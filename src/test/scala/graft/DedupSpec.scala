@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dedupCorpus: one survivor per near-dup cluster, distinct docs kept") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words compose this second document body text"
+    val out = Dedup.dedupCorpus(
+      docs((5L, t1), (2L, t1), (9L, t1), (3L, t2)), 0.5).collect()
+      .map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(2L, 3L)) // min id of the dup cluster + the distinct doc
+  }
+
   test("nearDupComponents: no edges -> every doc its own component") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "b"))
