@@ -62,4 +62,43 @@ object FocosReport {
 
     Result(consolidated, monthly, stats.reused, stats.rebuilt)
   }
+
+  /** Steps 6–7 of the reference lifecycle: metric scalars from the
+    * consolidated month series → deterministic per-locale analysis
+    * (the no-LLM fallback, bdqueimadas_overview.py:1078-1180). The
+    * collect here is terminal and month-granular (≤ a few hundred rows
+    * regardless of corpus size — same sanctioned pattern as ChartSpec);
+    * every row-level aggregation already happened distributed. */
+  def analysis(r: Result): Map[String, Map[String, String]] = {
+    val series = r.monthly.collect()
+      .map(x => (x.getString(0), x.getLong(1))).sortBy(_._1)
+    require(series.nonEmpty, "empty month series")
+    val byM = series.toMap
+    val (latestM, latestCnt) = series.last
+    val latestYear = latestM.take(4).toInt
+    val mm = latestM.takeRight(2)
+    val years = series.map(_._1.take(4).toInt).distinct.sorted
+    val prevYear = Option(latestYear - 1).filter(years.contains)
+    def yearTotal(y: Int) = series.filter(_._1.startsWith(y.toString)).map(_._2).sum
+    def ytd(y: Int) = series
+      .filter(p => p._1.take(4).toInt == y && p._1.takeRight(2) <= mm)
+      .map(_._2).sum
+    val last12 = series.takeRight(12)
+    val prior12 = series.dropRight(12).takeRight(12)
+    Fallback.buildAnalysis(Fallback.Metrics(
+      firstYear = years.head, latestYear = latestYear, previousYear = prevYear,
+      currentYearTotal = yearTotal(latestYear),
+      previousYearTotal = prevYear.map(yearTotal).getOrElse(0L),
+      recent12mTotal = last12.map(_._2).sum,
+      prior12mTotal = if (prior12.length == 12) prior12.map(_._2).sum else 0L,
+      latestPeriod = latestM,
+      totalRowsProcessed = series.map(_._2).sum,
+      fileCountUsed = r.reusedYears.length + r.rebuiltYears.length,
+      yearRange = s"${years.head}–$latestYear",
+      analysisWindowStart = last12.head._1, analysisWindowEnd = latestM,
+      latestMonthTotal = latestCnt,
+      sameMonthPrevYearTotal = prevYear.map(y => byM.getOrElse(s"$y-$mm", 0L)).getOrElse(0L),
+      ytdCurrentYear = ytd(latestYear),
+      ytdPreviousYear = prevYear.map(ytd).getOrElse(0L)))
+  }
 }

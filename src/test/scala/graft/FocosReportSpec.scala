@@ -47,5 +47,14 @@ class FocosReportSpec extends SparkSpec {
       .where("g_period = 1 AND g_state = 1 AND g_biome = 1")
       .collect().map(r => r.getAs[Int]("year") -> r.getAs[Long]("value")).toMap
     assert(years == Map(2023 -> 3L, 2024 -> 2L))
+
+    // step 7: deterministic analysis from the built series (latest
+    // period 2024-05; May 2023 had 2 focos -> -50% less 1 vs 2)
+    val a = FocosReport.analysis(r3)
+    assert(a.keySet == Set("headline", "overview", "comparison", "limitations"))
+    assert(a("headline")("pt") == "Mai/2024: 2 focos (0,00% vs Mai/2023).")
+    assert(a("headline")("en") == "May/2024: 2 hotspots (0.00% vs May/2023).")
+    assert(a("overview")("pt").contains("5 linhas distribuídas em 2 arquivos anuais"))
+    assert(a("comparison")("en").contains("Annual total: 2 in 2024 vs 3 in 2023"))
   }
 }
