@@ -141,6 +141,8 @@ object SparkEntry {
     "q54_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenStats(documents(s, d))),
     "q55_winnow_fp" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(documents(s, d), 200L, 8, 4)),
+    "q73_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(documents(s, d), 500L, 8, 4, 0.8)),
     "q47_topical_filter" -> ((s, d) =>
       TextAnalysis.topicalFilter(documents(s, d), Seq("spark", "stream", "window"))),
     "q48_distinct_preview" -> ((s, d) =>

@@ -112,7 +112,9 @@ object TextAnalysis {
     * codegen'd substr+xxhash64 → forward-frame window min) — array
     * higher-order functions are interpreted and ~20× slower here. Hash
     * values are engine-specific — rows-only checked. */
-  def winnowFingerprints(docs: DataFrame, maxId: Long, k: Int, w: Int): DataFrame = {
+  /** Distinct winnowing fingerprints as rows (doc_id, fp) — the shared
+    * core of the stats view and the candidate-pair join. */
+  def winnowFingerprintRows(docs: DataFrame, maxId: Long, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = lower(col("text"))
     val grams = docs.where(col("doc_id") < maxId && length(t) >= k + w)
@@ -128,8 +130,39 @@ object TextAnalysis {
       .withColumn("fp", min("g").over(wnd))
       .where(col("in_frame") === w)
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  def winnowFingerprints(docs: DataFrame, maxId: Long, k: Int, w: Int): DataFrame =
+    winnowFingerprintRows(docs, maxId, k, w)
       .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_fp"), min("fp").as("min_fp"))
       .orderBy("doc_id")
+
+  /** Winnowing candidate pairs (the MOSS-style plagiarism/near-dup
+    * detector): docs whose shared selected fingerprints cover ≥
+    * `minFrac` of the smaller doc's fingerprint set — the containment
+    * form, robust to length mismatch (an absolute shared count floods
+    * on corpora with common phrasing). Same bucketed shape as the LSH
+    * families: fingerprints as rows, one equi-join on the fingerprint
+    * value, count per pair; no cross join. Fingerprints are
+    * engine-specific hashes → rows-only checked. */
+  def winnowPairs(docs: DataFrame, maxId: Long, k: Int, w: Int,
+                  minFrac: Double): DataFrame = {
+    val fps = winnowFingerprintRows(docs, maxId, k, w)
+      // three consumers (two join sides + sizes) — persist so the
+      // window pipeline runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    fps.select(col("doc_id").as("a"), col("fp"))
+      .join(fps.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_fp"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("containment",
+        col("shared_fp").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= minFrac)
+      .select("a", "b", "shared_fp", "containment")
+      .orderBy("a", "b")
   }
 
   private val EnWords = Seq("the", "of", "and")

@@ -53,6 +53,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("splitLine inverts CSV quoting for cells containing delimiters and quotes") {
+    def quote(c: String, d: Char): String =
+      if (c.contains(d) || c.contains('"')) "\"" + c.replace("\"", "\"\"") + "\"" else c
+    val pieces = Vector("a", "\"", "x\"y", "", "plain", "q\"\"z")
+    for (d <- Seq(';', ',', '|'); _ <- 1 to 60) {
+      val cells = List.fill(4)(
+        pieces(rng.nextInt(pieces.length)) +
+          (if (rng.nextBoolean()) d.toString else "") +
+          pieces(rng.nextInt(pieces.length)))
+      val line = cells.map(quote(_, d)).mkString(d.toString)
+      assert(Sniff.splitLine(line, d).toSeq == cells, s"d=$d line=$line")
+    }
+  }
+
   test("stripAccents is idempotent and length-preserving for precomposed latin") {
     val alphabet = "áéíóúâêôãõçà"
     for (_ <- 1 to 100) {

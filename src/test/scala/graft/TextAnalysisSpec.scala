@@ -59,6 +59,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L) != byId(3L))
   }
 
+  test("winnowPairs: identical docs pair on shared fingerprints, dissimilar don't") {
+    val t = "the quick brown fox jumps over the lazy dog repeatedly"
+    val out = TextAnalysis.winnowPairs(
+      docs((1L, t, "en"), (2L, t, "en"), (3L, "completely different content here okay", "en")),
+      100L, 8, 4, 0.8).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(3) == 1.0) // identical text → full containment
+  }
+
   test("tokenStats: exact token sums per source") {
     val out = TextAnalysis.tokenStats(docs((1L, "a b c", "en"), (2L, "d e", "en")))
       .collect()
