@@ -61,6 +61,19 @@ object Profiler {
     (lines.size.toLong, Sniff.splitLine(head, d).toSeq.map(_.trim))
   }
 
+  /** Streaming form: charset + delimiter sniffed from an 8 KB prefix,
+    * lines counted through the stream — memory is O(line), not
+    * O(member), matching the ZipCsv scan's memory contract. */
+  def tabularCounts(in: java.io.InputStream): (Long, Seq[String]) = {
+    val (d, lines) = graft.sources.ZipCsv.sniffedLines(in)
+    val ne = lines.filter(_.nonEmpty)
+    if (!ne.hasNext) return (0L, Nil)
+    val cols = Sniff.splitLine(ne.next(), d).toSeq.map(_.trim)
+    var n = 0L
+    ne.foreach(_ => n += 1)
+    (n, cols)
+  }
+
   def profilePath(path: String): ResourceProfile = {
     val f = new File(path)
     if (!f.exists())
@@ -208,9 +221,8 @@ object Profiler {
 
   private def profileTabular(path: String, sha: String, size: Long,
                              fmt: String): ResourceProfile = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val (text, _) = Sniff.decode(bytes)
-    val (rows, cols) = tabularCounts(text)
+    val in = new BufferedInputStream(new FileInputStream(path))
+    val (rows, cols) = try tabularCounts(in) finally in.close()
     ResourceProfile(path, size, sha, fmt, Some(rows), Some(cols.length), cols,
       "ok", Nil, None)
   }
@@ -229,9 +241,7 @@ object Profiler {
       var cols: Seq[String] = Nil
       profiled.foreach { m =>
         val in = z.getInputStream(z.getEntry(m))
-        val bytes = in.readAllBytes(); in.close()
-        val (text, _) = Sniff.decode(bytes)
-        val (r, c) = tabularCounts(text)
+        val (r, c) = try tabularCounts(in) finally in.close()
         rowSum += r
         if (cols.isEmpty) cols = c
       }

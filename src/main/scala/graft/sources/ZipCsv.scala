@@ -82,7 +82,7 @@ object ZipCsv {
     * the charset verdict is made on the prefix, and at scale one bad
     * byte must not kill a task. Returns (delimiter, line iterator); the
     * caller owns closing via exhaustion of the iterator. */
-  private[sources] def sniffedLines(raw: InputStream): (Char, Iterator[String]) = {
+  private[graft] def sniffedLines(raw: InputStream): (Char, Iterator[String]) = {
     val in = new BufferedInputStream(raw, 1 << 16)
     in.mark(SniffBytes + 8)
     val prefix = in.readNBytes(SniffBytes)
