@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen dot product over two array<double> columns.
   *
@@ -18,8 +18,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Null elements are not expected (embedding vectors); lengths are
   * defensively min-clamped.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+
+  // the analyzer inserts implicit casts (array<float> → array<double>)
+  // for SQL callers; Column-API callers already cast explicitly.
+  // (Seq[DataType] <: Seq[AbstractDataType] — the parent type is
+  // private[sql], covariance lets us override without naming it.)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -54,22 +54,25 @@ object StripAccents {
     GraftColumnBridge.column(StripAccents(GraftColumnBridge.expression(c)))
 }
 
-/** Session extensions: registers `strip_accents` for SQL use.
-  * Activate with
+/** Session extensions: registers `strip_accents` and `dot_product` for
+  * SQL use. Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or call `GraftExtensions.register(spark)` on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[functions] val stripAccentsDescriptor = (
-    FunctionIdentifier("strip_accents"),
-    new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
-    (children: Seq[Expression]) => StripAccents(children.head))
+  private[functions] val descriptors = Seq(
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head)),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      stripAccentsDescriptor._1, stripAccentsDescriptor._2, stripAccentsDescriptor._3)
+    descriptors.foreach(d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3))
 }

@@ -4,6 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.{GraftExtensions, Normalize, StripAccents}
 
 class StripAccentsExprSpec extends SparkSpec {
+
+  test("dot_product registered for SQL, float arrays implicitly cast") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT strip_accents('ação é ótima') AS s, " +
+        "dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d")
+      .collect().head
+    assert(r.getString(0) == "acao e otima")
+    assert(math.abs(r.getDouble(1) - 32.0) < 1e-9)
+  }
   import spark.implicits._
 
   test("native expression matches the UDF on accents, ascii, null") {
