@@ -16,6 +16,96 @@ case class JArr(v: Seq[JVal]) extends JVal
 case class JObj(v: Seq[(String, JVal)]) extends JVal
 
 object JVal {
+
+  /** Recursive-descent JSON parser → JVal (parse-or-error; the
+    * reference's parse-or-null callers wrap with toOption). Completes
+    * the round-trip with `render` so published manifests/catalogs can
+    * be re-read (profile cache, incremental merge, CKAN packages). */
+  def parse(s: String): Either[String, JVal] = {
+    var i = 0
+    def err(msg: String) = Left(s"$msg at offset $i")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Boolean = { ws(); if (i < s.length && s.charAt(i) == c) { i += 1; true } else false }
+    def str(): Either[String, String] = {
+      if (!expect('"')) return err("expected string")
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= s.length) return err("bad escape")
+          s.charAt(i) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case '/' => sb.append('/'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= s.length) return err("bad unicode escape")
+              val hex = s.substring(i + 1, i + 5)
+              try { sb.append(Integer.parseInt(hex, 16).toChar); i += 4 }
+              catch { case _: NumberFormatException => return err("bad unicode escape") }
+            case other => return err(s"bad escape \\$other")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      if (i >= s.length) err("unterminated string") else { i += 1; Right(sb.result()) }
+    }
+    def value(): Either[String, JVal] = {
+      ws()
+      if (i >= s.length) return err("unexpected end")
+      s.charAt(i) match {
+        case '{' =>
+          i += 1
+          val fields = Seq.newBuilder[(String, JVal)]
+          ws()
+          if (expect('}')) return Right(JObj(fields.result()))
+          while (true) {
+            str() match {
+              case Left(e) => return Left(e)
+              case Right(k) =>
+                if (!expect(':')) return err("expected ':'")
+                value() match {
+                  case Left(e) => return Left(e)
+                  case Right(v) => fields += (k -> v)
+                }
+            }
+            ws()
+            if (expect('}')) return Right(JObj(fields.result()))
+            if (!expect(',')) return err("expected ',' or '}'")
+          }
+          err("unreachable")
+        case '[' =>
+          i += 1
+          val items = Seq.newBuilder[JVal]
+          ws()
+          if (expect(']')) return Right(JArr(items.result()))
+          while (true) {
+            value() match {
+              case Left(e) => return Left(e)
+              case Right(v) => items += v
+            }
+            ws()
+            if (expect(']')) return Right(JArr(items.result()))
+            if (!expect(',')) return err("expected ',' or ']'")
+          }
+          err("unreachable")
+        case '"' => str().map(JStr)
+        case 't' if s.startsWith("true", i) => i += 4; Right(JBool(true))
+        case 'f' if s.startsWith("false", i) => i += 5; Right(JBool(false))
+        case 'n' if s.startsWith("null", i) => i += 4; Right(JNull)
+        case _ =>
+          val start = i
+          while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+          if (i == start) err(s"unexpected '${s.charAt(i)}'")
+          else s.substring(start, i).toDoubleOption
+            .map(d => Right(JNum(d))).getOrElse(err("bad number"))
+      }
+    }
+    val out = value()
+    out.flatMap { v => ws(); if (i == s.length) Right(v) else err("trailing content") }
+  }
+
   def render(j: JVal): String = j match {
     case JStr(s) => "\"" + s.flatMap {
       case '"' => "\\\""
