@@ -41,6 +41,14 @@ object Html {
       .map(m => (decodeEntities(m.group(1)).trim, stripTags(m.group(2))))
       .toSeq
 
+  /** All (value, label) of `<option>` elements — the EIA dropdown-combo
+    * discovery shape (datasets/eia/heating_oil_propane.py:53-85). */
+  def options(html: String): Seq[(String, String)] =
+    "(?is)<option\\s[^>]*?value\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</option>".r
+      .findAllMatchIn(html)
+      .map(m => (decodeEntities(m.group(1)).trim, stripTags(m.group(2))))
+      .toSeq
+
   /** content= of a meta tag matching attr="value" (og:image etc.). */
   def metaContent(html: String, attr: String, value: String): Option[String] = {
     val re = ("(?is)<meta\\s[^>]*" + java.util.regex.Pattern.quote(attr) +

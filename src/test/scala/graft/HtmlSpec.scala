@@ -14,6 +14,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.stripTags("<div>a<script>junk()</script> b</div>") == "a b")
   }
 
+  test("options extracts dropdown combos") {
+    val html = """<select name="s"><option value="W_EPD2F">Heating Oil</option>
+      <option value="W_EPLLPA" selected>Propane &amp; Propylene</option></select>"""
+    assert(Html.options(html) ==
+      Seq(("W_EPD2F", "Heating Oil"), ("W_EPLLPA", "Propane & Propylene")))
+  }
+
   test("metaContent extracts og-style properties") {
     val html = """<head><meta property="og:image" content="https://h/i.png"/>
       <meta name="twitter:image" content="https://h/t.png"></head>"""
