@@ -48,6 +48,50 @@ class HtmlSpec extends AnyFunSuite {
     assert(items.forall(i => i.url.startsWith("https://") && i.title.nonEmpty))
   }
 
+  test("article parse against the reference's full fixture") {
+    val fixture = Paths.get(
+      "/root/reference/tests/fixtures/noticias_agricolas/article_full.html")
+    assume(Files.exists(fixture), "reference fixture not present")
+    val art = graft.sources.ArticleParser.parse(Files.readString(fixture),
+      url = "https://www.noticiasagricolas.com.br/noticias/clima/x.html",
+      baseUrl = "https://www.noticiasagricolas.com.br",
+      listingDate = "27/03/2026", listingTime = "07:38")
+    assert(art.title == "Título da matéria")
+    assert(art.lead.exists(_.contains("Lead do texto")))
+    assert(art.contentText.contains("Primeiro parágrafo"))
+    assert(art.contentText.contains("Subtítulo"))
+    assert(art.tags == Seq("Clima", "Agro"))
+    assert(art.imageUrl.contains("https://cdn.example.com/img/main.jpg"))
+    // São Paulo 07:38 is UTC 10:38 on that date (the reference's own
+    // expected value, tests/test_noticias_agricolas_parsers.py)
+    assert(art.publishedAtIso == "2026-03-27T10:38:00Z")
+  }
+
+  test("article parse against the minimal fixture: no image/tags/lead") {
+    val fixture = Paths.get(
+      "/root/reference/tests/fixtures/noticias_agricolas/article_minimal.html")
+    assume(Files.exists(fixture), "reference fixture not present")
+    val art = graft.sources.ArticleParser.parse(Files.readString(fixture),
+      url = "https://www.noticiasagricolas.com.br/x/12345-slug.html",
+      baseUrl = "https://www.noticiasagricolas.com.br",
+      listingDate = "15/01/2025", listingTime = "09:00")
+    assert(art.imageUrl.isEmpty && art.tags.isEmpty && art.lead.isEmpty)
+    assert(graft.sources.ArticleParser.firstUsefulParagraph(art.contentText)
+      .exists(_.contains("Único parágrafo")))
+    assert(graft.sources.ArticleParser.extractSourceArticleId(
+      "https://www.noticiasagricolas.com.br/x/12345-slug.html").contains("12345"))
+    assert(art.publishedAtIso == "2025-01-15T12:00:00Z") // SP 09:00 → UTC 12:00
+  }
+
+  test("body filtering drops CTA lines and excluded div families") {
+    val html = """<div class="materia"><p>Um parágrafo útil do corpo.</p>
+      <div class="box-comentarios"><p>comentário de leitor</p></div>
+      <p>Receba as notícias no WhatsApp</p><p>Fim do corpo.</p></div>"""
+    val body = graft.sources.ArticleParser.parse(html, "u", "https://b", "01/01/2026", "10:00")
+      .contentText
+    assert(body == "Um parágrafo útil do corpo.\n\nFim do corpo.")
+  }
+
   test("listing rows feed the discovery work-list algebra") {
     val items = Seq(
       NewsListing.Item("https://h/a-20260110.html", "10/01/2026", "08:00", "A"),
