@@ -298,6 +298,23 @@ object SparkEntry {
             .as("n_cols"))
         .orderBy("file")
     }),
+    "q74_url_key_merge" -> ((s, d) => {
+      // D2 full form (datasets/noticias_agricolas/merge.py:10-76) over a
+      // synthetic listing: URL variants (trailing slash, query, host
+      // case) collapse to one key; categories merge config-order-first.
+      import org.apache.spark.sql.functions._
+      val slug = element_at(typedLit(Seq("clima", "agro", "mercado", "energia")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val listing = documents(s, d).select(
+        concat(lit("https://News.Example.com/arts/a"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0, "/").otherwise(""),
+          when(col("doc_id") % 5 === 0, "?utm=1").otherwise("")).as("url"),
+        slug.as("category_slug"),
+        initcap(slug).as("category_label"),
+        (col("doc_id") % 7 + 1).cast("int").as("rank"),
+        when(col("doc_id") % 10 === 0, "").otherwise(concat(lit("T"), col("doc_id"))).as("title"))
+      Dedup.urlKeyMerge(listing, Seq("mercado", "clima"))
+    }),
     "q72_near_dup_components" -> ((s, d) => {
       // Dedup closure: exact-verified jaccard-0.5 pairs → connected
       // components (GraphX min-label propagation) → keep-first map.
@@ -795,6 +812,39 @@ object SparkEntry {
                     + CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 = 0
                            THEN 1 ELSE 0 END AS INT) AS n_cols
       FROM documents GROUP BY source ORDER BY file""",
+    "q74_url_key_merge" -> """
+      WITH raw AS (
+        SELECT 'https://News.Example.com/arts/a' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm=1' ELSE '' END) AS url,
+               ['clima','agro','mercado','energia'][CAST(doc_id % 4 AS INT) + 1] AS slug,
+               CAST(doc_id % 7 + 1 AS INT) AS rank,
+               CASE WHEN doc_id % 10 = 0 THEN '' ELSE 'T' || CAST(doc_id AS VARCHAR) END AS title
+        FROM documents),
+      keyed AS (SELECT *,
+          lower(coalesce(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''), 'https'))
+            || '://' || lower(regexp_extract(url, '://([^/?#]*)', 1))
+            || (CASE WHEN regexp_replace(regexp_extract(url, '://[^/?#]*([^?#]*)', 1), '/+$', '') = ''
+                     THEN '/' ELSE regexp_replace(regexp_extract(url, '://[^/?#]*([^?#]*)', 1), '/+$', '') END)
+            AS url_key,
+          CASE slug WHEN 'mercado' THEN 0 WHEN 'clima' THEN 1 ELSE 2 END AS prio,
+          printf('%05d|%05d|%s|%s|%s',
+            CASE slug WHEN 'mercado' THEN 0 WHEN 'clima' THEN 1 ELSE 2 END,
+            rank, slug, title, url) AS sk
+        FROM raw),
+      per_slug AS (SELECT DISTINCT url_key, prio, slug,
+          upper(slug[1]) || slug[2:] AS label FROM keyed),
+      agg AS (SELECT url_key,
+          array_to_string(list(slug ORDER BY prio, slug), ',') AS slugs,
+          array_to_string(list(label ORDER BY prio, slug), ',') AS labels
+        FROM per_slug GROUP BY 1),
+      base AS (SELECT url_key, arg_min(url, sk) AS url, MIN(rank) AS min_rank,
+          arg_min(title, sk) FILTER (WHERE trim(title) <> '') AS title
+        FROM keyed GROUP BY 1)
+      SELECT b.url_key AS url_key, url, min_rank, slugs, labels, title,
+             string_split(slugs, ',')[1] AS primary_slug,
+             string_split(labels, ',')[1] AS primary_label
+      FROM base b JOIN agg USING (url_key) ORDER BY url_key""",
     "q72_near_dup_components" -> """
       WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
                  FROM documents WHERE doc_id < 500),

@@ -64,6 +64,21 @@ object Normalize {
 
   /** Period "YYYY[-MM]" extraction from free text (the reference's
     * `((?:19|20)\d{2})(?:[-_]?([01]\d))?` family). */
+  /** URL dedup key (D2, datasets/noticias_agricolas/merge.py:10-15):
+    * scheme and host lowered, query/fragment stripped, trailing path
+    * slashes trimmed (bare host → "/"). Pure regexp columns — the
+    * grouping key of the URL-key merge. */
+  def urlKey(c: Column): Column = {
+    val u = trim(c)
+    val scheme = lower(coalesce(
+      when(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", null)
+        .otherwise(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+      lit("https")))
+    val host = lower(regexp_extract(u, "://([^/?#]*)", 1))
+    val rawPath = regexp_replace(regexp_extract(u, "://[^/?#]*([^?#]*)", 1), "/+$", "")
+    concat(scheme, lit("://"), host, when(rawPath === "", "/").otherwise(rawPath))
+  }
+
   def extractYear(c: Column): Column = {
     val y = regexp_extract(c, "((?:19|20)\\d{2})", 1)
     when(y === "", lit(null).cast("int")).otherwise(y.cast("int"))

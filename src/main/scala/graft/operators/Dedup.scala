@@ -39,6 +39,48 @@ object Dedup {
         array_join(sort_array(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("key")
 
+  /** URL-key dedup with category-order merge — D2's full form
+    * (datasets/noticias_agricolas/merge.py:18-76): group rows by the
+    * normalized URL key (Normalize.urlKey), keep the minimum rank,
+    * merge category slugs/labels configured-order-first (extras follow,
+    * slug-ordered for determinism), take the reference row and first
+    * non-empty title by (category priority, rank, slug). Input columns:
+    * url, category_slug, category_label, rank, title. One shuffle on
+    * the url key; per-key arrays are category-sized (tiny), so the
+    * array ops here are cold-path. */
+  def urlKeyMerge(rows: DataFrame, categoryOrder: Seq[String]): DataFrame = {
+    val prio = categoryOrder.zipWithIndex
+      .foldLeft(lit(categoryOrder.length)) { case (acc, (slug, i)) =>
+        when(col("category_slug") === slug, lit(i)).otherwise(acc)
+      }
+    // one sortable string key keeps min_by semantics identical between
+    // Spark and the DuckDB oracle (composite arg_min keys differ);
+    // title+url tiebreakers make it a total order — (prio, rank, slug)
+    // alone ties when duplicate listings carry the same category+rank
+    val sortKey = format_string("%05d|%05d|%s|%s|%s",
+      prio, col("rank"), col("category_slug"), col("title"), col("url"))
+    val tagged = rows.select(
+      graft.functions.Normalize.urlKey(col("url")).as("url_key"),
+      prio.as("prio"), col("category_slug").as("slug"),
+      col("category_label").as("label"), col("rank"), col("title"),
+      col("url"), sortKey.as("sk"))
+    tagged.groupBy("url_key")
+      .agg(
+        min_by(col("url"), col("sk")).as("url"),
+        min(col("rank")).as("min_rank"),
+        array_join(transform(
+          array_distinct(sort_array(collect_list(struct(col("prio"), col("slug"))))),
+          x => x("slug")), ",").as("slugs"),
+        array_join(transform(
+          array_distinct(sort_array(collect_list(
+            struct(col("prio"), col("slug"), col("label"))))),
+          x => x("label")), ",").as("labels"),
+        min_by(col("title"), when(trim(col("title")) =!= "", col("sk"))).as("title"))
+      .withColumn("primary_slug", split(col("slugs"), ",").getItem(0))
+      .withColumn("primary_label", split(col("labels"), ",").getItem(0))
+      .orderBy("url_key")
+  }
+
   /** Exact dedup by content hash: keep the lowest id per identical text. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs

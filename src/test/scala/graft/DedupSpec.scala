@@ -17,6 +17,26 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set(("a", 2L), ("b", 7L)))
   }
 
+  test("urlKeyMerge: url variants collapse, categories config-order-first") {
+    val rows = Seq(
+      ("https://H.com/a/", "agro", "Agro", 3, ""),
+      ("https://h.com/a?utm=1", "clima", "Clima", 2, "Title A"),
+      ("http://h.com/a", "clima", "Clima", 1, "Other key (http)"),
+      ("https://h.com/b", "mercado", "Mercado", 5, "B"))
+      .toDF("url", "category_slug", "category_label", "rank", "title")
+    val out = Dedup.urlKeyMerge(rows, Seq("mercado", "clima")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("https://h.com/a", "http://h.com/a", "https://h.com/b"))
+    val a = out("https://h.com/a")
+    assert(a.getAs[Int]("min_rank") == 2)
+    // clima is in the configured order (prio 1), agro is an extra (prio 2)
+    assert(a.getAs[String]("slugs") == "clima,agro")
+    assert(a.getAs[String]("labels") == "Clima,Agro")
+    assert(a.getAs[String]("primary_slug") == "clima")
+    assert(a.getAs[String]("title") == "Title A") // first non-empty by priority
+    assert(out("https://h.com/b").getAs[String]("primary_slug") == "mercado")
+  }
+
   test("exactDedup: identical texts collapse to min id") {
     val out = Dedup.exactDedup(docs(
       (1L, "same text here"), (5L, "same text here"), (3L, "other"))).collect()
