@@ -215,25 +215,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** SimHash near-duplicate candidate pairs: band the 60-bit simhash
-    * into `maxHamming + 1` keys — by pigeonhole, two fingerprints within
-    * hamming distance `maxHamming` differ in at most `maxHamming` bands,
-    * so at least one band key matches exactly (recall is 1.0 by
-    * construction, asserted in DedupRecallSpec). Group by band key,
-    * verify with bit_count(xor) ≤ maxHamming. Same shuffle-on-band-key
-    * shape as MinHash LSH — no cross join. */
+  /** SimHash near-duplicate candidate pairs via block-combination
+    * banding (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    * Crawling", WWW 2007): split the 60-bit fingerprint into
+    * `maxHamming + 3` blocks; at most `maxHamming` blocks can contain a
+    * differing bit, so for every 3-block subset S there is a table in
+    * which two within-distance fingerprints agree — key one table per
+    * subset on those 3 blocks (C(maxHamming+3, 3) tables). Recall is
+    * 1.0 by construction (asserted in DedupRecallSpec); candidates are
+    * verified with bit_count(xor) ≤ maxHamming, so banding affects only
+    * the physical plan, never the output.
+    *
+    * Why not one band per block (maxHamming+1 single blocks): a
+    * 60/(k+1)-bit key has so few distinct values that at corpus scale
+    * every bucket holds ~N/2^8 docs and the bucket self-join explodes
+    * quadratically. 3-block keys carry ~3·60/(k+3) bits (≈20 bits at
+    * k=6) — bucket population drops by ~2^12 for a C(9,3)=84× row
+    * expansion, the classic simhash-dedup trade. */
   def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int): DataFrame = {
-    val numBands = maxHamming + 1
     val bits = 60
-    require(numBands <= bits, s"maxHamming $maxHamming needs more bands than bits")
-    // distribute the 60 bits as evenly as possible across the bands
-    val widths = (0 until numBands).map(b => bits / numBands + (if (b < bits % numBands) 1 else 0))
+    val numBlocks = maxHamming + 3
+    require(numBlocks <= bits, s"maxHamming $maxHamming too large for $bits-bit simhash")
+    // distribute the 60 bits as evenly as possible across the blocks
+    val widths = (0 until numBlocks).map(b => bits / numBlocks + (if (b < bits % numBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _).init
+    def block(b: Int): Column =
+      shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    val tables = (0 until numBlocks).combinations(3).toSeq
     val sims = simhash(docs, maxId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until numBands).map(b =>
-        shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))): _*))
+      posexplode(array(tables.map(s =>
+        xxhash64(block(s(0)), block(s(1)), block(s(2))): Column): _*))
         .as(Seq("band", "bkey")))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
