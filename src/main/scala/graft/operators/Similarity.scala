@@ -134,7 +134,12 @@ object Similarity {
     * `cosineNearDupPairs`: pairs form only within sign-LSH buckets
     * (shuffle on bucket key), then the exact cosine threshold verifies.
     * Recall bounded by bucket collisions of true near-dups (near-dup
-    * vectors agree on most sign bits). */
+    * vectors agree on most sign bits).
+    *
+    * Scale guidance: size `nBits ≈ log2(N) − log2(targetBucketRows)` so
+    * the per-bucket self-join stays linear — 6 bits suits the 5k-row
+    * testdata; a 10⁹-vector corpus wants ~20 bits (or multi-table
+    * probing for recall, the simhashPairs block-combination pattern). */
   def lshNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
