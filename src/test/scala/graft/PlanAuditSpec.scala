@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(plan("q35_exact_dedup")).length == 1)
   }
 
+  test("q74: url-key merge is one scan and one aggregate shuffle") {
+    val p = plan("q74_url_key_merge")
+    assert(scans(p).length == 1)
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one shuffle for the url_key aggregation + the final global sort
+    assert(exchanges.length <= 2, p.toString.take(500))
+  }
+
+  test("q71/q66: synthesized audits stay single-scan per branch") {
+    assert(scans(plan("q71_rowcol_counts")).length == 1)
+    // q66 presence = one documents scan + the broadcast total subplan
+    assert(scans(plan("q66_schema_audit")).length <= 2)
+  }
+
   test("q30: doc_id predicate reaches the scan as a pushed filter") {
     val ss = scans(plan("q30_content_hashes"))
     assert(ss.nonEmpty)
