@@ -30,6 +30,16 @@ object Bench {
     // the median of 3 timed reps. Bench noise between single runs is
     // ±15-30%; the median is the signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Persist hygiene: the dedup/similarity family persists intermediates
+    // (and GraphX caches internally); release everything between queries
+    // so cache growth never accumulates across the suite's 4 runs/query —
+    // leftover cached RDDs distort later timings and can spill at scale.
+    def releasePersisted(): Int = {
+      spark.catalog.clearCache()
+      val leftover = spark.sparkContext.getPersistentRDDs
+      leftover.values.foreach(_.unpersist(blocking = false))
+      leftover.size
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,8 +48,11 @@ object Bench {
       }
       once() // warmup (untimed)
       val times = Seq.fill(reps)(once()).sorted
+      releasePersisted()
       name -> times(times.length / 2)
     }
+    if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs leaked past cleanup")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-validation harness for the dedup/ANN family: runs each family
+  * operator over a (generated) SF dir, timing it and logging the
+  * LSH-efficiency ratios the scaladoc claims — candidate-pair volume vs
+  * verified-pair volume for the MinHash banding (q36 family) and the
+  * SimHash block-combination banding (q65 family, run UNBOUNDED here,
+  * unlike the driver query's maxId slice). One JSON line per metric.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.ScaleReport <sfDir>
+  */
+object ScaleReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.core.Tables
+    import graft.operators.{Dedup, Similarity}
+
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def timed(name: String)(body: => Long): Long = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val persisted = spark.sparkContext.getPersistentRDDs.size
+      release()
+      println(f"""{"op":"$name","rows":$rows,"sec":$sec%.2f,"persisted_before_release":$persisted}""")
+      rows
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val nDocs = docs.count(); val nVecs = emb.count()
+    println(s"""{"op":"corpus","docs":$nDocs,"vecs":$nVecs,"dir":"$sfDir"}""")
+
+    // MinHash-LSH family: candidate volume vs verified volume
+    val mhCand = timed("minhash_candidates") {
+      Dedup.minhashCandidatePairs(docs).count()
+    }
+    val mhVerified = timed("minhash_pairs_full") {
+      Dedup.minhashPairs(docs, 0.5).count()
+    }
+    println(s"""{"op":"minhash_ratio","candidates":$mhCand,"verified":$mhVerified}""")
+
+    // SimHash block-combination banding, UNBOUNDED corpus (the driver
+    // query caps maxId at 2000; the scale question is full-corpus
+    // candidate volume). Measure both key widths: B=3 (84 tables,
+    // ~20-bit keys) vs B=4 (210 tables, ~24-bit keys).
+    val shCand3 = timed("simhash_candidates_b3") {
+      Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 3).count()
+    }
+    val shCand4 = timed("simhash_candidates_b4") {
+      Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
+    }
+    val shVerified = timed("simhash_pairs_full_b4") {
+      Dedup.simhashPairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
+    }
+    println(s"""{"op":"simhash_ratio","candidates_b3":$shCand3,"candidates_b4":$shCand4,"verified":$shVerified}""")
+
+    timed("near_dup_components_full") {
+      val edges = Dedup.minhashPairs(docs, 0.5).select("a", "b")
+      Dedup.nearDupComponents(docs, edges, Long.MaxValue).count()
+    }
+    timed("dedup_corpus_end_to_end") {
+      Dedup.dedupCorpus(docs, 0.5).count()
+    }
+
+    // ANN family over the full embeddings table
+    timed("cosine_topk_brute")(Similarity.cosineTopK(emb, 5, 10).count())
+    timed("ann_lsh_topk")(Similarity.annLshTopK(emb, 5, 10).count())
+    timed("ivf_topk")(Similarity.ivfTopK(emb, 5, 10, 16, 3).count())
+    timed("lsh_near_dup_pairs")(Similarity.lshNearDupPairs(emb, 0.35).count())
+
+    val leaked = spark.sparkContext.getPersistentRDDs.size
+    println(s"""{"op":"persist_hygiene","leaked_after_release":$leaked}""")
+    spark.stop()
+  }
+}

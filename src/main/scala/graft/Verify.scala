@@ -24,9 +24,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // the dedup/similarity families persist intermediates; release
-      // them so cache growth stays bounded across all 73 queries
-      finally spark.catalog.clearCache()
+      // the dedup/similarity families persist intermediates (and GraphX /
+      // localCheckpoint cache at the RDD level, which clearCache alone
+      // does not touch); release both so cache growth stays bounded
+      // across the whole query suite
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -110,13 +110,18 @@ object Dedup {
     val rows = docs.where(col("doc_id") < maxId && size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
       // consumed three times (two join sides + sizes): persist so the
-      // shingle transform runs once per doc
+      // shingle transform runs once per doc; released below once the two
+      // small derived frames (per-doc sizes, per-pair intersections) are
+      // eagerly materialized via localCheckpoint
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+      .localCheckpoint()
     val inter = rows.select(col("doc_id").as("a"), col("s"))
       .join(rows.select(col("doc_id").as("b"), col("s")), Seq("s"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).cast("int").as("inter"))
+      .localCheckpoint()
+    rows.unpersist(blocking = false)
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
@@ -167,14 +172,23 @@ object Dedup {
       .distinct()
   }
 
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** LSH candidate pairs — the band-key self-join ONLY, before Jaccard
+    * verification. Exposed separately so scale runs can measure the LSH
+    * efficiency ratio (candidates vs verified pairs; graft.ScaleReport).
+    *
+    * Persist discipline: the signature table (docs × 66 longs — the one
+    * corpus-sized intermediate) is persisted only long enough to
+    * materialize the candidate pairs (eager `localCheckpoint`, which
+    * also truncates lineage so nothing downstream re-references the
+    * signatures), then released immediately. Candidate pairs are tiny
+    * by LSH construction, so the checkpoint they occupy is bounded. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val exploded = hashedShingleRows(docs)
     val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
-    // The signature table is docs × 16 longs — tiny next to the corpus.
-    // Persist it: it feeds band generation AND both sides of the
-    // candidate self-join, and Spark does not reuse the aggregate subplan
-    // across those branches (without this, the scan+shingle+hash pipeline
-    // runs once per branch — 8× the work).
+    // Persist the signature table: it feeds band generation AND both
+    // sides of the candidate self-join, and Spark does not reuse the
+    // aggregate subplan across those branches (without this, the
+    // scan+shingle+hash pipeline runs once per branch — 8× the work).
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -191,10 +205,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      // candidate pairs are tiny relative to the corpus and are consumed
-      // twice (id extraction + final join) — persist so the signature
-      // pipeline runs exactly once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager: materializes candidates, cuts lineage
+    sigs.unpersist(blocking = false)
+    candidates
+  }
+
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // candidate pairs are consumed twice (id extraction + final join);
+    // minhashCandidatePairs returns them checkpointed, so the signature
+    // pipeline ran exactly once and its persist is already released
+    val candidates = minhashCandidatePairs(docs)
 
     // Re-shingle ONLY candidate docs: join the (small) candidate-id set
     // against raw text first, so the shingle transform never runs a
@@ -232,31 +252,55 @@ object Dedup {
     * quadratically. 3-block keys carry ~3·60/(k+3) bits (≈20 bits at
     * k=6) — bucket population drops by ~2^12 for a C(9,3)=84× row
     * expansion, the classic simhash-dedup trade. */
-  def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int): DataFrame = {
+  /** Banded simhash candidate pairs with their hamming distance, BEFORE
+    * the `hamming ≤ maxHamming` verification filter — exposed so scale
+    * runs can measure the banding's candidate volume (graft.ScaleReport).
+    * Same persist discipline as minhashCandidatePairs: the fingerprint
+    * table persists only until candidates materialize.
+    *
+    * `blockChoose` (B) is the band-key width in blocks: the fingerprint
+    * splits into `maxHamming + B` blocks and every B-subset keys one
+    * table — ≤ maxHamming differing bits dirty ≤ maxHamming blocks, so
+    * ≥ B stay clean and some table matches (recall 1.0 by pigeonhole
+    * for ANY B ≥ 1). B trades table count for key width:
+    * B=3 at k=6 → C(9,3)=84 tables of ~20-bit keys; B=4 → C(10,4)=210
+    * tables of ~24-bit keys. Wider keys matter when fingerprints
+    * CLUSTER (same-domain corpora share vocabulary, so bit votes
+    * correlate and 20-bit buckets over-fill — measured 31× candidate:
+    * verified overhead at 5 k docs; see ScaleReport). */
+  def simhashCandidatePairs(docs: DataFrame, maxId: Long, maxHamming: Int,
+                            blockChoose: Int = 3): DataFrame = {
     val bits = 60
-    val numBlocks = maxHamming + 3
+    val numBlocks = maxHamming + blockChoose
     require(numBlocks <= bits, s"maxHamming $maxHamming too large for $bits-bit simhash")
     // distribute the 60 bits as evenly as possible across the blocks
     val widths = (0 until numBlocks).map(b => bits / numBlocks + (if (b < bits % numBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _).init
     def block(b: Int): Column =
       shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
-    val tables = (0 until numBlocks).combinations(3).toSeq
+    val tables = (0 until numBlocks).combinations(blockChoose).toSeq
     val sims = simhash(docs, maxId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(tables.map(s =>
-        xxhash64(block(s(0)), block(s(1)), block(s(2))): Column): _*))
+        xxhash64(s.map(block): _*): Column): _*))
         .as(Seq("band", "bkey")))
-    bands.as("x").join(bands.as("y"),
+    val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
+      .localCheckpoint() // eager: materializes candidates, cuts lineage
+    sims.unpersist(blocking = false)
+    candidates
+  }
+
+  def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int,
+                   blockChoose: Int = 3): DataFrame =
+    simhashCandidatePairs(docs, maxId, maxHamming, blockChoose)
       .where(col("hamming") <= maxHamming)
       .orderBy("a", "b")
-  }
 
   /** Near-duplicate cluster closure: connected components over verified
     * pair edges → (doc_id, component), component = min doc_id of the
@@ -298,20 +342,35 @@ object Dedup {
       Seq("doc_id"))
   }
 
-  /** 60-bit SimHash per document (token-weighted): each token's
-    * xxhash64-derived low 60 bits vote ±1 per bit; the sign vector is
-    * the fingerprint. One explode + one aggregation — fully distributed. */
+  /** 60-bit SimHash per document over distinct 3-gram SHINGLE features
+    * (Manku, Jain & Sarma, WWW 2007 §3 — phrase features, not unigrams):
+    * each shingle's hash votes ±1 per bit; the sign vector is the
+    * fingerprint. One explode + one aggregation — fully distributed.
+    *
+    * Unigram features are a measured scale trap: every same-domain doc
+    * shares the corpus vocabulary, so per-bit votes correlate and
+    * UNRELATED docs land within small hamming distance of each other —
+    * at 50 k synthetic docs the hamming ≤ 6 pair set (and with it the
+    * banded candidate volume) grew quadratically, 99 M candidates for
+    * one 50 k corpus (ScaleReport, round 3). Distinct 3-gram shingles
+    * decorrelate the features (the shingle space is |vocab|³), which
+    * collapses both the noise-pair set and the candidate volume while
+    * keeping genuinely overlapping docs (who share most shingles) at
+    * tiny hamming distance. */
   def simhash(docs: DataFrame, maxId: Long): DataFrame = {
-    val tok = docs.where(col("doc_id") < maxId)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val sh = hashedShingleRows(docs.where(col("doc_id") < maxId))
     val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      sum(when(shiftright(col("s"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // assemble with bitwiseOR, not `+`: the addends are disjoint bit
+    // values so OR is semantics-identical, and it avoids 60 chained
+    // ANSI overflow-checked adds in the hot per-doc path (checked
+    // arithmetic measured 4× slower than bitwise/hash ops in wide
+    // aggregates — see CLAUDE.md performance rules)
     val sim = (0 until 60).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
     agg.select(col("doc_id"), sim.as("simhash"))
       .orderBy("doc_id")
   }

@@ -157,27 +157,39 @@ object ZipCsv {
       }
     }
 
-  /** Streaming parse of one archive's first tabular member. Exposed
-    * within the package so the bounded-heap probe (ZipLargeMemberSpec)
-    * can drive it without a SparkSession. */
+  /** Streaming parse of one archive's first tabular member, returned
+    * with an explicit close handle so callers that may abandon the
+    * iterator early (V2 PartitionReader.close on LIMIT / task cancel)
+    * can release the underlying streams. Exposed within the package so
+    * the bounded-heap probe (ZipLargeMemberSpec) can drive it without a
+    * SparkSession. The sniff/header-resolution phase runs eagerly here;
+    * any throw closes the zip stream before propagating (no leak on
+    * malformed headers or unresolvable required roles). */
+  private[graft] def zipRowsCloseable(open: () => InputStream,
+                                      path: String,
+                                      roles: Seq[(String, Seq[String])],
+                                      required: Set[String]): (Iterator[Row], () => Unit) =
+    firstTabularName(open) match {
+      case None => (Iterator.empty, () => ())
+      case Some(target) =>
+        val zin = new ZipInputStream(open())
+        val close = () => try zin.close() catch { case _: java.io.IOException => () }
+        try {
+          val positioned = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+            .exists(_.getName == target)
+          if (!positioned) { close(); (Iterator.empty, () => ()) }
+          else {
+            val (d, lines) = sniffedLines(zin)
+            (guarded(parseLines(d, lines, roles, path, required), close), close)
+          }
+        } catch { case e: Throwable => close(); throw e }
+    }
+
   private[sources] def zipRows(open: () => InputStream,
                                path: String,
                                roles: Seq[(String, Seq[String])],
                                required: Set[String]): Iterator[Row] =
-    firstTabularName(open) match {
-      case None => Iterator.empty
-      case Some(target) =>
-        val zin = new ZipInputStream(open())
-        val positioned =
-          try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-            .exists(_.getName == target)
-          catch { case e: Throwable => zin.close(); throw e }
-        if (!positioned) { zin.close(); Iterator.empty }
-        else {
-          val (d, lines) = sniffedLines(zin)
-          guarded(parseLines(d, lines, roles, path, required), () => zin.close())
-        }
-    }
+    zipRowsCloseable(open, path, roles, required)._1
 
   private def schemaFor(roles: Seq[(String, Seq[String])]): StructType =
     StructType(StructField("source_file", StringType, nullable = false) +:
@@ -187,10 +199,24 @@ object ZipCsv {
     * sniffed, decoded, resolved, and projected to `roles` (ordered
     * candidate lists). All-string output — the coerce-cast layer types it.
     * Roles in `required` hard-error when a file's header cannot resolve
-    * them. */
+    * them.
+    *
+    * This is now an alias for the canonical V2 DataSource scan (one
+    * scan implementation, not two that drift): the V2 form adds
+    * source-level column pruning, so e.g. the flagship Focos pipeline's
+    * scan reads only the roles it uses. The raw `binaryFiles` form
+    * survives as `readZipsRdd` solely as a test comparison baseline. */
   def readZips(spark: SparkSession, glob: String,
                roles: Seq[(String, Seq[String])],
-               required: Set[String] = Set.empty): DataFrame = {
+               required: Set[String] = Set.empty): DataFrame =
+    graft.sources.v2.ZipCsvDataSource.read(spark, glob, roles, required)
+
+  /** The original `binaryFiles` ZIP scan — kept (package-private) as the
+    * independent comparison baseline for ZipCsvV2Spec; production paths
+    * all go through `readZips` → the V2 datasource. */
+  private[graft] def readZipsRdd(spark: SparkSession, glob: String,
+                                 roles: Seq[(String, Seq[String])],
+                                 required: Set[String] = Set.empty): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       // corrupt archives are skipped, not fatal (on_bad_lines spirit at
       // the archive level); the profiler reports them separately
@@ -202,15 +228,130 @@ object ZipCsv {
     spark.createDataFrame(rows, schemaFor(roles))
   }
 
-  /** Read bare CSV/TXT files with the same sniff/resolve semantics —
-    * also line-streamed, O(line) task memory. */
+  /** Read bare CSV/TXT files with the same sniff/resolve semantics via
+    * Spark's NATIVE csv reader — the splittable path. A ZIP archive is
+    * inherently one-stream-per-task, but a bare CSV is not: the
+    * reference's semantics (sniff dialect, then plain read_csv —
+    * bdqueimadas_incremental.py:914-949) map to a bounded driver-side
+    * sniff pre-pass (8 KB/file: charset, delimiter, header) followed by
+    * `spark.read.csv` over each homogeneous (charset, delimiter, header)
+    * file group. Spark then SPLITS large files across tasks — a 50 GB
+    * daily drop parallelizes over the cluster instead of serializing
+    * onto one core the way a `binaryFiles` funnel would.
+    *
+    * Parity with the streamed form: positional all-string schema
+    * (f0..fN) + header skip; DROPMALFORMED replicates the
+    * field-count-mismatch skip; `""`-escaped quotes match
+    * Sniff.splitLine; `source_file` is normalized to the Hadoop Path
+    * string `binaryFiles` reports. Per-file role resolution (headers
+    * drift between files) happens at sniff time, so unresolvable
+    * REQUIRED roles fail fast on the driver with the same error shape.
+    * Files whose prefix cannot be read fall back to the streamed path
+    * (`readCsvsStreamed`), which skips them archive-style. */
   def readCsvs(spark: SparkSession, glob: String,
                roles: Seq[(String, Seq[String])],
                required: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, regexp_replace}
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath)
+
+    // 8 KB sniff per file: (charset, delimiter, header fields)
+    case class FileDialect(path: org.apache.hadoop.fs.Path, cs: String,
+                           d: Char, header: Seq[String])
+    val (sniffed, unreadable) = files.foldLeft(
+      (Vector.empty[FileDialect], Vector.empty[org.apache.hadoop.fs.Path])) {
+      case ((ok, bad), fp) =>
+        try {
+          val in = fs.open(fp)
+          val prefix = try in.readNBytes(SniffBytes) finally in.close()
+          val bom = prefix.length >= 3 && prefix(0) == 0xEF.toByte &&
+            prefix(1) == 0xBB.toByte && prefix(2) == 0xBF.toByte
+          val body = if (bom) java.util.Arrays.copyOfRange(prefix, 3, prefix.length) else prefix
+          val cs = detectCharset(body)
+          val sample = decodePrefix(body, cs)
+          val d = Sniff.delimiter(sample)
+          val headerLine = sample.split("\r?\n").find(_.nonEmpty)
+          headerLine match {
+            case Some(h) => (ok :+ FileDialect(fp, cs, d, Sniff.splitLine(h, d).toSeq), bad)
+            case None => (ok, bad) // empty file: no rows either way
+          }
+        } catch { case _: java.io.IOException => (ok, bad :+ fp) }
+    }
+
+    // resolve roles per distinct header — REQUIRED misses fail fast,
+    // driver-side, with the streamed path's error shape
+    val resolvedByHeader = sniffed.map(f => (f.d, f.header)).distinct.map {
+      case key @ (d, header) =>
+        val resolved = ColumnResolver.resolve(header, roles.toMap)
+        val missing = required.filterNot(resolved.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unresolvable required columns ${missing.mkString(", ")} in " +
+              s"${sniffed.find(f => (f.d, f.header) == key).get.path} " +
+              s"(header: ${header.mkString(", ")})")
+        key -> resolved
+    }.toMap
+
+    // Spark 4's csv reader validates charsets against an allowlist that
+    // excludes windows-1252; such files take the streamed path (they are
+    // exactly the "pathological encodings" the fallback exists for).
+    // Their role resolution was still checked above, so required-miss
+    // errors stay fail-fast regardless of path.
+    val nativeCharsets = Set("UTF-8", "ISO-8859-1", "US-ASCII")
+    val (nativeOk, exoticEncoding) = sniffed.partition(f => nativeCharsets(f.cs))
+
+    val groups = nativeOk.groupBy(f => (f.cs, f.d, f.header))
+    val parts = groups.toSeq.map { case ((cs, d, header), fsOfGroup) =>
+      val fields = header.indices.map(i =>
+        StructField(s"f$i", StringType, nullable = true))
+      val resolved = resolvedByHeader((d, header))
+      val roleCols = roles.map { case (role, _) =>
+        resolved.get(role) match {
+          case Some(i) => col(s"f$i").as(role)
+          case None => lit(null).cast(StringType).as(role)
+        }
+      }
+      spark.read
+        .option("sep", d.toString)
+        .option("encoding", cs)
+        .option("header", "true")        // skip the header line; names from schema
+        .option("mode", "DROPMALFORMED") // field-count mismatch → skip (parseLines parity)
+        .option("escape", "\"")          // "" escapes a quote, like Sniff.splitLine
+        .schema(StructType(fields))
+        .csv(fsOfGroup.map(_.path.toString): _*)
+        // binaryFiles reports the Hadoop Path string (file:/x); the
+        // native reader's input_file_name is a URI (file:///x) —
+        // normalize so source_file matches the streamed form
+        .select((regexp_replace(input_file_name(), "^file:///", "file:/")
+          .as("source_file") +: roleCols): _*)
+    }
+    val native = parts.reduceOption(_ unionAll _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schemaFor(roles)))
+    val fallback = exoticEncoding.map(_.path) ++ unreadable
+    if (fallback.isEmpty) native
+    else native.unionAll(readCsvsStreamed(spark,
+      fallback.map(_.toString).mkString(","), roles, required))
+  }
+
+  /** The streamed `binaryFiles` form of the bare-CSV scan — one task per
+    * file, O(line) task memory. Kept for pathological inputs the native
+    * reader cannot serve (unreadable prefixes, exotic dialects); the
+    * splittable `readCsvs` is the default path. */
+  def readCsvsStreamed(spark: SparkSession, glob: String,
+                       roles: Seq[(String, Seq[String])],
+                       required: Set[String] = Set.empty): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       val in = pds.open()
-      val (d, lines) = sniffedLines(in)
-      guarded(parseLines(d, lines, roles, path, required), () => in.close())
+      try {
+        val (d, lines) = sniffedLines(in)
+        guarded(parseLines(d, lines, roles, path, required), () => in.close())
+      } catch { case e: Throwable =>
+        try in.close() catch { case _: java.io.IOException => () }
+        throw e
+      }
     }
     spark.createDataFrame(rows, schemaFor(roles))
   }

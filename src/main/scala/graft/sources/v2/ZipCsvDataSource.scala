@@ -2,8 +2,8 @@ package graft.sources.v2
 
 import java.util
 import scala.jdk.CollectionConverters._
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 import graft.sources.ZipCsv
 
 /** DataSource V2 packaging of the streaming ZIP/CSV scan (SURVEY.md
@@ -25,10 +26,18 @@ import graft.sources.ZipCsv
   *                 header cannot resolve them
   *
   * One InputPartition per archive (the same parallelism unit as the
-  * `binaryFiles` form); per-task memory stays O(line) via the shared
-  * streaming parse. Column pruning is honored at the source: pruned
-  * roles are never projected into rows, so the scan's `ReadSchema`
-  * shows exactly what downstream needs. */
+  * `binaryFiles` form — member decompression is inherently sequential,
+  * so an archive is the atom of parallelism); per-task memory stays
+  * O(line) via the shared streaming parse. Column pruning is honored at
+  * the source: pruned roles are never projected into rows, so the
+  * scan's `ReadSchema` shows exactly what downstream needs. This is the
+  * canonical ZIP scan path — `ZipCsv.readZips` delegates here.
+  *
+  * Filesystem access uses the SESSION Hadoop configuration (captured at
+  * scan build, shipped via SerializableConfiguration) on both the
+  * driver (glob expansion) and executors (archive open), so
+  * `spark.hadoop.*` settings — credentials, custom schemes — behave
+  * identically to Spark's own file sources. */
 class ZipCsvDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -41,6 +50,18 @@ class ZipCsvDataSource extends TableProvider {
 
 object ZipCsvDataSource {
   val Name = "graft.sources.v2.ZipCsvDataSource"
+
+  /** Programmatic entry point: the V2 scan with roles/required encoded
+    * into reader options (the inverse of rolesOf/requiredOf). */
+  def read(spark: SparkSession, glob: String,
+           roles: Seq[(String, Seq[String])],
+           required: Set[String]): DataFrame =
+    spark.read.format(Name)
+      .option("path", glob)
+      .option("roles", roles.map { case (r, cands) =>
+        s"$r=${cands.mkString("|")}" }.mkString(";"))
+      .option("required", required.toSeq.sorted.mkString(","))
+      .load()
 
   def rolesOf(options: CaseInsensitiveStringMap): Seq[(String, Seq[String])] = {
     val spec = Option(options.get("roles")).getOrElse(
@@ -91,13 +112,18 @@ private class ZipCsvScanBuilder(options: CaseInsensitiveStringMap)
       throw new IllegalArgumentException("zipcsv: missing 'path' option")),
     ZipCsvDataSource.rolesOf(options),
     ZipCsvDataSource.requiredOf(options),
-    pruned)
+    pruned,
+    // session Hadoop conf, captured once at scan build; serializable so
+    // the executor-side readers open files with the same settings
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private case class ZipFilePartition(path: String) extends InputPartition
 
 private class ZipCsvScan(glob: String, roles: Seq[(String, Seq[String])],
-                         required: Set[String], pruned: StructType)
+                         required: Set[String], pruned: StructType,
+                         conf: SerializableConfiguration)
     extends Scan with Batch {
 
   override def readSchema(): StructType = pruned
@@ -106,17 +132,18 @@ private class ZipCsvScan(glob: String, roles: Seq[(String, Seq[String])],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(glob)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     matched.filter(_.isFile).map(s => ZipFilePartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipCsvReaderFactory(roles, required, pruned)
+    new ZipCsvReaderFactory(roles, required, pruned, conf)
 }
 
 private class ZipCsvReaderFactory(roles: Seq[(String, Seq[String])],
-                                  required: Set[String], pruned: StructType)
+                                  required: Set[String], pruned: StructType,
+                                  conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -126,12 +153,13 @@ private class ZipCsvReaderFactory(roles: Seq[(String, Seq[String])],
     val indices = pruned.fieldNames.map(fullNames.indexOf)
 
     new PartitionReader[InternalRow] {
-      private val rows = {
+      private val (rows, closeRows) = {
         val p = new Path(path)
-        val fs = p.getFileSystem(new Configuration())
-        try ZipCsv.zipRows(() => fs.open(p), path, roles, required)
+        val fs = p.getFileSystem(conf.value)
+        try ZipCsv.zipRowsCloseable(() => fs.open(p), path, roles, required)
         catch { case _: java.io.IOException | _: java.util.zip.ZipException =>
-          Iterator.empty // corrupt archive → skip (binaryFiles-form parity)
+          // corrupt archive → skip (binaryFiles-form parity)
+          (Iterator.empty: Iterator[org.apache.spark.sql.Row], () => ())
         }
       }
       override def next(): Boolean = rows.hasNext
@@ -144,7 +172,9 @@ private class ZipCsvReaderFactory(roles: Seq[(String, Seq[String])],
           }
         }.asInstanceOf[Array[Any]])
       }
-      override def close(): Unit = ()
+      // a scan terminated early (LIMIT, cancelled task) must release the
+      // underlying FSDataInputStream/ZipInputStream
+      override def close(): Unit = closeRows()
     }
   }
 }

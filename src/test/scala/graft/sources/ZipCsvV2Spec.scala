@@ -36,7 +36,7 @@ class ZipCsvV2Spec extends SparkSpec {
     .load()
 
   test("v2 scan matches the binaryFiles form row-for-row") {
-    val expected = ZipCsv.readZips(spark, glob, roles, Set("dt"))
+    val expected = ZipCsv.readZipsRdd(spark, glob, roles, Set("dt"))
       .select("dt", "state", "biome").orderBy("dt")
       .collect().map(_.toSeq).toSeq
     val got = v2.select("dt", "state", "biome").orderBy("dt")
