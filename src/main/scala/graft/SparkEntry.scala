@@ -330,6 +330,72 @@ object SparkEntry {
     "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
     "q61_lsh_near_dup" -> ((s, d) => Similarity.lshNearDupPairs(embeddings(s, d), 0.35)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
+    // round-3 oracle coverage: P4/P5/P13 + the SQL extension surface
+    "q75_coerce_datetime" -> ((s, d) => {
+      // P4 (bdqueimadas_incremental.py:727-756): mixed-format datetime
+      // strings coerce to timestamp, unparseable rows drop, monthly counts.
+      // Formats synthesized per doc_id: ISO full / dayfirst-slash /
+      // garbage / empty / date-only / dayfirst-dash.
+      import org.apache.spark.sql.functions._
+      val m2 = lpad((col("doc_id") % 9 + 1).cast("string"), 2, "0")
+      val dd = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val raw = when(col("doc_id") % 6 === 0,
+          concat(lit("2024-"), m2, lit("-"), dd, lit(" 10:30:00")))
+        .when(col("doc_id") % 6 === 1, concat(dd, lit("/"), m2, lit("/2024 08:45")))
+        .when(col("doc_id") % 6 === 2, lit("not-a-date"))
+        .when(col("doc_id") % 6 === 3, lit(""))
+        .when(col("doc_id") % 6 === 4, concat(lit("2024-"), m2, lit("-"), dd))
+        .otherwise(concat(dd, lit("-"), m2, lit("-2024 12:00:00")))
+      documents(s, d)
+        .select(graft.functions.Coerce.toTimestampCoerce(raw).as("dt"))
+        .where(col("dt").isNotNull)
+        .groupBy(date_format(col("dt"), "yyyy-MM").as("period"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("period")
+    }),
+    "q76_satellite_filter" -> ((s, d) => {
+      // P5 (bdqueimadas_incremental.py:868-881): keep rows whose satellite
+      // name normalize-equals the reference satellite, or is null.
+      import org.apache.spark.sql.functions._
+      val m = col("doc_id") % 7
+      val sat = when(m === 0, "AQUA_M-T").when(m === 1, "aqua m t")
+        .when(m === 2, "Aqua-M.T").when(m === 3, "TERRA")
+        .when(m === 4, "NOAA-20").when(m === 5, lit(null).cast("string"))
+        .otherwise("GOES-16")
+      documents(s, d).select(col("source"), sat.as("sat"))
+        .where(col("sat").isNull ||
+          graft.core.Cols.normKey(col("sat")) === Focos.ReferenceSatellite)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    }),
+    "q77_yyyymm_listing" -> ((s, d) => {
+      // P13 (bdqueimadas_mensal_listing.py:41-45): yyyymm period extraction
+      // from listing filenames + target-year filter, per-period file counts.
+      import org.apache.spark.sql.functions._
+      val fname = concat(lit("focos_mensal_"),
+        (col("doc_id") % 6 + 2019).cast("string"),
+        lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"), lit("_br.csv"))
+      documents(s, d)
+        .select(graft.functions.Normalize.extractPeriod(fname).as("period"))
+        .where(substring(col("period"), 1, 4) === "2023")
+        .groupBy("period").agg(count(lit(1)).as("n_files"))
+        .orderBy("period")
+    }),
+    "q78_sql_extensions" -> ((s, d) => {
+      // §2.10 SQL surface: the custom codegen expressions (StripAccents,
+      // DotProduct) registered via SparkSessionExtensions and exercised
+      // through SQL TEXT under the driver contract — proving the
+      // extension path, not just the Column API.
+      graft.functions.GraftExtensions.register(s)
+      embeddings(s, d).createOrReplaceTempView("emb_q78")
+      s.sql("""
+        SELECT vec_id,
+               strip_accents(concat('Amazônia São-', CAST(label AS STRING))) AS ascii_label,
+               dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+                           CAST(embedding AS ARRAY<DOUBLE>)) AS norm2
+        FROM emb_q78 WHERE vec_id < 50 ORDER BY vec_id
+      """)
+    }),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -869,5 +935,70 @@ object SparkEntry {
               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
             FROM n a JOIN n b ON a.vec_id < b.vec_id)
       SELECT a, b FROM p WHERE cos >= 0.4 ORDER BY a, b""",
+    "q75_coerce_datetime" -> """
+      WITH raw AS (
+        SELECT CASE CAST(doc_id % 6 AS INT)
+            WHEN 0 THEN '2024-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' 10:30:00'
+            WHEN 1 THEN lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     || '/' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0') || '/2024 08:45'
+            WHEN 2 THEN 'not-a-date'
+            WHEN 3 THEN ''
+            WHEN 4 THEN '2024-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            ELSE lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0') || '-2024 12:00:00'
+          END AS x
+        FROM documents),
+      parsed AS (
+        SELECT COALESCE(
+          try_strptime(trim(x), '%Y-%m-%d %H:%M:%S'),
+          try_strptime(trim(x), '%Y-%m-%dT%H:%M:%S'),
+          try_strptime(trim(x), '%Y-%m-%d %H:%M'),
+          try_strptime(trim(x), '%Y-%m-%d'),
+          try_strptime(trim(x), '%Y/%m/%d %H:%M:%S'),
+          try_strptime(trim(x), '%Y/%m/%d'),
+          try_strptime(trim(x), '%d/%m/%Y %H:%M:%S'),
+          try_strptime(trim(x), '%d/%m/%Y %H:%M'),
+          try_strptime(trim(x), '%d/%m/%Y'),
+          try_strptime(trim(x), '%d-%m-%Y %H:%M:%S'),
+          try_strptime(trim(x), '%d-%m-%Y')) AS dt
+        FROM raw)
+      SELECT strftime(dt, '%Y-%m') AS period, COUNT(*) AS cnt
+      FROM parsed WHERE dt IS NOT NULL
+      GROUP BY 1 ORDER BY period""",
+    "q76_satellite_filter" -> """
+      WITH t AS (
+        SELECT source, CASE CAST(doc_id % 7 AS INT)
+            WHEN 0 THEN 'AQUA_M-T' WHEN 1 THEN 'aqua m t'
+            WHEN 2 THEN 'Aqua-M.T' WHEN 3 THEN 'TERRA'
+            WHEN 4 THEN 'NOAA-20' WHEN 5 THEN NULL
+            ELSE 'GOES-16' END AS sat
+        FROM documents)
+      SELECT source, COUNT(*) AS kept FROM t
+      WHERE sat IS NULL OR regexp_replace(lower(sat), '[^a-z0-9]', '', 'g') = 'aquamt'
+      GROUP BY 1 ORDER BY source""",
+    "q77_yyyymm_listing" -> """
+      WITH f AS (
+        SELECT 'focos_mensal_' || CAST(doc_id % 6 + 2019 AS VARCHAR)
+            || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '_br.csv' AS fname
+        FROM documents),
+      p AS (
+        SELECT CASE WHEN regexp_extract(fname, '((?:19|20)\d{2})', 1) = '' THEN NULL
+                    WHEN regexp_extract(fname, '((?:19|20)\d{2})[-_]?([01]\d)', 2) = ''
+                      THEN regexp_extract(fname, '((?:19|20)\d{2})', 1)
+                    ELSE regexp_extract(fname, '((?:19|20)\d{2})', 1) || '-'
+                      || regexp_extract(fname, '((?:19|20)\d{2})[-_]?([01]\d)', 2)
+               END AS period
+        FROM f)
+      SELECT period, COUNT(*) AS n_files FROM p
+      WHERE substr(period, 1, 4) = '2023'
+      GROUP BY 1 ORDER BY period""",
+    "q78_sql_extensions" -> """
+      SELECT vec_id,
+             strip_accents('Amazônia São-' || CAST(label AS VARCHAR)) AS ascii_label,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS norm2
+      FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
   )
 }

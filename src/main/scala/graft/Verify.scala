@@ -15,6 +15,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables.events
       // reconstructs a second-truncated timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL surface: strip_accents / dot_product as SQL functions (q78)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -70,12 +70,19 @@ object Normalize {
     * grouping key of the URL-key merge. */
   def urlKey(c: Column): Column = {
     val u = trim(c)
+    val hasScheme = u.contains("://")
     val scheme = lower(coalesce(
       when(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", null)
         .otherwise(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
       lit("https")))
-    val host = lower(regexp_extract(u, "://([^/?#]*)", 1))
-    val rawPath = regexp_replace(regexp_extract(u, "://[^/?#]*([^?#]*)", 1), "/+$", "")
+    // scheme-less input: urlparse keeps the whole string as the path
+    // (netloc empty), so "example.com/a" keys as "https://example.com/a"
+    // instead of collapsing every scheme-less URL to "https:///"
+    val host = when(hasScheme, lower(regexp_extract(u, "://([^/?#]*)", 1)))
+      .otherwise(lit(""))
+    val rawPath = when(hasScheme,
+        regexp_replace(regexp_extract(u, "://[^/?#]*([^?#]*)", 1), "/+$", ""))
+      .otherwise(regexp_replace(regexp_extract(u, "^([^?#]*)", 1), "/+$", ""))
     concat(scheme, lit("://"), host, when(rawPath === "", "/").otherwise(rawPath))
   }
 

@@ -111,7 +111,9 @@ object Aggregates {
     val v = "su_lineitem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     li.createOrReplaceTempView(v)
     val out = spark.sql(s"""
-      SELECT m, coalesce(flag, '__ALL__') AS flag, SUM(cnt) AS cnt
+      SELECT m,
+             CASE WHEN GROUPING(flag) = 1 THEN '__ALL__' ELSE flag END AS flag,
+             SUM(cnt) AS cnt
       FROM (SELECT date_format(l_shipdate, 'yyyy-MM') AS m,
                    l_linestatus AS flag, COUNT(*) AS cnt
             FROM $v GROUP BY 1, 2)

@@ -21,6 +21,20 @@ class NormalizeSpec extends SparkSpec {
     assert(out.toSeq == Seq("producao-de-petroleo-mensal", "eia-weekly"))
   }
 
+  test("urlKey: scheme/host lowered, query stripped, scheme-less keeps path") {
+    val out = Seq(
+      "HTTPS://News.Example.com/Arts/a1/?utm=1", // case + query + trailing /
+      "http://x.org",                            // bare host -> "/"
+      "example.com/path/",                       // scheme-less: urlparse keeps path
+      "example.com/other")                       // distinct scheme-less keys stay distinct
+      .toDF("u").select(Normalize.urlKey($"u")).collect().map(_.getString(0))
+    assert(out(0) == "https://news.example.com/Arts/a1")
+    assert(out(1) == "http://x.org/")
+    assert(out(2) == "https://example.com/path")
+    assert(out(3) == "https://example.com/other")
+    assert(out(2) != out(3)) // the old anchored regexes collapsed both to "https:///"
+  }
+
   test("pt-BR compact magnitudes") {
     val out = Seq((2_300_000_000.0, 4_500_000.0, 1234.0)).toDF("b", "m", "i")
       .select(Normalize.ptbrCompact($"b"), Normalize.ptbrCompact($"m"),
