@@ -45,5 +45,28 @@ class DedupRecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exact,
       s"missed: ${exact.diff(got).take(5)}; spurious: ${got.diff(exact).take(5)}")
+    // both key widths are recall-1.0 by the same pigeonhole argument
+    val gotB4 = Dedup.simhashPairs(docs, Long.MaxValue, maxHamming, blockChoose = 4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB4 == exact)
+  }
+
+  test("banding candidate volume stays within a small multiple of verified pairs") {
+    // The LSH-efficiency contract the scaladoc claims and ScaleReport
+    // measures at sf1/sf10: candidates must track the true-pair count,
+    // not the corpus squared. Bounds chosen ~3x above the measured
+    // values on this corpus so genuine regressions (e.g. correlated
+    // fingerprints, broken band keys) fail loudly.
+    val mhCand = Dedup.minhashCandidatePairs(docs).count()
+    val mhVerified = Dedup.minhashPairs(docs, 0.5).count()
+    assert(mhVerified > 0)
+    assert(mhCand <= math.max(50L, 10L * mhVerified),
+      s"minhash candidates $mhCand vs verified $mhVerified")
+    val shCand = Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6).count()
+    val shVerified = Dedup.simhashPairs(docs, Long.MaxValue, 6).count()
+    assert(shVerified > 0)
+    assert(shCand <= math.max(100L, 30L * shVerified),
+      s"simhash candidates $shCand vs verified $shVerified")
   }
 }

@@ -57,6 +57,23 @@ class CsvNativeSpec extends SparkSpec {
     assert(err.getMessage.contains("nodt.csv"))
   }
 
+  test("column pruning reaches the native csv scan") {
+    val dir = java.nio.file.Files.createTempDirectory("csvprune").toFile
+    write(dir, "p.csv",
+      ("data_pas;estado;bioma;extra1;extra2\n" +
+        "2024-01-05 10:00:00;AM;Amazônia;x;y\n").getBytes("UTF-8"))
+    val df = ZipCsv.readCsvs(spark, dir.getAbsolutePath + "/*.csv", roles)
+      .select("state") // downstream needs ONE role
+    val scanned = df.queryExecution.executedPlan
+      .collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSeq
+      }.flatten
+    // the 5-column file must scan only f1 (estado) — not all fields
+    assert(scanned == Seq("f1"), s"scan read $scanned")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("AM"))
+  }
+
   test("one large bare CSV splits into multiple scan partitions") {
     val dir = java.nio.file.Files.createTempDirectory("csvbig").toFile
     val sb = new StringBuilder("data_pas;estado;bioma\n")
