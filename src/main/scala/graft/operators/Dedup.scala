@@ -112,15 +112,17 @@ object Dedup {
       // consumed three times (two join sides + sizes): persist so the
       // shingle transform runs once per doc; released below once the two
       // small derived frames (per-doc sizes, per-pair intersections) are
-      // eagerly materialized via localCheckpoint
+      // eagerly materialized (persist + count — see minhashCandidatePairs
+      // for why not localCheckpoint)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = rows.select(col("doc_id").as("a"), col("s"))
       .join(rows.select(col("doc_id").as("b"), col("s")), Seq("s"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).cast("int").as("inter"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sizes.count(); inter.count()
     rows.unpersist(blocking = false)
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
@@ -178,11 +180,28 @@ object Dedup {
     *
     * Persist discipline: the signature table (docs × 66 longs — the one
     * corpus-sized intermediate) is persisted only long enough to
-    * materialize the candidate pairs (eager `localCheckpoint`, which
-    * also truncates lineage so nothing downstream re-references the
-    * signatures), then released immediately. Candidate pairs are tiny
-    * by LSH construction, so the checkpoint they occupy is bounded. */
+    * materialize the candidate pairs (persist + count), then released
+    * immediately. Candidates stay persisted executor-side for their two
+    * consumers; if an evicted partition must recompute through the
+    * released signatures the result is still correct, just slower.
+    * (NOT `localCheckpoint(eager)`: in Spark 4.1 that materializes by
+    * shipping partition blocks through task results, so any candidate
+    * set past spark.driver.maxResultSize kills the job — measured at
+    * sf10, where an 84-table banding's 12M pairs passed 1 GB and wider
+    * bandings did not.) */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val (plan, sigs) = minhashCandidatePlan(docs)
+    val candidates = plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count() // eager: materialize before releasing signatures
+    sigs.unpersist(blocking = false)
+    candidates
+  }
+
+  /** The unpersisted candidate-pair plan plus the persisted signature
+    * frame it reads twice — split out so PlanAuditSpec can assert the
+    * band self-join's physical strategy before execution. */
+  private[graft] def minhashCandidatePlan(docs: DataFrame): (DataFrame, DataFrame) = {
     val exploded = hashedShingleRows(docs)
     val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
     // Persist the signature table: it feeds band generation AND both
@@ -197,17 +216,23 @@ object Dedup {
       val ks = (b * BandRows until (b + 1) * BandRows).map(p => col(s"h$p"))
       xxhash64(ks: _*)
     }
+    // SHUFFLE_HASH hint: the planner estimates this frame from the tiny
+    // persisted signature table and does not see the ×Bands explode, so
+    // it statically picks a BROADCAST join — collecting tens of millions
+    // of band rows through the driver (hits spark.driver.maxResultSize
+    // at 500 k docs; measured at sf10). Band keys hash-join fine and AQE
+    // may still broadcast at runtime when the exact size is genuinely
+    // small.
     val bands = sigs.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .hint("shuffle_hash")
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      .localCheckpoint() // eager: materializes candidates, cuts lineage
-    sigs.unpersist(blocking = false)
-    candidates
+    (candidates, sigs)
   }
 
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
@@ -270,6 +295,18 @@ object Dedup {
     * verified overhead at 5 k docs; see ScaleReport). */
   def simhashCandidatePairs(docs: DataFrame, maxId: Long, maxHamming: Int,
                             blockChoose: Int = 3): DataFrame = {
+    val (plan, sims) = simhashCandidatePlan(docs, maxId, maxHamming, blockChoose)
+    val candidates = plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count() // eager: materialize before releasing fingerprints
+    sims.unpersist(blocking = false)
+    candidates
+  }
+
+  /** Unpersisted candidate plan + persisted fingerprint frame, split out
+    * for PlanAuditSpec (see minhashCandidatePlan). */
+  private[graft] def simhashCandidatePlan(docs: DataFrame, maxId: Long, maxHamming: Int,
+                                          blockChoose: Int): (DataFrame, DataFrame) = {
     val bits = 60
     val numBlocks = maxHamming + blockChoose
     require(numBlocks <= bits, s"maxHamming $maxHamming too large for $bits-bit simhash")
@@ -281,19 +318,21 @@ object Dedup {
     val tables = (0 until numBlocks).combinations(blockChoose).toSeq
     val sims = simhash(docs, maxId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shuffle_hash for the same reason as minhashCandidatePlan: the
+    // ×tables explode is invisible to static size estimation, and a
+    // planner-chosen broadcast of 10⁸ band rows kills the driver
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(tables.map(s =>
         xxhash64(s.map(block): _*): Column): _*))
         .as(Seq("band", "bkey")))
+      .hint("shuffle_hash")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      .localCheckpoint() // eager: materializes candidates, cuts lineage
-    sims.unpersist(blocking = false)
-    candidates
+    (candidates, sims)
   }
 
   def simhashPairs(docs: DataFrame, maxId: Long, maxHamming: Int,

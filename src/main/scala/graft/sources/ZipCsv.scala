@@ -302,6 +302,15 @@ object ZipCsv {
     val nativeCharsets = Set("UTF-8", "ISO-8859-1", "US-ASCII")
     val (nativeOk, exoticEncoding) = sniffed.partition(f => nativeCharsets(f.cs))
 
+    // Spark's csv COLUMN PRUNING skips token-count validation for unread
+    // fields, so under pruning DROPMALFORMED silently KEEPS short/long
+    // rows the streamed form skips (pinned by CsvNativeSpec). Row-level
+    // validation inherently needs the full parse — and csv pruning only
+    // skips per-field conversion, never line IO, so for an all-string
+    // ingestion schema it saves ~nothing. Disable it for this session:
+    // correctness parity over a no-op optimization.
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+
     val groups = nativeOk.groupBy(f => (f.cs, f.d, f.header))
     val parts = groups.toSeq.map { case ((cs, d, header), fsOfGroup) =>
       val fields = header.indices.map(i =>

@@ -69,4 +69,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(ss.nonEmpty)
     assert(ss.head.metadata.get("PushedFilters").exists(_.contains("LessThan(doc_id")))
   }
+
+  test("minhash/simhash band self-joins never plan as static broadcasts") {
+    // The ×bands posexplode is invisible to static size estimation: the
+    // planner sees the small signature table and would BROADCAST tens of
+    // millions of band rows through the driver (hit maxResultSize at
+    // 500 k docs — SCALE.md round 3). The shuffle_hash hint must hold;
+    // AQE may still broadcast at runtime from exact sizes.
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (mhPlan, mhSigs) = Dedup.minhashCandidatePlan(docs)
+    val (shPlan, shSims) = Dedup.simhashCandidatePlan(docs, Long.MaxValue, 6, 3)
+    try
+      for ((name, df) <- Seq("minhash" -> mhPlan, "simhash" -> shPlan)) {
+        val joins = df.queryExecution.sparkPlan.collectWithSubqueries {
+          case b: BroadcastHashJoinExec => b
+        }
+        assert(joins.isEmpty, s"$name band join statically broadcasts a band-row side")
+      }
+    finally { mhSigs.unpersist(); shSims.unpersist() }
+  }
 }
