@@ -36,6 +36,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head == ((0L, 1, 50L))) // exact duplicate ranks first
   }
 
+  test("ivfBuild/ivfSearch: train once, search many — parity with one-shot ivfTopK") {
+    val rng = new scala.util.Random(11)
+    def rv() = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val q0 = rv(); val q1 = rv()
+    val corpus = (10L to 60L).map(i => (i, rv())) :+ ((70L, q0)) :+ ((80L, q1))
+    val all = emb((Seq((0L, q0), (1L, q1)) ++ corpus): _*)
+    val oneShot = Similarity.ivfTopK(all, 2, 3, nList = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    val index = Similarity.ivfBuild(all.where($"vec_id" >= 2), nList = 4)
+    try {
+      val viaIndex = Similarity.ivfSearch(index, all.where($"vec_id" < 2), 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(viaIndex == oneShot)
+      // search AGAIN with a different query slice — no refit, same index
+      val second = Similarity.ivfSearch(index, all.where($"vec_id" === 0L), 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(second == oneShot.filter(_._1 == 0L))
+      // each query's exact duplicate ranks first
+      assert(viaIndex.contains((0L, 1, 70L)) && viaIndex.contains((1L, 1, 80L)))
+      assert(index.centroids.count() == 4)
+    } finally index.release()
+  }
+
   test("cosineNearDupPairs: only near pair passes threshold") {
     val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
     val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
