@@ -79,9 +79,26 @@ object ScaleReport {
       Dedup.dedupCorpus(docs, 0.5).count()
     }
 
-    // ANN family over the full embeddings table
-    timed("cosine_topk_brute")(Similarity.cosineTopK(emb, 5, 10).count())
+    // ANN family over the full embeddings table, with measured recall@10
+    // against the brute-force ground truth (the approximate paths must
+    // not just run fast — they must FIND the neighbors)
+    var brute = Set.empty[(Long, Long)]
+    timed("cosine_topk_brute") {
+      brute = Similarity.cosineTopK(emb, 5, 10)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.size.toLong
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val annR0 = recall(Similarity.annLshTopK(emb, 5, 10)); release()
+    val annR1 = recall(Similarity.annLshTopK(emb, 5, 10, probeRadius = 1)); release()
+    val ivfR = recall(Similarity.ivfTopK(emb, 5, 10, 16, 3)); release()
+    println(f"""{"op":"ann_recall_at_10","ann_probe0":$annR0%.2f,"ann_probe1":$annR1%.2f,"ivf_nprobe3":$ivfR%.2f}""")
     timed("ann_lsh_topk")(Similarity.annLshTopK(emb, 5, 10).count())
+    timed("ann_lsh_topk_probe1")(Similarity.annLshTopK(emb, 5, 10, probeRadius = 1).count())
     timed("ivf_topk")(Similarity.ivfTopK(emb, 5, 10, 16, 3).count())
     timed("lsh_near_dup_pairs")(Similarity.lshNearDupPairs(emb, 0.35).count())
 

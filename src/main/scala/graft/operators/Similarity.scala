@@ -47,24 +47,39 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Sign-LSH bucket key: concatenated sign bits of the first `nBits`
-    * dimensions. Random-hyperplane LSH with axis-aligned planes — adequate
-    * for gaussian-ish embeddings and fully deterministic. */
+  /** Sign-LSH bucket key: sign bits of the first `nBits` dimensions
+    * packed into a long. Random-hyperplane LSH with axis-aligned planes
+    * — adequate for gaussian-ish embeddings and fully deterministic. */
   private def bucketKey(e: Column, nBits: Int): Column =
-    concat((0 until nBits).map(i =>
-      when(element_at(e, i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
+    (0 until nBits).map(i =>
+      when(element_at(e, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
 
-  /** LSH-bucketed approximate nearest neighbors: queries search only their
-    * own bucket. At scale: candidates shuffle on (bucket) — per-bucket
-    * work, no cross join. Recall trades off with nBits. */
-  def annLshTopK(emb: DataFrame, nQueries: Int, k: Int, nBits: Int = 6): DataFrame = {
+  /** LSH-bucketed approximate nearest neighbors. At scale: candidates
+    * shuffle on (bucket) — per-bucket work, no cross join. Recall
+    * trades off with nBits; `probeRadius = 1` is the standard
+    * multi-probe recall repair: each query ALSO searches the nBits
+    * buckets at hamming distance 1 from its own (a near neighbor
+    * sitting just across one sign boundary lands there), costing
+    * (nBits+1)× query-side rows — queries are the tiny side — while
+    * the corpus side stays untouched. */
+  def annLshTopK(emb: DataFrame, nQueries: Int, k: Int, nBits: Int = 6,
+                 probeRadius: Int = 0): DataFrame = {
+    require(probeRadius <= 1, "probeRadius > 1 not implemented (nBits² probes)")
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       .withColumn("bucket", bucketKey(col("e"), nBits))
-    val q = base.where(col("vec_id") < nQueries)
+    val q0 = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val q =
+      if (probeRadius == 0) q0
+      else q0.select(col("qid"), col("qe"), col("qn"),
+        explode(array((col("bucket") +: (0 until nBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
     val c = base.where(col("vec_id") >= nQueries)
       .select(col("vec_id").as("vid"), col("e").as("ce"), col("nrm").as("cn"), col("bucket"))
+    // a candidate lives in exactly one bucket and probe buckets are
+    // distinct, so each (qid, vid) pair scores at most once — no dedup
     val scored = c.join(q, Seq("bucket"))
       .select(col("qid"), col("vid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head == ((0L, 1, 50L))) // exact duplicate ranks first
   }
 
+  test("annLshTopK multi-probe: neighbor across one sign boundary needs probeRadius 1") {
+    val q = Seq(0.01f, 1.0f, 1.0f, 1.0f)
+    val n = Seq(-0.01f, 1.0f, 1.0f, 1.0f) // cos ≈ 1.0, but bit 0 flips
+    val data = emb((0L, q), (5L, n))
+    val r0 = Similarity.annLshTopK(data, 1, 3, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!r0.contains((0L, 5L)), "radius 0 must miss the cross-boundary neighbor")
+    val r1 = Similarity.annLshTopK(data, 1, 3, nBits = 4, probeRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(r1.contains((0L, 5L)), "radius 1 must find it")
+  }
+
   test("ivfBuild/ivfSearch: train once, search many — parity with one-shot ivfTopK") {
     val rng = new scala.util.Random(11)
     def rv() = Seq.fill(8)(rng.nextFloat() * 2 - 1)
