@@ -257,28 +257,36 @@ object ZipCsv {
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath)
 
-    // 8 KB sniff per file: (charset, delimiter, header fields)
+    // 8 KB sniff per file: (charset, delimiter, header fields). The
+    // sniffs run CONCURRENTLY (bounded pool): each is one short
+    // metadata-latency read, and a backfill directory can hold 10⁴⁺
+    // files — sequential 50 ms object-store opens would serialize into
+    // the better part of an hour that 32-way overlap does in seconds.
     case class FileDialect(path: org.apache.hadoop.fs.Path, cs: String,
                            d: Char, header: Seq[String])
-    val (sniffed, unreadable) = files.foldLeft(
-      (Vector.empty[FileDialect], Vector.empty[org.apache.hadoop.fs.Path])) {
-      case ((ok, bad), fp) =>
-        try {
-          val in = fs.open(fp)
-          val prefix = try in.readNBytes(SniffBytes) finally in.close()
-          val bom = prefix.length >= 3 && prefix(0) == 0xEF.toByte &&
-            prefix(1) == 0xBB.toByte && prefix(2) == 0xBF.toByte
-          val body = if (bom) java.util.Arrays.copyOfRange(prefix, 3, prefix.length) else prefix
-          val cs = detectCharset(body)
-          val sample = decodePrefix(body, cs)
-          val d = Sniff.delimiter(sample)
-          val headerLine = sample.split("\r?\n").find(_.nonEmpty)
-          headerLine match {
-            case Some(h) => (ok :+ FileDialect(fp, cs, d, Sniff.splitLine(h, d).toSeq), bad)
-            case None => (ok, bad) // empty file: no rows either way
-          }
-        } catch { case _: java.io.IOException => (ok, bad :+ fp) }
-    }
+    def sniffOne(fp: org.apache.hadoop.fs.Path): Either[org.apache.hadoop.fs.Path, Option[FileDialect]] =
+      try {
+        val in = fs.open(fp)
+        val prefix = try in.readNBytes(SniffBytes) finally in.close()
+        val bom = prefix.length >= 3 && prefix(0) == 0xEF.toByte &&
+          prefix(1) == 0xBB.toByte && prefix(2) == 0xBF.toByte
+        val body = if (bom) java.util.Arrays.copyOfRange(prefix, 3, prefix.length) else prefix
+        val cs = detectCharset(body)
+        val sample = decodePrefix(body, cs)
+        val d = Sniff.delimiter(sample)
+        Right(sample.split("\r?\n").find(_.nonEmpty) // empty file: no rows either way
+          .map(h => FileDialect(fp, cs, d, Sniff.splitLine(h, d).toSeq)))
+      } catch { case _: java.io.IOException => Left(fp) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, files.length)))
+    val outcomes =
+      try files.map(fp => pool.submit(
+          new java.util.concurrent.Callable[Either[org.apache.hadoop.fs.Path, Option[FileDialect]]] {
+            def call() = sniffOne(fp)
+          })).map(_.get()).toVector
+      finally pool.shutdown()
+    val sniffed = outcomes.collect { case Right(Some(fd)) => fd }
+    val unreadable = outcomes.collect { case Left(fp) => fp }
 
     // resolve roles per distinct header — REQUIRED misses fail fast,
     // driver-side, with the streamed path's error shape
