@@ -150,17 +150,14 @@ object Dedup {
   // is the cheap part here.)
   private def permHash(p: Int, s: Column): Column = xxhash64(lit(p), s)
 
-  /** MinHash + LSH near-duplicate pairs — the distributed dedup path.
-    * Pipeline: shingle → 16 min-hashes in ONE aggregation pass → 4 band
-    * keys → shuffle-join on band key for candidates → Jaccard verify on
-    * candidates only. No cross join at any scale. */
   /** Distinct hashed 3-gram shingles as ROWS, not arrays: posexplode
     * tokens, hash each token once (codegen'd xxhash64), combine three
     * consecutive token hashes with a lead() window. Array higher-order
     * functions (`transform`) are CodegenFallback — interpreted per
     * element — and measured ~10× slower than this flat columnar form on
-    * the signature path. (Exact string shingles are still used for
-    * candidate verification, where volume is tiny.) */
+    * the signature path. These rows feed the MinHash signatures, the
+    * shingle-feature SimHash fingerprints, AND the flat-row candidate
+    * verify in `minhashPairs` — one feature representation end to end. */
   private def hashedShingleRows(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -235,6 +232,12 @@ object Dedup {
     (candidates, sigs)
   }
 
+  /** MinHash + LSH near-duplicate pairs — the distributed dedup path.
+    * Pipeline: hashed shingle rows → 66 min-hashes in ONE aggregation
+    * pass → 22 band keys of 3 rows → shuffle-join on band key for
+    * candidates → exact Jaccard verify on candidate docs only. No
+    * cross join at any scale; candidates track the true-pair count
+    * (SCALE.md: 1.1×/2.1×/11× of verified at 5 k/50 k/500 k docs). */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0, "zero-intersection pairs are never emitted")
     // candidate pairs are consumed three times (id extraction + the two

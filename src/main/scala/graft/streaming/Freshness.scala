@@ -100,6 +100,21 @@ object Freshness {
       .select(col("user_id"), col("w.start").as("s_start"),
         col("w.end").as("s_end"), col("n_events"))
 
+  /** Streaming exact dedup — the LLM-ingest dedup gate applied to an
+    * unbounded document feed: the FIRST arrival of each content hash
+    * passes, later copies drop. `dropDuplicatesWithinWatermark` keys
+    * state on the hash and reclaims it once the watermark passes, so
+    * state is bounded by the dedup horizon (a copy arriving later than
+    * the horizon re-emits — the standard bounded-state trade, sized by
+    * the window). Batch analog = Dedup.exactDedup keep-first (q35);
+    * equivalence within the horizon pinned by FreshnessStreamSpec.
+    * Input columns: doc_id, text, ts (event time). */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** The reference's 7-day sliding file window as an event-time stream
     * (P12, daily/pipeline.py:353-369): one row per (7-day window sliding
     * daily, key), closed by the watermark. */

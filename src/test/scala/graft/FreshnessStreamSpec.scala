@@ -40,6 +40,34 @@ class FreshnessStreamSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("intervalHours") == 26.0)
   }
 
+  test("streamingExactDedup: first arrival per content hash wins across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Freshness.streamingExactDedup(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    // batch 1: two distinct texts + one in-batch duplicate
+    input.addData((0L, "alpha beta", ts("2024-01-01 10:00:00")),
+      (1L, "gamma delta", ts("2024-01-01 10:01:00")),
+      (2L, "alpha beta", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate within the horizon + one new text
+    input.addData((3L, "alpha beta", ts("2024-01-01 10:30:00")),
+      (4L, "epsilon", ts("2024-01-01 10:31:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sdedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 0 wins "alpha beta"; docs 2 and 3 are suppressed
+    assert(out == Set((0L, "alpha beta"), (1L, "gamma delta"), (4L, "epsilon")))
+    // batch analog (q35 exactDedup) keeps the same survivors
+    val batch = graft.operators.Dedup.exactDedup(
+        Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "alpha beta"),
+          (3L, "alpha beta"), (4L, "epsilon")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    assert(batch == out.map(_._1))
+  }
+
   test("sessions: streaming session_window matches batch sessionize starts/counts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
