@@ -102,6 +102,25 @@ object ScaleReport {
     timed("ivf_topk")(Similarity.ivfTopK(emb, 5, 10, 16, 3).count())
     timed("lsh_near_dup_pairs")(Similarity.lshNearDupPairs(emb, 0.35).count())
 
+    // Text-analysis family over the FULL corpus (the driver queries cap
+    // maxId for oracle determinism; scale runs lift the caps) — all
+    // linear single-scan shapes, included so the per-SF report covers
+    // every LLM-pipeline family, not just dedup/ANN
+    import graft.operators.TextAnalysis
+    timed("token_stats")(TextAnalysis.tokenStats(docs).count())
+    timed("quality_score_full")(TextAnalysis.qualityScore(docs, Long.MaxValue).count())
+    timed("lang_id_full")(TextAnalysis.langId(docs, Long.MaxValue).count())
+    timed("winnow_fingerprints_full")(
+      TextAnalysis.winnowFingerprints(docs, Long.MaxValue, 8, 4).count())
+    // maxDocFreq=100: MOSS common-fingerprint drop — without it the
+    // fp join is quadratic in per-fingerprint doc counts (555 s at
+    // 50 k same-vocab docs, measured round 3). minIndexSize=5: docs
+    // whose index the cap gutted are not comparable (2-element indexes
+    // flood containment-1.0 noise on low-diversity corpora).
+    timed("winnow_pairs_full")(
+      TextAnalysis.winnowPairs(docs, Long.MaxValue, 8, 4, 0.8,
+        maxDocFreq = 100, minIndexSize = 5).count())
+
     val leaked = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"op":"persist_hygiene","leaked_after_release":$leaked}""")
     spark.stop()

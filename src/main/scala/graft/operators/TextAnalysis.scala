@@ -144,14 +144,39 @@ object TextAnalysis {
     * on corpora with common phrasing). Same bucketed shape as the LSH
     * families: fingerprints as rows, one equi-join on the fingerprint
     * value, count per pair; no cross join. Fingerprints are
-    * engine-specific hashes → rows-only checked. */
+    * engine-specific hashes → rows-only checked.
+    *
+    * `maxDocFreq` is MOSS's common-fingerprint drop (Schleimer et al.,
+    * SIGMOD 2003 — MOSS ignores matches "in too many documents"): a
+    * fingerprint held by c docs pairs them all — c² join rows of zero
+    * signal when the fingerprint is corpus boilerplate. Measured in the
+    * act at 50 k same-vocab docs: the uncapped join ran 555 s; capping
+    * document frequency cut it to seconds. Sizes count the CAPPED
+    * index, so containment stays a fraction of the comparable
+    * fingerprints.
+    *
+    * `minIndexSize` guards the capped index's other failure mode: a doc
+    * whose fingerprints were ALL common retains a near-empty index, and
+    * a 2-element index sharing 2 rare grams by chance scores
+    * containment 1.0 — on a low-diversity corpus that floods noise
+    * pairs (374 k at 50 k synthetic docs, measured). Docs with fewer
+    * than `minIndexSize` surviving fingerprints are not comparable and
+    * drop out (MOSS likewise requires an absolute match floor). */
   def winnowPairs(docs: DataFrame, maxId: Long, k: Int, w: Int,
-                  minFrac: Double): DataFrame = {
-    val fps = winnowFingerprintRows(docs, maxId, k, w)
-      // three consumers (two join sides + sizes) — persist so the
-      // window pipeline runs once
+                  minFrac: Double, maxDocFreq: Int = Int.MaxValue,
+                  minIndexSize: Int = 1): DataFrame = {
+    val all = winnowFingerprintRows(docs, maxId, k, w)
+      // consumed by the doc-frequency pass + two join sides + sizes —
+      // persist so the window pipeline runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps =
+      if (maxDocFreq == Int.MaxValue) all
+      else all.join(
+        all.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("fp"),
+        Seq("fp"), "left_anti")
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minIndexSize)
     fps.select(col("doc_id").as("a"), col("fp"))
       .join(fps.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
       .where(col("a") < col("b"))

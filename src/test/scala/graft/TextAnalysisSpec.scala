@@ -69,6 +69,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 1.0) // identical text → full containment
   }
 
+  test("winnowPairs maxDocFreq: corpus-boilerplate fingerprints stop pairing docs") {
+    // every doc shares one boilerplate sentence; only 1 and 2 are real dups
+    val boiler = "standard header text present in every document of this corpus"
+    val rows = Seq(
+      (1L, boiler + " alpha beta gamma delta epsilon zeta", "en"),
+      (2L, boiler + " alpha beta gamma delta epsilon zeta", "en")) ++
+      (3L to 12L).map(i => (i, s"$boiler unique tail number $i word${i * 7} word${i * 13}", "en"))
+    // uncapped: the boilerplate fingerprints put MANY unrelated docs over
+    // the containment bar (they share most of their winnowed set)
+    val uncapped = TextAnalysis.winnowPairs(docs(rows: _*), 100L, 8, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 1)
+    // capped at df <= 2: boilerplate (present in all 12) drops out of the
+    // index, only the genuine duplicate pair survives
+    val capped = TextAnalysis.winnowPairs(docs(rows: _*), 100L, 8, 4, 0.8, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("tokenStats: exact token sums per source") {
     val out = TextAnalysis.tokenStats(docs((1L, "a b c", "en"), (2L, "d e", "en")))
       .collect()
