@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // csv column pruning skips token-count validation for unread
+      // fields — readCsvs requires it OFF session-wide for malformed-row
+      // parity (see readCsvs contract); set it here like nanosAsLong so
+      // the invariant holds regardless of call order.
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       // SQL surface: strip_accents / dot_product as SQL functions (q78)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
@@ -55,10 +60,16 @@ object Bench {
     }
     if (spark.sparkContext.getPersistentRDDs.nonEmpty)
       System.err.println(s"[bench] WARNING: ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs leaked past cleanup")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON compact: the driver
+    // retains only a bounded tail of stdout, and 78 queries at full
+    // double precision overflow it — the line's head (with the opening
+    // brace) gets cut and the driver's parse fails. 3 decimals is below
+    // the ±15-30% run noise anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,6 +13,8 @@ object FocosDemo {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // readCsvs requires csv column pruning OFF for malformed-row parity
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -57,6 +57,8 @@ object IngestBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // readCsvs requires csv column pruning OFF for malformed-row parity
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -21,6 +21,11 @@ object ScaleReport {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // csv column pruning skips token-count validation for unread
+      // fields — readCsvs requires it OFF session-wide for malformed-row
+      // parity (see readCsvs contract); set it here like nanosAsLong so
+      // the invariant holds regardless of call order.
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

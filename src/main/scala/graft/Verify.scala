@@ -15,6 +15,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables.events
       // reconstructs a second-truncated timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // csv column pruning skips token-count validation for unread
+      // fields — readCsvs requires it OFF session-wide for malformed-row
+      // parity (see readCsvs contract); set it here like nanosAsLong so
+      // the invariant holds regardless of call order.
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       // SQL surface: strip_accents / dot_product as SQL functions (q78)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

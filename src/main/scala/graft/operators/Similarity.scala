@@ -156,12 +156,24 @@ object Similarity {
   }
 
   /** One-shot IVF top-k (the q56 driver query): build on the candidate
-    * corpus, search the query slice, release. Long-lived callers should
-    * hold the `ivfBuild` index instead of paying the fit per call. */
+    * corpus, search the query slice, release. The result is materialized
+    * BEFORE the index is released — it is bounded at nQueries × k rows
+    * by construction (the query slice is the tiny side, same contract as
+    * `cosineTopK`'s broadcast), so localizing it is cheap and lets the
+    * per-call persisted inverted lists be freed deterministically
+    * instead of leaking until cache eviction. Long-lived or large-query
+    * callers should hold an `ivfBuild` index and `ivfSearch` it
+    * repeatedly instead of paying the fit (and the materialize) per
+    * call. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nList: Int = 8, nProbe: Int = 2): DataFrame = {
     val index = ivfBuild(emb.where(col("vec_id") >= nQueries), nList)
-    ivfSearch(index, emb.where(col("vec_id") < nQueries), k, nProbe)
+    try {
+      val res = ivfSearch(index, emb.where(col("vec_id") < nQueries), k, nProbe)
+      val rows = res.collect().toIndexedSeq
+      val spark = emb.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally index.release()
   }
 
   /** LSH-bucketed embedding near-duplicate pairs — the scale path for

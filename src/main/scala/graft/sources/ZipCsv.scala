@@ -247,7 +247,16 @@ object ZipCsv {
     * drift between files) happens at sniff time, so unresolvable
     * REQUIRED roles fail fast on the driver with the same error shape.
     * Files whose prefix cannot be read fall back to the streamed path
-    * (`readCsvsStreamed`), which skips them archive-style. */
+    * (`readCsvsStreamed`), which skips them archive-style.
+    *
+    * SESSION CONTRACT: `spark.sql.csv.parser.columnPruning.enabled`
+    * must stay `false` until the returned (lazy) frame has executed —
+    * pruning skips token-count validation for unread fields, so
+    * malformed rows would silently survive DROPMALFORMED under a
+    * projection. This method sets the conf, and every graft session
+    * builder (Verify/Bench/Explain/TimeQ/ScaleReport/SparkSpec) pins it
+    * at build time like `nanosAsLong`; callers embedding graft in their
+    * own session must do the same and must not re-enable it mid-plan. */
   def readCsvs(spark: SparkSession, glob: String,
                roles: Seq[(String, Seq[String])],
                required: Set[String] = Set.empty): DataFrame = {
@@ -274,9 +283,22 @@ object ZipCsv {
         val cs = detectCharset(body)
         val sample = decodePrefix(body, cs)
         val d = Sniff.delimiter(sample)
-        Right(sample.split("\r?\n").find(_.nonEmpty) // empty file: no rows either way
-          .map(h => FileDialect(fp, cs, d, Sniff.splitLine(h, d).toSeq)))
-      } catch { case _: java.io.IOException => Left(fp) }
+        val lines = sample.split("\r?\n", -1)
+        val hIdx = lines.indexWhere(_.nonEmpty)
+        if (hIdx < 0) Right(None) // empty file: no rows either way
+        else if (prefix.length >= SniffBytes && hIdx == lines.length - 1)
+          // Header line not newline-terminated within a FULL prefix: the
+          // real header may extend past the sniff window, and resolving
+          // against a truncated field list would make DROPMALFORMED
+          // silently drop every data row. The streamed fallback parses
+          // complete lines, so route the file there instead.
+          Left(fp)
+        else Right(Some(FileDialect(fp, cs, d, Sniff.splitLine(lines(hIdx), d).toSeq)))
+        // NonFatal (not just IOException): charset-detection or decode
+        // surprises on odd prefixes should take the streamed fallback
+        // like unreadable files do, not surface wrapped in the pool's
+        // ExecutionException and lose the fail-fast error shape.
+      } catch { case scala.util.control.NonFatal(_) => Left(fp) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, math.max(1, files.length)))
     val outcomes =

@@ -91,6 +91,23 @@ class CsvNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("AM"))
   }
 
+  test("header longer than the sniff prefix routes to the streamed fallback") {
+    // An 8 KB+ header line has no newline inside the sniff window:
+    // resolving against the truncated field list would drop every data
+    // row via DROPMALFORMED. The sniff must instead route the file to
+    // the streamed form, which parses complete lines.
+    val dir = java.nio.file.Files.createTempDirectory("csvlonghdr").toFile
+    val pad = (0 until 2000).map(i => s"junkcol$i").mkString(";")
+    write(dir, "wide.csv",
+      (s"data_pas;estado;bioma;$pad\n" +
+        "2024-01-05 10:00:00;Amazonas;Amazônia;" +
+        (0 until 2000).map(_ => "x").mkString(";") + "\n").getBytes("UTF-8"))
+    assert(pad.length > ZipCsv.SniffBytes, "fixture header must exceed the sniff window")
+    val rows = ZipCsv.readCsvs(spark, dir.getAbsolutePath + "/*.csv", roles)
+      .select("dt", "state", "biome").collect().map(_.toSeq).toSeq
+    assert(rows == Seq(Seq("2024-01-05 10:00:00", "Amazonas", "Amazônia")))
+  }
+
   test("one large bare CSV splits into multiple scan partitions") {
     val dir = java.nio.file.Files.createTempDirectory("csvbig").toFile
     val sb = new StringBuilder("data_pas;estado;bioma\n")
