@@ -396,6 +396,34 @@ object SparkEntry {
         FROM emb_q78 WHERE vec_id < 50 ORDER BY vec_id
       """)
     }),
+    // Training-data curation family (beyond-reference, first-class):
+    // deterministic splits/sampling, Gopher repetition filter, PII
+    // redaction, token-budget sharding, eval decontamination.
+    "q79_hash_split" -> ((s, d) => TrainingData.hashSplit(documents(s, d))),
+    "q80_quota_sample" -> ((s, d) =>
+      TrainingData.quotaSample(documents(s, d), "lang", 25)),
+    "q81_repetition_filter" -> ((s, d) =>
+      TrainingData.repetitionFilter(documents(s, d), 0.2)),
+    "q82_pii_redact" -> ((s, d) => {
+      // contacts synthesized deterministically from testdata (documents
+      // carry no PII) — the redaction core is what's under test
+      import org.apache.spark.sql.functions._
+      val contact = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), (col("doc_id") % 97).cast("string"),
+        lit("@"), col("source"), lit(".org or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      TrainingData.piiRedact(documents(s, d).withColumn("text", contact))
+    }),
+    "q83_token_pack" -> ((s, d) =>
+      // bucketRows=64 so the two-level prefix sum exercises multiple
+      // buckets (and the offsets window) even at sf0.01
+      TrainingData.tokenPack(documents(s, d), 500L, 64L)),
+    "q84_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.decontaminate(docs.where(col("doc_id") >= 20),
+        docs.where(col("doc_id") < 20), 3, 2)
+    }),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1000,5 +1028,85 @@ object SparkEntry {
              list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[])) AS norm2
       FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+    "q79_hash_split" -> """
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
+    "q80_quota_sample" -> """
+      WITH t AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) ASC,
+                          doc_id ASC) AS rn
+        FROM documents)
+      SELECT lang, doc_id FROM t WHERE rn <= 25 ORDER BY lang, doc_id""",
+    "q81_repetition_filter" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      bi AS (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        FROM tok),
+      bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bi WHERE bg IS NOT NULL GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        FROM bc GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             (n_bigrams - n_distinct) / n_bigrams AS dup_frac,
+             top_count / n_bigrams AS top_frac,
+             ((n_bigrams - n_distinct) / n_bigrams) < 0.2 AS keep
+      FROM agg ORDER BY doc_id""",
+    "q82_pii_redact" -> """
+      WITH t AS (
+        SELECT doc_id,
+               substring(text, 1, 40) || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                 || '@' || source || '.org or call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+      FROM t ORDER BY doc_id""",
+    "q83_token_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM t)
+      SELECT doc_id, n_tok, cb // 500 AS shard FROM c ORDER BY doc_id""",
+    "q84_decontaminate" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      evalset AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id < 20 AND sh IS NOT NULL),
+      corp AS (
+        SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 20 AND sh IS NOT NULL)
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corp c JOIN evalset e USING (sh)
+      GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id""",
   )
 }
