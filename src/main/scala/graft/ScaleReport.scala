@@ -126,6 +126,44 @@ object ScaleReport {
       TextAnalysis.winnowPairs(docs, Long.MaxValue, 8, 4, 0.8,
         maxDocFreq = 100, minIndexSize = 5).count())
 
+    // Training-data curation family (q79–q87) at the full corpus, no
+    // caps: splits/redaction/mixture are pure projections (the time IS
+    // the scan), repetition/packing/decontamination are the hash-agg /
+    // two-level-window shapes whose scaling the scaladoc claims.
+    import graft.operators.TrainingData
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    timed("hash_split")(TrainingData.hashSplit(docs).count())
+    timed("quota_sample")(TrainingData.quotaSample(docs, "lang", 1000).count())
+    timed("repetition_filter")(TrainingData.repetitionFilter(docs, 0.2).count())
+    // the corpus carries no PII — the regex-scan cost is what's measured
+    timed("pii_redact")(TrainingData.piiRedact(docs).count())
+    timed("token_pack")(TrainingData.tokenPack(docs, 10000L).count())
+    val evalCut = nDocs / 100 // 1% eval set, q84 shape
+    timed("decontaminate")(TrainingData.decontaminate(
+      docs.where(col("doc_id") >= evalCut),
+      docs.where(col("doc_id") < evalCut), 3, 2).count())
+    // break the single-line corpus into ~6-word '.'-terminated lines so
+    // the kept-line reassembly (explode → window → group-by) does real work
+    timed("c4_clean")(TrainingData.c4Clean(docs.withColumn("page",
+      regexp_replace(col("text"), "(\\S+(?: \\S+){5}) ", "$1.\n"))).count())
+    timed("mixture_sample")(TrainingData.mixtureSample(docs,
+      (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap).count())
+
+    // SemDeDup: cluster-scoped embedding dedup — log the candidate
+    // volume (Σ |cluster| choose 2) the clustering actually produced vs
+    // the N²/2 it replaced, then time the pair scan on the same index
+    val nClusters = math.max(8L, nVecs / 2000).toInt
+    val semIdx = Similarity.ivfBuild(emb, nClusters)
+    // threshold −1 passes every intra-cluster pair → the distinct
+    // candidate volume the nAssign=2 clustering actually produced
+    val semCand = Similarity.semDedupPairs(semIdx, -1.0).count()
+    println(s"""{"op":"semdedup_candidates","clusters":$nClusters,"candidates":$semCand,"all_pairs":${nVecs * (nVecs - 1) / 2}}""")
+    val semVerified = timed("semdedup_pairs") {
+      Similarity.semDedupPairs(semIdx, 0.4).count()
+    }
+    semIdx.release()
+    println(s"""{"op":"semdedup_ratio","candidates":$semCand,"verified":$semVerified}""")
+
     val leaked = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"op":"persist_hygiene","leaked_after_release":$leaked}""")
     spark.stop()

@@ -424,6 +424,43 @@ object SparkEntry {
       TrainingData.decontaminate(docs.where(col("doc_id") >= 20),
         docs.where(col("doc_id") < 20), 3, 2)
     }),
+    // SemDeDup: cluster-scoped embedding dedup — KMeans quantizer has
+    // no DuckDB equivalent, so rows-only here; SemDedupSpec pins recall
+    // against the exact all-pairs baseline (q46's oracle-checked form)
+    "q85_semdedup" -> ((s, d) =>
+      Similarity.semDedupPairs(embeddings(s, d), 8, 0.4)),
+    "q86_c4_clean" -> ((s, d) => {
+      // multi-line pages synthesized deterministically from testdata
+      // (documents are single-line word soup) — each rule gets both a
+      // passing and a failing line/page somewhere in the corpus
+      import org.apache.spark.sql.functions._
+      val page = concat(
+        substring(col("text"), 1, 50), lit(" end of line one."), lit("\n"),
+        substring(col("text"), 51, 40),
+        when(col("doc_id") % 3 === 0, lit(" tail line two!"))
+          .otherwise(lit(" unterminated tail line")), lit("\n"),
+        lit("too short."), lit("\n"),
+        when(col("doc_id") % 5 === 0,
+          lit("please enable javascript in your browser to continue."))
+          .otherwise(lit("a perfectly ordinary closing sentence here.")), lit("\n"),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+          .otherwise(lit("final line with six words total.")),
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
+      TrainingData.c4Clean(documents(s, d).withColumn("page", page))
+    }),
+    "q87_mixture_sample" -> ((s, d) =>
+      // target mixture: even-indexed sources keep 75%, odd keep 25%
+      TrainingData.mixtureSample(documents(s, d),
+        (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap)),
+    // Gopher word-level quality rules — testdata docs run 10-99 words,
+    // so minWords=30 exercises both verdicts; other thresholds are the
+    // published defaults
+    "q88_gopher_quality" -> ((s, d) =>
+      TrainingData.gopherQuality(documents(s, d), minWords = 30)),
+    // threshold 0.6 ≈ the corpus median shared fraction at sf0.01 —
+    // both verdicts appear at every driver SF
+    "q89_dup_ngrams" -> ((s, d) =>
+      TrainingData.dupNgramFraction(documents(s, d), 3, 0.6)),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1108,5 +1145,98 @@ object SparkEntry {
       SELECT c.doc_id, COUNT(*) AS n_overlap
       FROM corp c JOIN evalset e USING (sh)
       GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id""",
+    "q86_c4_clean" -> """
+      WITH pages AS (
+        SELECT doc_id,
+               substring(text, 1, 50) || ' end of line one.' || chr(10)
+               || substring(text, 51, 40)
+               || CASE WHEN doc_id % 3 = 0 THEN ' tail line two!'
+                       ELSE ' unterminated tail line' END || chr(10)
+               || 'too short.' || chr(10)
+               || CASE WHEN doc_id % 5 = 0
+                       THEN 'please enable javascript in your browser to continue.'
+                       ELSE 'a perfectly ordinary closing sentence here.' END || chr(10)
+               || CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+                       ELSE 'final line with six words total.' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS page
+        FROM documents),
+      spine AS (
+        SELECT doc_id,
+               (contains(lower(page), 'lorem ipsum') OR contains(page, '{')) AS page_flagged
+        FROM pages),
+      lines AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(page, chr(10)), 1) AS pos,
+               trim(unnest(string_split(page, chr(10)))) AS l
+        FROM pages),
+      kept AS (
+        SELECT doc_id, pos, l FROM lines
+        WHERE regexp_matches(l, '[.!?"]$')
+          AND len(string_split(l, ' ')) >= 5
+          AND NOT contains(lower(l), 'javascript')),
+      per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+               string_agg(l, chr(10) ORDER BY pos) AS ct
+        FROM kept GROUP BY 1)
+      SELECT s.doc_id,
+             COALESCE(p.n_kept, 0) AS n_kept,
+             COALESCE(p.ct, '') AS clean_text,
+             (NOT s.page_flagged AND COALESCE(p.n_kept, 0) >= 3) AS keep
+      FROM spine s LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY doc_id""",
+    "q87_mixture_sample" -> """
+      SELECT doc_id, source FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                 THEN 'c0' ELSE '40' END
+      ORDER BY doc_id""",
+    "q88_gopher_quality" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1)
+      SELECT doc_id, n_words,
+             sum_len / n_words AS mean_word_len,
+             (hash_chars + ell_chars // 3) / n_words AS symbol_ratio,
+             n_alpha / n_words AS alpha_frac,
+             n_stop,
+             (n_words BETWEEN 30 AND 100000
+              AND sum_len / n_words BETWEEN 3.0 AND 10.0
+              AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+              AND n_alpha / n_words >= 0.8
+              AND n_stop >= 2) AS keep
+      FROM agg ORDER BY doc_id""",
+    "q89_dup_ngrams" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g1 AS (
+        SELECT doc_id, sh, COUNT(*) AS c FROM sh WHERE sh IS NOT NULL GROUP BY 1, 2),
+      g2 AS (
+        SELECT sh, COUNT(*) AS nd FROM g1 GROUP BY 1),
+      per AS (
+        SELECT g1.doc_id,
+               CAST(SUM(g1.c) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN g2.nd >= 2 THEN g1.c ELSE 0 END) AS BIGINT) AS n_shared
+        FROM g1 JOIN g2 USING (sh) GROUP BY 1)
+      SELECT doc_id, n_shingles, n_shared,
+             n_shared / n_shingles AS shared_frac,
+             n_shared / n_shingles < 0.6 AS keep
+      FROM per ORDER BY doc_id""",
   )
 }

@@ -201,6 +201,94 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** SemDeDup-style cluster-scoped embedding near-duplicate pairs
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means cluster the
+    * corpus, then compare pairs ONLY within a cluster — the all-pairs
+    * join shrinks from N²/2 to Σ|cluster|²/2, and at scale each
+    * cluster's self-join is an independent shuffle partition (join key
+    * = list_id). Reuses the IVF coarse quantizer (`ivfBuild`, seeded
+    * KMeans → deterministic), so the clustering cost is shared with
+    * the ANN index when both are needed.
+    *
+    * Recall is bounded by true near-dup pairs straddling a cluster
+    * boundary; semantically near-identical vectors (the high-threshold
+    * regime SemDeDup targets) quantize to the same centroid almost
+    * always — `SemDedupSpec` pins measured recall against the exact
+    * all-pairs baseline (`cosineNearDupPairs`). Size nClusters ≈
+    * N/targetClusterRows; a pathologically hot cluster can recurse
+    * (re-cluster its members) without changing the interface.
+    *
+    * The per-call index is released in `finally`: the returned frame
+    * stays correct (the plan re-derives assignments from the
+    * driver-held fit model — a cheap projection; the KMeans FIT never
+    * re-runs), it just isn't served from cache. Long-lived callers
+    * should hold an `ivfBuild` index and pass it to the 2-arg form. */
+  def semDedupPairs(emb: DataFrame, nClusters: Int, threshold: Double): DataFrame = {
+    val index = ivfBuild(emb, nClusters)
+    try semDedupPairs(index, threshold)
+    finally index.release()
+  }
+
+  /** Cluster-scoped near-dup pairs over an already-built index.
+    *
+    * `nAssign = 2`: each vector joins its 2 nearest clusters, not just
+    * its own — the standard recall repair for pairs straddling a
+    * cluster boundary (the same idea as `ivfSearch`'s nProbe, applied
+    * symmetrically to the corpus). Measured on the driver testdata at
+    * threshold 0.4: single-assignment recall 0.50 vs exact all-pairs;
+    * nAssign=2 recovers the boundary pairs (SemDedupSpec pins ≥ 0.8).
+    * Cost: 2× candidate rows, same per-cluster join shape.
+    *
+    * The 2nd-nearest centroid is computed as a PROJECTION: per-row
+    * distances to every centroid unroll into codegen'd DotProduct
+    * columns (centroids are driver-held and tiny — the KMeans model
+    * itself is a driver object), then one small array_sort picks the
+    * top `nAssign`. No N×nClusters row blow-up, no extra shuffle —
+    * the alternative (cross-join against the centroid frame + window
+    * per vid) would shuffle nClusters× the corpus. For very large
+    * nClusters (≳10³) recurse hierarchically instead of widening the
+    * plan. */
+  def semDedupPairs(index: IvfIndex, threshold: Double, nAssign: Int = 2): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = index.centroids
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val ranked = cents.map { case (i, c) =>
+      val cArr = typedLit(c)
+      val c2 = c.map(x => x * x).sum
+      // euclidean d2 = |x|² − 2·x·c + |c|²; struct ordering sorts by
+      // d2 first, centroid id breaks exact ties deterministically
+      struct((col("cn") * col("cn") - lit(2.0) * dot(col("ce"), cArr) + lit(c2)).as("d2"),
+        lit(i).as("cl"))
+    }
+    val multi = index.assigned
+      .withColumn("s", explode(slice(array_sort(array(ranked: _*)), 1, nAssign)))
+      .select(col("s.cl").as("gid"), col("vid"), col("ce"), col("cn"))
+    val a = multi.select(col("gid"), col("vid").as("a"),
+      col("ce").as("ea"), col("cn").as("na"))
+    val b = multi.select(col("gid"), col("vid").as("b"),
+      col("ce").as("eb"), col("cn").as("nb"))
+    a.join(b, Seq("gid"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      // a pair can share both of its ends' assigned clusters — emit once
+      .select("a", "b").distinct()
+      .orderBy("a", "b")
+  }
+
+  /** SemDeDup keep-list: drop every vector that has a near-duplicate
+    * with a smaller id (any `b` of a pair) — the deterministic
+    * "keep one representative per duplicate group" policy. One
+    * broadcast-able anti-join against the (tiny) drop set. */
+  def semDedupKeep(emb: DataFrame, nClusters: Int, threshold: Double): DataFrame = {
+    val drops = semDedupPairs(emb, nClusters, threshold)
+      .select(col("b").as("vec_id")).distinct()
+    emb.join(drops, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range
     * (correctness slice; the scale path is `lshNearDupPairs`). */
   def cosineNearDupPairs(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {

@@ -149,6 +149,92 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning" §2.2): line-level rules — keep only lines
+    * that end in terminal punctuation, have at least `minWords` words,
+    * and don't mention javascript — plus page-level rules — drop pages
+    * containing "lorem ipsum" or a curly brace, or with fewer than
+    * `minLines` surviving lines.
+    *
+    * Shape for scale: lines become FLAT ROWS (posexplode — the text
+    * family's codegen-friendly form), the line rules are pushed-down
+    * predicates on those rows (dropped lines never reach the shuffle),
+    * and the cleaned page is reassembled with one ordered per-doc
+    * window + group-by. Every rule is a codegen'd builtin (rlike /
+    * contains / size-split); page-level flags ride along from the
+    * pre-explode projection so no second scan of `documents` is needed.
+    * Docs whose every line is dropped still emit a row (left join back
+    * to the doc spine) with an empty `clean_text` — the caller sees
+    * every input doc exactly once with its `keep` verdict. */
+  def c4Clean(docs: DataFrame, textCol: String = "page",
+              minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val spine = docs.select(col("doc_id"),
+      (lower(col(textCol)).contains("lorem ipsum") ||
+        col(textCol).contains("{")).as("page_flagged"))
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), trim(col("line")).as("l"))
+    val kept = lines.where(
+      col("l").rlike("[.!?\"]$") &&
+        size(split(col("l"), " ")) >= minWords &&
+        !lower(col("l")).contains("javascript"))
+    // ordered reassembly: the window's frame spans the whole doc, so
+    // every row carries the full kept-line list in pos order; the
+    // group-by then reduces to one row per doc (max = the shared value)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perDoc = kept
+      .withColumn("ct", array_join(collect_list(col("l")).over(w), "\n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("ct")).as("ct"))
+    spine.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("ct"), lit("")).as("clean_text"),
+        (!col("page_flagged") && coalesce(col("n_kept"), lit(0)) >= minLines).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic source-mixture resampling: downsample each source
+    * (domain) to a target retention `weight` in [0,1] — the mixture-
+    * reweighting step a pretraining pipeline runs to hit target domain
+    * proportions. Selection is the same content-free 256-bucket md5
+    * key as `hashSplit`, so it's reproducible, append-stable, and
+    * composes with the split (a doc's split never depends on whether
+    * its source was downweighted). A pure projection — zero shuffles;
+    * the weight table compiles into the plan as a CASE chain (sources
+    * are a handful of literals, not data). Weight ≥ 1.0 keeps all. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    // 'zz' sorts above every lowercase-hex key — the keep-all sentinel
+    def thr(w: Double): String =
+      if (w >= 1.0) "zz" // sorts above all hex — keep-all
+      // cap at 255: a 256 ("100") would string-compare BELOW "ff"
+      else f"${math.min(255L, math.max(0L, math.round(w * 256))).toInt}%02x"
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultWeight))) {
+      case (acc, (src, w)) => when(col("source") === src, lit(thr(w))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 2) < cut)
+      .orderBy("doc_id")
+  }
+
+  /** Word `n`-gram shingles as flat rows (doc_id, sh) — the text
+    * family's codegen-friendly shape (posexplode + lead windows, no
+    * interpreted array HOFs). Shared by the decontamination and
+    * inter-document duplication operators so their shingle convention
+    * (lower+trim, single-space tokens) stays identical. */
+  private def shingleRows(df: DataFrame, n: Int): DataFrame = {
+    val tok = df.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until n).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    withNext.where(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*).as("sh"))
+  }
+
   /** Eval-set decontamination: flag corpus documents sharing word
     * `n`-gram shingles with a (small) eval/benchmark set — the overlap
     * check every training pipeline runs before a model sees the data
@@ -161,22 +247,96 @@ object TrainingData {
     * `minOverlap` shared shingles. */
   def decontaminate(corpus: DataFrame, eval: DataFrame,
                     n: Int = 3, minOverlap: Int = 1): DataFrame = {
-    def shingles(df: DataFrame): DataFrame = {
-      val tok = df.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val withNext = (1 until n).foldLeft(tok) { (d, i) =>
-        d.withColumn(s"w$i", lead(col("w"), i).over(w))
-      }
-      withNext.where(col(s"w${n - 1}").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*).as("sh"))
-    }
-    val evalSet = shingles(eval).select("sh").distinct()
-    shingles(corpus)
+    val evalSet = shingleRows(eval, n).select("sh").distinct()
+    shingleRows(corpus, n)
       .join(broadcast(evalSet), Seq("sh")) // semi shape: count-distinct below dedups
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1): per-document word-level metrics and the composite
+    * keep verdict — word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and `...`), fraction of words with an
+    * alphabetic character, and a minimum stop-word count.
+    *
+    * Shape for scale: ONE token explode feeding ONE hash aggregation
+    * with map-side partial combine (the repetitionFilter shape minus
+    * the window — no ordering is needed, so tokens go straight from
+    * the explode into the aggregate). Every metric is a codegen'd
+    * builtin over the token rows; ratios are single double divisions
+    * of exact long operands (oracle-stable). Thresholds are Gopher's
+    * published values by default; testdata docs are short word soup,
+    * so driver queries lower `minWords`. */
+  def gopherQuality(docs: DataFrame,
+                    minWords: Long = 50, maxWords: Long = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                    minStopWords: Long = 2): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that", "with", "for")
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("sum_len"),
+        count(when(col("w").rlike("[a-z]"), true)).as("n_alpha"),
+        count(when(col("w").isInCollection(stop), true)).as("n_stop"),
+        // '#' chars and non-overlapping '...' runs, counted by length
+        // delta under replace — both engines share these semantics
+        sum(length(col("w")) - length(translate(col("w"), "#", ""))).as("hash_chars"),
+        sum(length(col("w")) - length(regexp_replace(col("w"), "\\.\\.\\.", ""))).as("ell_chars"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len") / col("n_words")).as("mean_word_len"),
+        ((col("hash_chars") + expr("ell_chars div 3")) / col("n_words")).as("symbol_ratio"),
+        (col("n_alpha") / col("n_words")).as("alpha_frac"),
+        col("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStopWords)
+      .orderBy("doc_id")
+  }
+
+  /** Inter-document duplicated `n`-gram fraction (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the corpus-level companion to `repetitionFilter`'s intra-doc
+    * metrics): for each document, the fraction of its shingle
+    * OCCURRENCES whose shingle also appears in at least one other
+    * document. High fractions mark boilerplate/templated docs that
+    * near-dup pair joins miss (the duplication is many-way diffuse,
+    * not pairwise).
+    *
+    * Shape for scale: flat shingle rows → (doc, shingle) counts with
+    * map-side combine → shingle document-frequency over that already-
+    * reduced frame (never the raw occurrence rows) → join back on the
+    * shingle key → per-doc totals. All four stages are hash
+    * aggregations/joins on bounded-width rows; nothing materializes
+    * per-doc arrays. The doc-frequency frame is corpus-vocabulary
+    * sized; at 100 TB both sides of the shingle join shuffle on the
+    * same key, so AQE plans a co-partitioned sort-merge with no
+    * replication. */
+  def dupNgramFraction(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    // consumed twice (doc-frequency agg + the join-back): persist and
+    // materialize so the shingle explode/window pipeline runs ONCE —
+    // Spark re-executes shared subplans otherwise (the minhash
+    // signatures pattern; Verify/Bench release between queries)
+    val perDocSh = shingleRows(docs, n)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perDocSh.count()
+    // one row per (doc, shingle) upstream, so doc frequency = count(*)
+    val docFreq = perDocSh.groupBy("sh").agg(count(lit(1)).as("nd"))
+    perDocSh.join(docFreq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_shingles"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") / col("n_shingles")).as("shared_frac"))
+      .withColumn("keep", col("shared_frac") < threshold)
       .orderBy("doc_id")
   }
 }

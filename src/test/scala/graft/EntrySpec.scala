@@ -13,7 +13,8 @@ class EntrySpec extends SparkSpec {
   test("every declared query has either an oracle or is known rows-only") {
     val rowsOnly = Set("q36_minhash_pairs", "q37_simhash", "q40_ann_lsh",
       "q50_multimodal_features", "q55_winnow_fp", "q56_ivf_topk",
-      "q61_lsh_near_dup", "q65_simhash_pairs", "q73_winnow_pairs")
+      "q61_lsh_near_dup", "q65_simhash_pairs", "q73_winnow_pairs",
+      "q85_semdedup")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

@@ -67,6 +67,86 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3, 0L), (1L, 3, 0L), (2L, 3, 1L), (3L, 3, 1L)))
   }
 
+  test("c4Clean: line and page rules match hand evaluation") {
+    val pages = Seq(
+      // line1 keep (6 words, '.'); line2 drop (no terminal punct);
+      // line3 drop (2 words); line4 keep (6 words, '!')
+      1L -> ("this line has five words here.\nno terminal punctuation line\n" +
+        "short one.\nanother good long sentence ends properly!"),
+      // both lines keep, but the page mentions lorem ipsum -> flagged
+      2L -> ("contains lorem ipsum somewhere in a sentence.\n" +
+        "this otherwise fine line has many words."),
+      // line1 drop (javascript); line2 keeps but '{' flags the page
+      3L -> "javascript must be enabled to proceed now.\nthis brace { breaks the page rule.",
+      // nothing survives: still one output row, empty clean_text
+      4L -> "nope\nnah").toDF("doc_id", "page")
+    val out = TrainingData.c4Clean(pages, minWords = 5, minLines = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2, "this line has five words here.\n" +
+      "another good long sentence ends properly!", true)))
+    assert(out(2L)._1 == 2 && !out(2L)._3)
+    assert(out(3L) == ((1, "this brace { breaks the page rule.", false)))
+    assert(out(4L) == ((0, "", false)))
+  }
+
+  test("mixtureSample: deterministic per-source hash-threshold retention") {
+    val d = (0L until 3000L).map(i =>
+      (i, s"t$i", "en", Seq("a", "b", "c")((i % 3).toInt), 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TrainingData.mixtureSample(d, Map("a" -> 0.5, "b" -> 0.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("b"), "weight 0.0 must drop every doc")
+    assert(bySrc("c") == 1000, "unlisted source takes defaultWeight 1.0")
+    val a = bySrc("a")
+    assert(a > 400 && a < 600, s"weight 0.5 retention off: $a/1000")
+    // thresholds are monotone: a lower weight keeps a SUBSET (stable
+    // under reweighting — docs don't churn in and out of the mixture)
+    val tighter = TrainingData.mixtureSample(d, Map("a" -> 0.25, "b" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tighter.filter(_._2 == "a").subsetOf(out.toSet))
+    val again = TrainingData.mixtureSample(d, Map("a" -> 0.5, "b" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("gopherQuality: each rule trips on its planted document") {
+    val good = (1 to 8).map(_ => "the quick brown fox jumps over a lazy dog daily").mkString(" ")
+    val d = docs(
+      1L -> good,                                  // 80 words, stopwords, all alpha
+      2L -> "the quick brown fox with a dog",      // 7 words < minWords
+      3L -> good.replace("quick", "#### ####"),    // symbol ratio blows past 0.1
+      4L -> (1 to 40).map(i => s"$i $i").mkString(" "), // digits: alpha_frac 0
+      5L -> (1 to 8).map(_ => "quick brown fox jumps over lazy dog gates daily here").mkString(" "))
+      // 5: 80 words but zero stop words
+    val out = TrainingData.gopherQuality(d, minWords = 30).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+    val row1 = TrainingData.gopherQuality(d, minWords = 30).collect()
+      .find(_.getLong(0) == 1L).get
+    assert(row1.getLong(1) == 80)
+    assert(row1.getDouble(2) == good.replace(" ", "").length.toDouble / 80)
+    assert(row1.getDouble(4) == 1.0 && row1.getLong(5) == 16) // 'the'+'a' per repeat
+  }
+
+  test("dupNgramFraction: shared occurrences counted per hand evaluation") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",  // shingles: abc, bcd — abc shared with doc 2
+      2L -> "alpha beta gamma epsilon", // abg... shares 'alpha beta gamma' with 1
+      3L -> "zeta eta theta iota")      // nothing shared
+    val out = TrainingData.dupNgramFraction(d, 3, 0.6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // each doc has 2 trigrams; docs 1/2 share exactly 'alpha beta gamma'
+    assert(out(1L) == ((2L, 1L, true)))
+    assert(out(2L) == ((2L, 1L, true)))
+    assert(out(3L) == ((2L, 0L, true)))
+    // a doc that IS boilerplate: all shingles shared -> keep=false
+    val rep = docs(1L -> "one two three four", 2L -> "one two three four")
+    val o2 = TrainingData.dupNgramFraction(rep, 3, 0.6).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(o2(1L) == ((1.0, false)) && o2(2L) == ((1.0, false)))
+  }
+
   test("decontaminate: counts distinct shared 3-gram shingles") {
     val eval = docs(1L -> "the quick brown fox jumps")
     val corpus = docs(
