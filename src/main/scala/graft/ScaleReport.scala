@@ -37,6 +37,12 @@ object ScaleReport {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // optional section allowlist (minhash,simhash,cc,ann,text,curation,
+    // semdedup) for isolating one family — host-level stall noise makes
+    // whole-report timings incomparable across runs (CLAUDE.md round 4)
+    val sections = sys.env.get("SCALE_SECTIONS")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    def section(name: String): Boolean = sections.isEmpty || sections(name)
     def timed(name: String)(body: => Long): Long = {
       val t0 = System.nanoTime()
       val rows = body
@@ -53,40 +59,47 @@ object ScaleReport {
     println(s"""{"op":"corpus","docs":$nDocs,"vecs":$nVecs,"dir":"$sfDir"}""")
 
     // MinHash-LSH family: candidate volume vs verified volume
-    val mhCand = timed("minhash_candidates") {
-      Dedup.minhashCandidatePairs(docs).count()
+    if (section("minhash")) {
+      val mhCand = timed("minhash_candidates") {
+        Dedup.minhashCandidatePairs(docs).count()
+      }
+      val mhVerified = timed("minhash_pairs_full") {
+        Dedup.minhashPairs(docs, 0.5).count()
+      }
+      println(s"""{"op":"minhash_ratio","candidates":$mhCand,"verified":$mhVerified}""")
     }
-    val mhVerified = timed("minhash_pairs_full") {
-      Dedup.minhashPairs(docs, 0.5).count()
-    }
-    println(s"""{"op":"minhash_ratio","candidates":$mhCand,"verified":$mhVerified}""")
 
     // SimHash block-combination banding, UNBOUNDED corpus (the driver
     // query caps maxId at 2000; the scale question is full-corpus
     // candidate volume). Measure both key widths: B=3 (84 tables,
     // ~20-bit keys) vs B=4 (210 tables, ~24-bit keys).
-    val shCand3 = timed("simhash_candidates_b3") {
-      Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 3).count()
+    if (section("simhash")) {
+      val shCand3 = timed("simhash_candidates_b3") {
+        Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 3).count()
+      }
+      val shCand4 = timed("simhash_candidates_b4") {
+        Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
+      }
+      val shVerified = timed("simhash_pairs_full_b4") {
+        Dedup.simhashPairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
+      }
+      println(s"""{"op":"simhash_ratio","candidates_b3":$shCand3,"candidates_b4":$shCand4,"verified":$shVerified}""")
     }
-    val shCand4 = timed("simhash_candidates_b4") {
-      Dedup.simhashCandidatePairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
-    }
-    val shVerified = timed("simhash_pairs_full_b4") {
-      Dedup.simhashPairs(docs, Long.MaxValue, 6, blockChoose = 4).count()
-    }
-    println(s"""{"op":"simhash_ratio","candidates_b3":$shCand3,"candidates_b4":$shCand4,"verified":$shVerified}""")
 
-    timed("near_dup_components_full") {
-      val edges = Dedup.minhashPairs(docs, 0.5).select("a", "b")
-      Dedup.nearDupComponents(docs, edges, Long.MaxValue).count()
-    }
-    timed("dedup_corpus_end_to_end") {
-      Dedup.dedupCorpus(docs, 0.5).count()
+    if (section("cc")) {
+      timed("near_dup_components_full") {
+        val edges = Dedup.minhashPairs(docs, 0.5).select("a", "b")
+        Dedup.nearDupComponents(docs, edges, Long.MaxValue).count()
+      }
+      timed("dedup_corpus_end_to_end") {
+        Dedup.dedupCorpus(docs, 0.5).count()
+      }
     }
 
     // ANN family over the full embeddings table, with measured recall@10
     // against the brute-force ground truth (the approximate paths must
     // not just run fast — they must FIND the neighbors)
+    if (section("ann")) {
     var brute = Set.empty[(Long, Long)]
     timed("cosine_topk_brute") {
       brute = Similarity.cosineTopK(emb, 5, 10)
@@ -106,12 +119,14 @@ object ScaleReport {
     timed("ann_lsh_topk_probe1")(Similarity.annLshTopK(emb, 5, 10, probeRadius = 1).count())
     timed("ivf_topk")(Similarity.ivfTopK(emb, 5, 10, 16, 3).count())
     timed("lsh_near_dup_pairs")(Similarity.lshNearDupPairs(emb, 0.35).count())
+    }
 
     // Text-analysis family over the FULL corpus (the driver queries cap
     // maxId for oracle determinism; scale runs lift the caps) — all
     // linear single-scan shapes, included so the per-SF report covers
     // every LLM-pipeline family, not just dedup/ANN
     import graft.operators.TextAnalysis
+    if (section("text")) {
     timed("token_stats")(TextAnalysis.tokenStats(docs).count())
     timed("quality_score_full")(TextAnalysis.qualityScore(docs, Long.MaxValue).count())
     timed("lang_id_full")(TextAnalysis.langId(docs, Long.MaxValue).count())
@@ -125,6 +140,7 @@ object ScaleReport {
     timed("winnow_pairs_full")(
       TextAnalysis.winnowPairs(docs, Long.MaxValue, 8, 4, 0.8,
         maxDocFreq = 100, minIndexSize = 5).count())
+    }
 
     // Training-data curation family (q79–q87) at the full corpus, no
     // caps: splits/redaction/mixture are pure projections (the time IS
@@ -132,6 +148,7 @@ object ScaleReport {
     // two-level-window shapes whose scaling the scaladoc claims.
     import graft.operators.TrainingData
     import org.apache.spark.sql.functions.{col, regexp_replace}
+    if (section("curation")) {
     timed("hash_split")(TrainingData.hashSplit(docs).count())
     timed("quota_sample")(TrainingData.quotaSample(docs, "lang", 1000).count())
     timed("repetition_filter")(TrainingData.repetitionFilter(docs, 0.2).count())
@@ -148,21 +165,44 @@ object ScaleReport {
       regexp_replace(col("text"), "(\\S+(?: \\S+){5}) ", "$1.\n"))).count())
     timed("mixture_sample")(TrainingData.mixtureSample(docs,
       (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap).count())
+    timed("gopher_quality")(TrainingData.gopherQuality(docs, minWords = 30).count())
+    timed("dup_ngram_fraction")(TrainingData.dupNgramFraction(docs, 3, 0.6).count())
+    }
 
     // SemDeDup: cluster-scoped embedding dedup — log the candidate
     // volume (Σ |cluster| choose 2) the clustering actually produced vs
-    // the N²/2 it replaced, then time the pair scan on the same index
-    val nClusters = math.max(8L, nVecs / 2000).toInt
-    val semIdx = Similarity.ivfBuild(emb, nClusters)
-    // threshold −1 passes every intra-cluster pair → the distinct
-    // candidate volume the nAssign=2 clustering actually produced
-    val semCand = Similarity.semDedupPairs(semIdx, -1.0).count()
-    println(s"""{"op":"semdedup_candidates","clusters":$nClusters,"candidates":$semCand,"all_pairs":${nVecs * (nVecs - 1) / 2}}""")
-    val semVerified = timed("semdedup_pairs") {
-      Similarity.semDedupPairs(semIdx, 0.4).count()
+    // the N²/2 it replaced, then time the pair scan. Candidates scale
+    // as ≈ nAssign² × N × targetClusterRows / 2, so cluster sizing is
+    // THE scale knob: measured at sf1 (20 k vecs), clusterRows=2000
+    // left 77.4 M candidates (only 2.6× under all-pairs) where
+    // clusterRows=200 is ~10× fewer for the same verified set — both
+    // sizings are logged below so the ratio stays pinned empirically.
+    if (section("semdedup")) {
+      // pair-level counts UNDERSTATE dedup quality across sizings (a
+      // duplicate doc is dropped via ANY one of its many pairs), so the
+      // drop-sets are compared too — that's the user-visible output of
+      // semDedupKeep
+      var dropSets = Map.empty[Long, Set[Long]]
+      for (clusterRows <- Seq(2000L, 200L)) {
+        val nClusters = math.max(8L, nVecs / clusterRows).toInt
+        val semIdx = Similarity.ivfBuild(emb, nClusters)
+        // threshold −1 passes every intra-cluster pair → the distinct
+        // candidate volume the nAssign=2 clustering actually produced
+        val semCand = Similarity.semDedupPairs(semIdx, -1.0).count()
+        println(s"""{"op":"semdedup_candidates","cluster_rows":$clusterRows,"clusters":$nClusters,"candidates":$semCand,"all_pairs":${nVecs * (nVecs - 1) / 2}}""")
+        val semVerified = timed(s"semdedup_pairs_k$nClusters") {
+          Similarity.semDedupPairs(semIdx, 0.4).count()
+        }
+        dropSets += clusterRows -> Similarity.semDedupPairs(semIdx, 0.4)
+          .select("b").distinct().collect().map(_.getLong(0)).toSet
+        semIdx.release()
+        println(s"""{"op":"semdedup_ratio","cluster_rows":$clusterRows,"candidates":$semCand,"verified":$semVerified}""")
+      }
+      val (big, small) = (dropSets(2000L), dropSets(200L))
+      val agree = if (big.isEmpty) 1.0
+                  else big.intersect(small).size.toDouble / big.size
+      println(f"""{"op":"semdedup_dropset","drops_k_coarse":${big.size},"drops_k_fine":${small.size},"fine_recall_of_coarse":$agree%.3f}""")
     }
-    semIdx.release()
-    println(s"""{"op":"semdedup_ratio","candidates":$semCand,"verified":$semVerified}""")
 
     val leaked = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"op":"persist_hygiene","leaked_after_release":$leaked}""")

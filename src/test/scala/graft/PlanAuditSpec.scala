@@ -70,6 +70,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(ss.head.metadata.get("PushedFilters").exists(_.contains("LessThan(doc_id")))
   }
 
+  test("q88: gopher metrics are one pruned scan + one aggregate shuffle") {
+    val p = plan("q88_gopher_quality")
+    val ss = scans(p)
+    assert(ss.length == 1)
+    assert(ss.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the token explode feeds the per-doc hash aggregate directly: one
+    // shuffle for the aggregation + the final deterministic sort
+    assert(exchanges.length <= 2, p.toString.take(500))
+  }
+
+  test("q89: both consumers of the (doc,shingle) frame read the cache") {
+    // dupNgramFraction persists + materializes the shingle counts, so
+    // the doc-frequency agg and the join-back must BOTH be cache reads —
+    // zero additional parquet scans (the corpus is scanned exactly once,
+    // inside the cached build)
+    val p = plan("q89_dup_ngrams")
+    val mem = p.collectWithSubqueries {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(mem.length == 2, s"expected 2 cache reads, got ${mem.length}")
+    assert(scans(p).isEmpty, "shingle pipeline leaked a second corpus scan")
+  }
+
   test("minhash/simhash band self-joins never plan as static broadcasts") {
     // The ×bands posexplode is invisible to static size estimation: the
     // planner sees the small signature table and would BROADCAST tens of
