@@ -167,6 +167,9 @@ object ScaleReport {
       (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap).count())
     timed("gopher_quality")(TrainingData.gopherQuality(docs, minWords = 30).count())
     timed("dup_ngram_fraction")(TrainingData.dupNgramFraction(docs, 3, 0.6).count())
+    timed("chunk_split")(TrainingData.chunkSplit(docs, 40).count())
+    timed("tfidf_topk")(
+      TextAnalysis.tfidfTopK(docs, Seq("join", "hash", "scan"), 20).count())
     }
 
     // SemDeDup: cluster-scoped embedding dedup — log the candidate

@@ -461,6 +461,15 @@ object SparkEntry {
     // both verdicts appear at every driver SF
     "q89_dup_ngrams" -> ((s, d) =>
       TrainingData.dupNgramFraction(documents(s, d), 3, 0.6)),
+    // maxLen=40 against 10-99-word docs: 1-3 chunks per doc, so both
+    // the split and the tail-length arithmetic get exercised
+    "q90_chunk_split" -> ((s, d) =>
+      TrainingData.chunkSplit(documents(s, d), 40)),
+    "q91_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(documents(s, d), Seq("join", "hash", "scan"), 20)),
+    // stride 30 < maxLen 40: overlapping RAG-style passage windows
+    "q92_sliding_chunks" -> ((s, d) =>
+      TrainingData.chunkSplit(documents(s, d), 40, 30)),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1238,5 +1247,57 @@ object SparkEntry {
              n_shared / n_shingles AS shared_frac,
              n_shared / n_shingles < 0.6 AS keep
       FROM per ORDER BY doc_id""",
+    "q90_chunk_split" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(unnest(generate_series(0, (n_tok - 1) // 40)) AS INT) AS chunk_id
+        FROM t)
+      SELECT doc_id, chunk_id, n_tok,
+             chunk_id * 40 AS tok_start,
+             least(40, n_tok - chunk_id * 40) AS tok_len
+      FROM c ORDER BY doc_id, chunk_id""",
+    "q91_tfidf_topk" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               COUNT(CASE WHEN w = 'join' THEN 1 END) AS tf0,
+               COUNT(CASE WHEN w = 'hash' THEN 1 END) AS tf1,
+               COUNT(CASE WHEN w = 'scan' THEN 1 END) AS tf2
+        FROM tok GROUP BY 1),
+      df AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+               COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+               COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        FROM tf)
+      SELECT doc_id,
+             tf0 * (n_docs / greatest(df0, 1))
+               + tf1 * (n_docs / greatest(df1, 1))
+               + tf2 * (n_docs / greatest(df2, 1)) AS score
+      FROM tf, df
+      WHERE tf0 * (n_docs / greatest(df0, 1))
+              + tf1 * (n_docs / greatest(df1, 1))
+              + tf2 * (n_docs / greatest(df2, 1)) > 0
+      ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    "q92_sliding_chunks" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(unnest(generate_series(0,
+                 (greatest(0, n_tok - 40) + 29) // 30)) AS INT) AS chunk_id
+        FROM t)
+      SELECT doc_id, chunk_id, n_tok,
+             chunk_id * 30 AS tok_start,
+             least(40, n_tok - chunk_id * 30) AS tok_len
+      FROM c ORDER BY doc_id, chunk_id""",
   )
 }

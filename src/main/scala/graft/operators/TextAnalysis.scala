@@ -225,4 +225,44 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .orderBy("doc_id")
+
+  /** TF-IDF relevance scoring for a small literal term set, top-k docs —
+    * the classic IR ranking primitive (the linear-idf form: weight =
+    * N/df, no log, so the score is a FIXED-ORDER sum of exact-operand
+    * divisions and stays oracle-deterministic; libm `ln` differs across
+    * engines in the last ulp).
+    *
+    * Shape for scale: term frequencies pivot into one column PER TERM
+    * during a single hash aggregation (terms are a handful of literals,
+    * not data — no (doc,term) tall frame, no second shuffle), document
+    * frequencies reduce to ONE row that broadcast-joins back, and the
+    * score is a projection. Top-k via global sort of the scored frame;
+    * rows with score 0 are dropped before the sort so at corpus scale
+    * only matching docs move. */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "terms must be a small literal set")
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    // consumed twice (df reduction + the scored projection): persist and
+    // materialize so the explode/agg pipeline runs once (minhash pattern;
+    // Verify/Bench release between queries)
+    val tf = tok.groupBy("doc_id")
+      .agg(count(when(col("w") === terms.head, true)).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          count(when(col("w") === t, true)).as(s"tf${i + 1}")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val dfRow = tf.agg(
+      count(lit(1)).as("n_docs"),
+      terms.indices.map(i => count(when(col(s"tf$i") > 0, true)).as(s"df$i")): _*)
+    val score = terms.indices.map(i =>
+      col(s"tf$i") * (col("n_docs") / greatest(col(s"df$i"), lit(1L))))
+      .reduce(_ + _)
+    tf.crossJoin(broadcast(dfRow))
+      .withColumn("score", score)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
 }

@@ -205,18 +205,44 @@ object TrainingData {
     * the weight table compiles into the plan as a CASE chain (sources
     * are a handful of literals, not data). Weight ≥ 1.0 keeps all. */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
-                    defaultWeight: Double = 1.0): DataFrame = {
+                    defaultWeight: Double = 1.0): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .where(hashKey(col("doc_id")) < mixtureCut(weights, defaultWeight))
+      .orderBy("doc_id")
+
+  /** The per-source retention threshold as a CASE chain over literal
+    * thresholds (the weight table is a handful of sources, not data). */
+  private def mixtureCut(weights: Map[String, Double], defaultWeight: Double): Column = {
     // 'zz' sorts above every lowercase-hex key — the keep-all sentinel
     def thr(w: Double): String =
       if (w >= 1.0) "zz" // sorts above all hex — keep-all
       // cap at 255: a 256 ("100") would string-compare BELOW "ff"
       else f"${math.min(255L, math.max(0L, math.round(w * 256))).toInt}%02x"
-    val cut = weights.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultWeight))) {
+    weights.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultWeight))) {
       case (acc, (src, w)) => when(col("source") === src, lit(thr(w))).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("source"))
-      .where(substring(md5(col("doc_id").cast("string")), 1, 2) < cut)
-      .orderBy("doc_id")
+  }
+
+  /** Streaming-safe curation pass: split assignment, source-mixture
+    * retention, and PII redaction composed into ONE stateless
+    * projection — no sort, no aggregation, no state store — so the
+    * same call works identically under `readStream` for an ingestion
+    * path that curates documents as they arrive
+    * (`StreamingCurationSpec` pins batch/stream row-level parity).
+    * The content-free md5 keys keep every decision reproducible: a
+    * document admitted by the stream is the document the batch
+    * backfill admits. */
+  def curateStream(docs: DataFrame, weights: Map[String, Double] = Map.empty,
+                   defaultWeight: Double = 1.0): DataFrame = {
+    val k = hashKey(col("doc_id"))
+    docs
+      .where(k < mixtureCut(weights, defaultWeight))
+      .select(col("doc_id"), col("source"),
+        when(k < "cd", "train").when(k < "e6", "val").otherwise("test").as("split"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"))
   }
 
   /** Word `n`-gram shingles as flat rows (doc_id, sh) — the text
@@ -299,6 +325,34 @@ object TrainingData {
           col("alpha_frac") >= minAlphaFrac &&
           col("n_stop") >= minStopWords)
       .orderBy("doc_id")
+  }
+
+  /** Context-window chunking: split each document into `maxLen`-token
+    * windows every `stride` tokens — the step between token-budget
+    * sharding (`tokenPack`) and actual sequence assembly. With
+    * `stride = maxLen` (default) the windows tile the document
+    * (pretraining chunks); with `stride < maxLen` they overlap
+    * (RAG-style passage extraction, where boundary-straddling content
+    * must appear whole in some window). A pure projection + one
+    * `sequence` explode (rows out = windows in the corpus, no shuffle
+    * except the deterministic output sort): each row carries its
+    * 0-based index, token offset, and length, so a downstream
+    * tokenizer slices text without re-counting. Integer-only
+    * arithmetic (`div`, not floor-of-double): window counts stay
+    * exact past 2^53 corpus tokens. Windows = 1 + ⌈max(0, n − maxLen)
+    * / stride⌉, so every doc emits at least one row and the last
+    * window always reaches the document's end. */
+  def chunkSplit(docs: DataFrame, maxLen: Int, stride: Int = 0): DataFrame = {
+    val st = if (stride <= 0) maxLen else stride
+    require(st <= maxLen, "stride beyond maxLen would skip tokens")
+    docs.select(col("doc_id"), size(toks(col("text"))).as("n_tok"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          expr(s"(greatest(0, n_tok - $maxLen) + $st - 1) div $st").cast("int"))))
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        (col("chunk_id") * st).as("tok_start"),
+        least(lit(maxLen), col("n_tok") - col("chunk_id") * st).as("tok_len"))
+      .orderBy("doc_id", "chunk_id")
   }
 
   /** Inter-document duplicated `n`-gram fraction (Lee et al. 2021,

@@ -94,4 +94,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getLong(2) == 5L) // sum_tokens
     assert(out.head.getInt(3) == 2 && out.head.getInt(4) == 3)
   }
+
+  test("tfidfTopK: linear-idf scores and ranking match hand evaluation") {
+    // corpus of 4: 'join' in docs 1,2 (df=2); 'hash' only in doc 3 (df=1)
+    val d = docs(
+      (1L, "join join other words", "en"),
+      (2L, "join alone here", "en"),
+      (3L, "hash hash hash rare", "en"),
+      (4L, "nothing relevant at all", "en"))
+    val out = TextAnalysis.tfidfTopK(d, Seq("join", "hash"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // scores: d1 = 2*(4/2) = 4; d2 = 1*(4/2) = 2; d3 = 3*(4/1) = 12
+    assert(out.toSeq == Seq((3L, 12.0), (1L, 4.0), (2L, 2.0)))
+    // no persisted frames leak past the call in a long-lived session?
+    // tfidfTopK persists its tf frame by design (released by the
+    // Verify/Bench per-query cleanup) — just assert determinism here
+    val again = TextAnalysis.tfidfTopK(d, Seq("join", "hash"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -147,6 +147,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(o2(1L) == ((1.0, false)) && o2(2L) == ((1.0, false)))
   }
 
+  test("chunkSplit: chunk count, offsets, and tail length per hand evaluation") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 tok, maxLen 4 -> 3 chunks
+      2L -> (1 to 8).map(i => s"w$i").mkString(" "),  // exactly 2 full chunks
+      3L -> "solo")                                    // 1 token -> 1 chunk
+    val out = TrainingData.chunkSplit(d, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 4), (1L, 1, 4, 4), (1L, 2, 8, 2),
+      (2L, 0, 0, 4), (2L, 1, 4, 4),
+      (3L, 0, 0, 1)))
+  }
+
+  test("chunkSplit with stride: overlapping windows cover the tail exactly once past n") {
+    // 10 tokens, window 4, stride 2: starts 0,2,4,6 (1 + ceil(6/2) = 4)
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
+    val out = TrainingData.chunkSplit(d, 4, 2).collect()
+      .map(r => (r.getInt(1), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq((0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)))
+    // window bigger than the doc: single full-doc window
+    val solo = TrainingData.chunkSplit(docs(1L -> "a b"), 4, 2).collect()
+      .map(r => (r.getInt(1), r.getInt(3), r.getInt(4)))
+    assert(solo.toSeq == Seq((0, 0, 2)))
+  }
+
   test("decontaminate: counts distinct shared 3-gram shingles") {
     val eval = docs(1L -> "the quick brown fox jumps")
     val corpus = docs(
