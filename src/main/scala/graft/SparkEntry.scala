@@ -470,6 +470,10 @@ object SparkEntry {
     // stride 30 < maxLen 40: overlapping RAG-style passage windows
     "q92_sliding_chunks" -> ((s, d) =>
       TrainingData.chunkSplit(documents(s, d), 40, 30)),
+    // q72's closure with quality-aware canonical selection: keep the
+    // LONGEST member of each near-dup component, not the min id
+    "q93_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(documents(s, d), 500L, 0.5)),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1299,5 +1303,30 @@ object SparkEntry {
              chunk_id * 30 AS tok_start,
              least(40, n_tok - chunk_id * 30) AS tok_len
       FROM c ORDER BY doc_id, chunk_id""",
+    "q93_dedup_keep_best" -> """
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                 FROM documents WHERE doc_id < 500),
+      s AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter,
+              CAST(len(a.sh) AS INT) AS na, CAST(len(b.sh) AS INT) AS nb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      pairs AS (SELECT a, b FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+      e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1),
+      q AS (SELECT doc_id, CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok
+            FROM documents WHERE doc_id < 500),
+      j AS (SELECT c.doc_id, c.component, q.n_tok FROM comp c JOIN q USING (doc_id))
+      SELECT doc_id, component, n_tok,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY component
+               ORDER BY n_tok DESC, doc_id ASC) AS canonical,
+             doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY component
+               ORDER BY n_tok DESC, doc_id ASC) AS keep
+      FROM j ORDER BY doc_id""",
   )
 }

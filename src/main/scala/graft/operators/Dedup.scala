@@ -397,6 +397,34 @@ object Dedup {
       Seq("doc_id"))
   }
 
+  /** Dedup with QUALITY-AWARE canonical selection: near-dup components
+    * (exact-verified Jaccard pairs → connected components, the q72
+    * closure) keep their LONGEST member instead of the minimum id —
+    * the "keep the best copy" policy real pipelines prefer, since the
+    * shortest crawl of a duplicated page is usually the truncated one.
+    * Quality key = (token count desc, doc_id asc): integer-exact, so
+    * the choice is deterministic and oracle-checkable.
+    *
+    * One broadcast-sized window per component: `first(doc_id)` over the
+    * quality ordering resolves the canonical member for every row (the
+    * default frame always contains the top row), and `keep` falls out
+    * as an equality — no second join, no argmax subquery. Components
+    * are near-dup clusters (tiny — bounded by the verified pair graph),
+    * so the window partitions stay small at any corpus size. */
+  def dedupKeepBest(docs: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val edges = ngramJaccardPairs(docs, maxId, threshold).select("a", "b")
+    val comp = nearDupComponents(docs, edges, maxId)
+    val quality = docs.where(col("doc_id") < maxId)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), " ")).as("n_tok"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    comp.join(quality, Seq("doc_id"))
+      .withColumn("canonical", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("component"), col("n_tok"), col("canonical"),
+        (col("doc_id") === col("canonical")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash per document over distinct 3-gram SHINGLE features
     * (Manku, Jain & Sarma, WWW 2007 §3 — phrase features, not unigrams):
     * each shingle's hash votes ±1 per bit; the sign vector is the

@@ -9,6 +9,20 @@ class DedupSpec extends SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("dedupKeepBest: longest component member is canonical, not min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> base,                       // near-dup of 2, SHORTER
+      2L -> (base + " iota kappa"),     // longest in the component -> canonical
+      3L -> "totally different words here that overlap with nothing at all")
+    val out = Dedup.dedupKeepBest(d, 500L, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    // component id stays min-label (1); canonical is the LONGEST member (2)
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((3L, 3L, true))) // singleton keeps itself
+  }
+
   test("firstWins: lowest order key survives per key") {
     val ev = Seq((5L, 1L, "a", 1.0), (2L, 1L, "a", 2.0), (7L, 1L, "b", 3.0))
       .toDF("event_id", "user_id", "event_type", "value")
