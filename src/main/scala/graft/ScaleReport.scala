@@ -205,6 +205,20 @@ object ScaleReport {
       val agree = if (big.isEmpty) 1.0
                   else big.intersect(small).size.toDouble / big.size
       println(f"""{"op":"semdedup_dropset","drops_k_coarse":${big.size},"drops_k_fine":${small.size},"fine_recall_of_coarse":$agree%.3f}""")
+
+      // product-key blocking at guidance-consistent sizing (effective
+      // cells ≈ N/200, kPerHalf = ⌈√cells⌉): candidate volume +
+      // drop-set agreement vs the flat coarse baseline
+      val kHalf = math.ceil(math.sqrt(math.max(8L, nVecs / 200L).toDouble)).toInt
+      val pqCand = Similarity.semDedupPairsPQ(emb, -1.0, kHalf).count()
+      val pqVerified = timed(s"semdedup_pairs_pq$kHalf") {
+        Similarity.semDedupPairsPQ(emb, 0.4, kHalf).count()
+      }
+      val pqDrops = Similarity.semDedupPairsPQ(emb, 0.4, kHalf)
+        .select("b").distinct().collect().map(_.getLong(0)).toSet
+      val pqAgree = if (big.isEmpty) 1.0
+                    else big.intersect(pqDrops).size.toDouble / big.size
+      println(f"""{"op":"semdedup_pq","cells":${kHalf * kHalf},"candidates":$pqCand,"verified":$pqVerified,"drops":${pqDrops.size},"pq_recall_of_coarse":$pqAgree%.3f}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

@@ -426,9 +426,11 @@ object SparkEntry {
     }),
     // SemDeDup: cluster-scoped embedding dedup — KMeans quantizer has
     // no DuckDB equivalent, so rows-only here; SemDedupSpec pins recall
-    // against the exact all-pairs baseline (q46's oracle-checked form)
+    // against the exact all-pairs baseline (q46's oracle-checked form).
+    // Cluster count scales with the corpus (N/200): a hardcoded count
+    // degrades toward all-pairs as the corpus grows (SCALE.md round 4)
     "q85_semdedup" -> ((s, d) =>
-      Similarity.semDedupPairs(embeddings(s, d), 8, 0.4)),
+      Similarity.semDedupPairsAuto(embeddings(s, d), 0.4)),
     "q86_c4_clean" -> ((s, d) => {
       // multi-line pages synthesized deterministically from testdata
       // (documents are single-line word soup) — each rule gets both a

@@ -241,6 +241,28 @@ object Similarity {
     finally index.release()
   }
 
+  /** Corpus-adaptive sizing: nClusters = max(8, N / targetClusterRows),
+    * so the candidate volume stays ≈ nAssign² × N × targetClusterRows/2
+    * at ANY corpus size instead of silently degrading toward all-pairs
+    * as the corpus outgrows a hardcoded cluster count (the measured
+    * failure mode: 8 clusters over 20 k vectors left 77 M candidates —
+    * 2.6× under all-pairs — where N/200 sizing gives 21.5× under with
+    * drop-set agreement 0.98). Costs one `count()` of the corpus.
+    *
+    * Past the flat form's plan-width boundary the call switches to the
+    * product-key blocking automatically: a single k=1000 KMeans plus a
+    * 1000-column assignment projection measured 131 s at 200 k vectors
+    * where two k=32 fits with 64 columns give the same ~1,000 cells —
+    * so k > `widthCap` routes to `semDedupPairsPQ(kPerHalf = ⌈√k⌉)`. */
+  def semDedupPairsAuto(emb: DataFrame, threshold: Double,
+                        targetClusterRows: Long = 200L,
+                        widthCap: Int = 512): DataFrame = {
+    val k = math.max(8L, emb.count() / targetClusterRows).toInt
+    if (k <= widthCap) semDedupPairs(emb, k, threshold)
+    else semDedupPairsPQ(emb, threshold,
+      kPerHalf = math.ceil(math.sqrt(k.toDouble)).toInt)
+  }
+
   /** Cluster-scoped near-dup pairs over an already-built index.
     *
     * `nAssign = 2`: each vector joins its 2 nearest clusters, not just
@@ -284,6 +306,68 @@ object Similarity {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       // a pair can share both of its ends' assigned clusters — emit once
+      .select("a", "b").distinct()
+      .orderBy("a", "b")
+  }
+
+  /** Two-level SemDeDup blocking — the path past the flat form's
+    * plan-width boundary (k ≳ 10³ unrolled distance columns): the cell
+    * key is the PRODUCT of two independent coarse quantizers fit on
+    * the two halves of the embedding, giving k² effective cells for
+    * only 2k unrolled columns (k=32 → 1,024 cells from 64 columns;
+    * k=1024 → a million cells from 2,048 — enough that a 10⁹-vector
+    * corpus keeps ~10³-row cells without a driver-side loop of
+    * per-cell re-clustering). Near-identical vectors quantize
+    * identically in BOTH halves, so true near-dup pairs stay
+    * co-celled; `nAssign` nearest cells PER HALF repairs boundary
+    * pairs (a pair escapes only if it straddles in a half where
+    * neither end's second-nearest covers it). Precision stays 1.0 —
+    * every candidate passes the exact full-vector cosine check.
+    * Each vector lands in nAssign² cells (4 at the default), the
+    * same candidate multiplier as the flat form's nAssign=2.
+    *
+    * The per-half argmin drops the |h|² term: it is constant per row,
+    * so ranking by −2·h·c + |c|² picks the same centroid with one
+    * fewer dot product per column. */
+  def semDedupPairsPQ(emb: DataFrame, threshold: Double, kPerHalf: Int = 32,
+                      nAssign: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val dim = base.select(size(col("e"))).head.getInt(0)
+    val half = dim / 2
+    def fitHalf(lo: Int, len: Int, seed: Long): Array[Seq[Double]] = {
+      val vecs = base.select(slice(col("e"), lo, len).as("h"))
+        .withColumn("features", array_to_vector(col("h")))
+      new KMeans().setK(kPerHalf).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cl").fit(vecs)
+        .clusterCenters.map(_.toArray.toSeq)
+    }
+    val cents1 = fitHalf(1, half, 42L)
+    val cents2 = fitHalf(half + 1, dim - half, 43L)
+    def rankedCells(cents: Array[Seq[Double]], h: Column): Column = {
+      val structs = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(h, typedLit(c))).as("d2"),
+          lit(i).as("cl"))
+      }
+      slice(array_sort(array(structs.toIndexedSeq: _*)), 1, nAssign)
+    }
+    val multi = base
+      .withColumn("s1", explode(rankedCells(cents1, slice(col("e"), 1, half))))
+      .withColumn("s2", explode(rankedCells(cents2, slice(col("e"), half + 1, dim - half))))
+      .select((col("s1.cl") * kPerHalf + col("s2.cl")).as("gid"),
+        col("vec_id"), col("e"), col("nrm"))
+    val a = multi.select(col("gid"), col("vec_id").as("a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = multi.select(col("gid"), col("vec_id").as("b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("gid"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
       .select("a", "b").distinct()
       .orderBy("a", "b")
   }

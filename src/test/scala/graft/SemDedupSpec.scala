@@ -35,6 +35,20 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == all.diff(drops))
   }
 
+  test("semDedupPairsPQ: product-key blocking keeps precision 1.0, recall >= 0.8") {
+    val exact = Similarity.cosineNearDupPairs(emb, Long.MaxValue, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sizing per the N/targetClusterRows guidance: 500 vectors → ~8
+    // effective cells → kPerHalf 3 (blocking finer than the guidance
+    // sheds boundary pairs — kPerHalf=8 here measured recall 0.65)
+    val got = Similarity.semDedupPairsPQ(emb, 0.4, kPerHalf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(5)}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"recall $recall < 0.8 (${got.size} found, ${exact.size} exact)")
+  }
+
   test("semDedupPairs leaves no new persisted RDDs behind") {
     // the session is shared across suites — assert no NEW cache entries
     val before = spark.sparkContext.getPersistentRDDs.keySet
