@@ -476,6 +476,21 @@ object SparkEntry {
     // LONGEST member of each near-dup component, not the min id
     "q93_dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(documents(s, d), 500L, 0.5)),
+    // the streaming curation pass, exercised as a batch oracle query:
+    // mixture admission + split + redaction in one stateless projection
+    // (same contact synthesis as q82, same weights as q87); the orderBy
+    // is the driver determinism requirement, not part of the operator
+    "q94_curate_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val contact = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), (col("doc_id") % 97).cast("string"),
+        lit("@"), col("source"), lit(".org or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      TrainingData.curateStream(
+        documents(s, d).withColumn("text", contact),
+        (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap)
+        .orderBy("doc_id")
+    }),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1330,5 +1345,28 @@ object SparkEntry {
              doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY component
                ORDER BY n_tok DESC, doc_id ASC) AS keep
       FROM j ORDER BY doc_id""",
+    "q94_curate_stream" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               substring(text, 1, 40) || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                 || '@' || source || '.org or call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS k
+        FROM documents),
+      f AS (
+        SELECT * FROM t
+        WHERE k < CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                       THEN 'c0' ELSE '40' END)
+      SELECT doc_id, source,
+             CASE WHEN k < 'cd' THEN 'train'
+                  WHEN k < 'e6' THEN 'val' ELSE 'test' END AS split,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+      FROM f ORDER BY doc_id""",
   )
 }
