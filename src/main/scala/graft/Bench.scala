@@ -34,12 +34,20 @@ object Bench {
                catch { case _: Throwable => () })
     // Per-query: one untimed warmup run (absorbs first-touch Janino
     // codegen — round-1 showed q37 at 14.9 s cold vs 0.4 s steady), then
-    // the MIN of 3 timed reps. Min, not median: this box shows bursty
+    // the MIN over 3 timed reps. Min, not median: this box shows bursty
     // host-level stalls (round 4 measured the identical 89-query suite
     // at 67 s and 161 s back-to-back, with *different* queries slow each
     // time — 20 s medians on queries whose steady state is 0.3 s). Stall
     // noise is strictly additive, so the minimum is the throughput
     // signal; a median absorbs any stall window spanning 2 of 3 reps.
+    //
+    // Reps are INTERLEAVED round-robin across the whole suite (pass 1
+    // runs every query once, then pass 2, then pass 3) instead of
+    // back-to-back per query: round 4's artifact showed that a stall
+    // window spanning one query's 4 consecutive runs defeats a
+    // back-to-back min (q56 reported 77.8 s vs 2.1 s steady-state).
+    // With interleaving, a query's reps sit minutes apart, so a stall
+    // must span the ENTIRE suite ×3 to survive into the reported min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Persist hygiene: the dedup/similarity family persists intermediates
     // (and GraphX caches internally); release everything between queries
@@ -56,19 +64,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => only(k) }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warmup (untimed)
-      val times = Seq.fill(reps)(once()).sorted
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => only(k) }.toSeq
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
       releasePersisted()
-      name -> times.head
+      sec
     }
+    // pass 0 = untimed warmup of every query, then `reps` full timed
+    // passes; report each query's min across passes
+    selected.foreach { case (_, fn) => once(fn) }
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to reps; (name, fn) <- selected) {
+      val t = once(fn)
+      if (!best.contains(name) || t < best(name)) best(name) = t
+    }
+    val results = best
     if (spark.sparkContext.getPersistentRDDs.nonEmpty)
       System.err.println(s"[bench] WARNING: ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs leaked past cleanup")
     // Millisecond precision keeps the one-line JSON compact: the driver

@@ -219,6 +219,34 @@ object ScaleReport {
       val pqAgree = if (big.isEmpty) 1.0
                     else big.intersect(pqDrops).size.toDouble / big.size
       println(f"""{"op":"semdedup_pq","cells":${kHalf * kHalf},"candidates":$pqCand,"verified":$pqVerified,"drops":${pqDrops.size},"pq_recall_of_coarse":$pqAgree%.3f}""")
+
+      // KEEP path with the rank-within-cell early-drop semi join: the
+      // user-visible one-call dedup, at the same auto sizing the pair
+      // scan above used — on a dup-dense corpus this must run well
+      // under the pair scan, since its output is bounded by cell rows
+      // (nAssign²·N) instead of the pair count
+      val keepRows = timed("semdedup_keep_auto") {
+        Similarity.semDedupKeepAuto(emb, 0.4, knownCount = Some(nVecs)).count()
+      }
+      println(s"""{"op":"semdedup_keep","kept":$keepRows,"corpus":$nVecs}""")
+    }
+
+    // IVF index lifecycle: persist the trained index to parquet, rebuild
+    // without a KMeans fit, prove the reloaded search is the built
+    // search (rows compared by the caller's spec; here the timing story:
+    // load ≪ build)
+    if (section("ivfio")) {
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+      timed("ivf_build_and_save") {
+        val idx = Similarity.ivfBuild(emb, 16)
+        Similarity.ivfSave(idx, tmp)
+        idx.release(); 16L
+      }
+      timed("ivf_load_and_search") {
+        val idx = Similarity.ivfLoad(spark, tmp)
+        val n = Similarity.ivfSearch(idx, emb.where(col("vec_id") < 5), 10, 3).count()
+        idx.release(); n
+      }
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

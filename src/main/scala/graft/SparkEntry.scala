@@ -491,6 +491,41 @@ object SparkEntry {
         (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.25)).toMap)
         .orderBy("doc_id")
     }),
+    // the end-to-end one-call dedup artifact (MinHash-LSH candidates →
+    // exact-Jaccard verify → connected components → keep min doc_id per
+    // cluster). Rows-only: the banded-LSH candidate stage has no DuckDB
+    // equivalent; DedupCorpusSpec pins the drop-set against the q93
+    // exact-edge closure on the same slice
+    "q95_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(documents(s, d), 0.5)
+        .select("doc_id").orderBy("doc_id")),
+    // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
+    // drifted per-file headers (case/separator/alias variants keyed off
+    // the source number, q66 pattern) resolved to canonical roles by
+    // ordered candidate lists under normalized matching; sn%5==4 files
+    // carry an unresolvable value header → role row absent
+    "q96_resolve_columns" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sn = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val files = documents(s, d).select(col("source").as("file"), sn.as("sn")).distinct()
+      def hdrRow(pos: Int, hdr: org.apache.spark.sql.Column) =
+        files.select(col("file"), lit(pos).as("pos"), hdr.as("hdr"))
+      val headers = hdrRow(0, lit("Satelite"))
+        .unionAll(hdrRow(1, when(col("sn") % 4 === 0, "DataHoraGMT")
+          .when(col("sn") % 4 === 1, "data_hora")
+          .when(col("sn") % 4 === 2, "DATAHORA").otherwise("Data Hora GMT")))
+        .unionAll(hdrRow(2, when(col("sn") % 3 === 0, "Estado")
+          .when(col("sn") % 3 === 1, "UF").otherwise("ESTADO")))
+        .unionAll(hdrRow(3, when(col("sn") % 5 === 0, "FRP")
+          .when(col("sn") % 5 === 1, "frp_mw")
+          .when(col("sn") % 5 === 2, "Valor")
+          .when(col("sn") % 5 === 3, "FRP").otherwise("potencia")))
+        .unionAll(hdrRow(4, lit("municipio")))
+      graft.sources.ColumnResolver.resolveFrame(headers, Seq(
+        "datetime" -> Seq("DataHoraGMT", "data_hora", "data"),
+        "state" -> Seq("Estado", "UF"),
+        "value" -> Seq("FRP", "frp_mw", "Valor")))
+    }),
   )
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1143,7 +1178,8 @@ object SparkEntry {
                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-             CAST(len(regexp_extract_all(text,
+             CAST(len(regexp_extract_all(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
       FROM t ORDER BY doc_id""",
     "q83_token_pack" -> """
@@ -1365,8 +1401,37 @@ object SparkEntry {
                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-             CAST(len(regexp_extract_all(text,
+             CAST(len(regexp_extract_all(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
       FROM f ORDER BY doc_id""",
+    "q96_resolve_columns" -> """
+      WITH f AS (SELECT DISTINCT source AS file,
+                        CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn
+                 FROM documents),
+      h AS (
+        SELECT file, 0 AS pos, 'Satelite' AS hdr FROM f
+        UNION ALL SELECT file, 1, CASE sn % 4 WHEN 0 THEN 'DataHoraGMT'
+          WHEN 1 THEN 'data_hora' WHEN 2 THEN 'DATAHORA'
+          ELSE 'Data Hora GMT' END FROM f
+        UNION ALL SELECT file, 2, CASE sn % 3 WHEN 0 THEN 'Estado'
+          WHEN 1 THEN 'UF' ELSE 'ESTADO' END FROM f
+        UNION ALL SELECT file, 3, CASE sn % 5 WHEN 0 THEN 'FRP'
+          WHEN 1 THEN 'frp_mw' WHEN 2 THEN 'Valor' WHEN 3 THEN 'FRP'
+          ELSE 'potencia' END FROM f
+        UNION ALL SELECT file, 4, 'municipio' FROM f),
+      c(role, cand_rank, key) AS (VALUES
+        ('datetime', 0, 'datahoragmt'), ('datetime', 1, 'datahora'),
+        ('datetime', 2, 'data'),
+        ('state', 0, 'estado'), ('state', 1, 'uf'),
+        ('value', 0, 'frp'), ('value', 1, 'frpmw'), ('value', 2, 'valor')),
+      k AS (SELECT file, pos, hdr,
+              regexp_replace(lower(hdr), '[^a-z0-9]', '', 'g') AS key FROM h),
+      j AS (SELECT k.file, c.role, k.pos, k.hdr,
+              ROW_NUMBER() OVER (PARTITION BY k.file, c.role
+                ORDER BY c.cand_rank ASC, k.pos DESC) AS rn
+            FROM k JOIN c USING (key))
+      SELECT file, role, CAST(pos AS INT) AS col_idx, hdr AS matched
+      FROM j WHERE rn = 1 ORDER BY file, role""",
   )
 }

@@ -3,8 +3,12 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // session config mirrors Bench's (same cpu env var, same derived
+    // shuffle partitions, same extensions) so regression-chasing runs
+    // are apples-to-apples with the driver's bench artifact
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -13,6 +17,7 @@ object TimeQ {
       // parity (see readCsvs contract); set it here like nanosAsLong so
       // the invariant holds regardless of call order.
       .config("spark.sql.csv.parser.columnPruning.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,6 +46,10 @@ object TimeQ {
         case _ => SparkEntry.queries(name)(spark, sfDir).count()
       }
       println(f"[time] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      // release per rep like Bench does, so persisting queries (minhash/
+      // tfidf family) time the same cold-cache work in both harnesses
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

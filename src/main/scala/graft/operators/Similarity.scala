@@ -132,6 +132,36 @@ object Similarity {
     IvfIndex(centDf, assigned, nList)
   }
 
+  /** Persist a trained IVF index as two parquet tables (`centroids/`,
+    * `assigned/`) so later sessions can search without re-running the
+    * KMeans fit — the FAISS write_index/read_index lifecycle. The
+    * assigned lists are written partitioned by `list_id`: a reloaded
+    * search's probe join then prunes to the probed lists' files at the
+    * scan (partition pruning), which is what makes the on-disk index an
+    * INDEX rather than a copy of the corpus. */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** Rebuild an index from `ivfSave` output: no fit, no assignment —
+    * one small centroid read plus a lazy scan over the assigned lists
+    * (persisted, like `ivfBuild`'s, because a search probes it twice
+    * per query batch at most once-materialized). Search-after-reload
+    * equals search-after-build (`SimilaritySpec` pins it). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val nList = cents.count().toInt
+    val assigned = spark.read.parquet(s"$path/assigned")
+      // partitionBy moved list_id to the end and widened it; restore the
+      // build-time column order and type so the two index forms are
+      // interchangeable frame-for-frame
+      .select(col("vid"), col("ce"), col("cn"), col("list_id").cast("int").as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(cents, assigned, nList)
+  }
+
   /** Search a trained index: each query probes only the `nProbe` lists
     * whose centroids score highest (centroids broadcast — nList rows),
     * candidates shuffle on list id, no cross join against the corpus. */
@@ -256,12 +286,20 @@ object Similarity {
     * so k > `widthCap` routes to `semDedupPairsPQ(kPerHalf = ⌈√k⌉)`. */
   def semDedupPairsAuto(emb: DataFrame, threshold: Double,
                         targetClusterRows: Long = 200L,
-                        widthCap: Int = 512): DataFrame = {
-    val k = math.max(8L, emb.count() / targetClusterRows).toInt
+                        widthCap: Int = 512,
+                        knownCount: Option[Long] = None): DataFrame = {
+    val k = autoK(emb, targetClusterRows, knownCount)
     if (k <= widthCap) semDedupPairs(emb, k, threshold)
     else semDedupPairsPQ(emb, threshold,
       kPerHalf = math.ceil(math.sqrt(k.toDouble)).toInt)
   }
+
+  /** Corpus-adaptive cluster count; `knownCount` lets callers that
+    * already hold the corpus size (ScaleReport, repeated-call drivers)
+    * skip the sizing `count()` scan. */
+  private def autoK(emb: DataFrame, targetClusterRows: Long,
+                    knownCount: Option[Long]): Int =
+    math.max(8L, knownCount.getOrElse(emb.count()) / targetClusterRows).toInt
 
   /** Cluster-scoped near-dup pairs over an already-built index.
     *
@@ -282,7 +320,14 @@ object Similarity {
     * per vid) would shuffle nClusters× the corpus. For very large
     * nClusters (≳10³) recurse hierarchically instead of widening the
     * plan. */
-  def semDedupPairs(index: IvfIndex, threshold: Double, nAssign: Int = 2): DataFrame = {
+  def semDedupPairs(index: IvfIndex, threshold: Double, nAssign: Int = 2): DataFrame =
+    pairsFromCells(flatCells(index, nAssign), threshold)
+
+  /** Cell assignment for the flat (single-quantizer) form: each vector
+    * lands in its `nAssign` nearest clusters → (gid, vid, e, nrm) rows,
+    * nAssign per vector. See `semDedupPairs(index, ...)` for the
+    * projection-not-join rationale. */
+  private def flatCells(index: IvfIndex, nAssign: Int): DataFrame = {
     val cents: Array[(Int, Seq[Double])] = index.centroids
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
     val ranked = cents.map { case (i, c) =>
@@ -293,21 +338,55 @@ object Similarity {
       struct((col("cn") * col("cn") - lit(2.0) * dot(col("ce"), cArr) + lit(c2)).as("d2"),
         lit(i).as("cl"))
     }
-    val multi = index.assigned
-      .withColumn("s", explode(slice(array_sort(array(ranked: _*)), 1, nAssign)))
-      .select(col("s.cl").as("gid"), col("vid"), col("ce"), col("cn"))
-    val a = multi.select(col("gid"), col("vid").as("a"),
-      col("ce").as("ea"), col("cn").as("na"))
-    val b = multi.select(col("gid"), col("vid").as("b"),
-      col("ce").as("eb"), col("cn").as("nb"))
+    index.assigned
+      .withColumn("s", explode(slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nAssign)))
+      .select(col("s.cl").as("gid"), col("vid"), col("ce").as("e"), col("cn").as("nrm"))
+  }
+
+  /** All verified within-cell pairs: the within-cell self-join with the
+    * exact full-vector cosine check. A pair can share both of its ends'
+    * assigned cells — `distinct` emits it once. */
+  private def pairsFromCells(cells: DataFrame, threshold: Double): DataFrame = {
+    val a = cells.select(col("gid"), col("vid").as("a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = cells.select(col("gid"), col("vid").as("b"),
+      col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("gid"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
-      // a pair can share both of its ends' assigned clusters — emit once
       .select("a", "b").distinct()
       .orderBy("a", "b")
+  }
+
+  /** Rank-within-cell EARLY-DROP: the drop set of the keep policy
+    * ("drop any vector with a ≥-threshold neighbor of smaller id")
+    * without materializing the pair list. The within-cell comparison
+    * runs as a LEFT SEMI join — Spark's semi hash join stops probing a
+    * cell's build rows at the FIRST neighbor satisfying
+    * `a < b && cos ≥ threshold`, so a vector with hundreds of
+    * near-duplicates costs one probe, not hundreds of output rows.
+    * On the 99%-dup sf10 corpus the pair form is output-bound (~57 M
+    * pairs, SCALE.md); the semi form's output is bounded by the cell
+    * rows themselves (nAssign per vector), independent of dup density.
+    *
+    * `shuffle_hash` hint on the build side for the same reason as the
+    * band joins: the cells frame EXPLODES a persisted input, so the
+    * static size estimate undercounts and would broadcast 10⁸ rows
+    * (the round-3 driver-kill); AQE may still pick broadcast from
+    * exact runtime sizes. */
+  private def dropsFromCells(cells: DataFrame, threshold: Double): DataFrame = {
+    val probe = cells.select(col("gid"), col("vid").as("b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val build = cells.select(col("gid").as("gidr"), col("vid").as("a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    probe.join(build.hint("shuffle_hash"),
+        col("gid") === col("gidr") && col("a") < col("b") &&
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold,
+        "left_semi")
+      // a vector sits in nAssign cells → up to nAssign semi hits
+      .select(col("b").as("vec_id")).distinct()
   }
 
   /** Two-level SemDeDup blocking — the path past the flat form's
@@ -330,12 +409,18 @@ object Similarity {
     * so ranking by −2·h·c + |c|² picks the same centroid with one
     * fewer dot product per column. */
   def semDedupPairsPQ(emb: DataFrame, threshold: Double, kPerHalf: Int = 32,
-                      nAssign: Int = 2): DataFrame = {
+                      nAssign: Int = 2): DataFrame =
+    pairsFromCells(pqCells(emb, kPerHalf, nAssign), threshold)
+
+  /** Cell assignment for the product-key form: two independent
+    * per-half quantizers; gid = cl₁ × kPerHalf + cl₂; each vector lands
+    * in nAssign² cells. See `semDedupPairsPQ` for the width rationale. */
+  private def pqCells(emb: DataFrame, kPerHalf: Int, nAssign: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val dim = base.select(size(col("e"))).head.getInt(0)
+    val dim = base.select(size(col("e"))).head().getInt(0)
     val half = dim / 2
     def fitHalf(lo: Int, len: Int, seed: Long): Array[Seq[Double]] = {
       val vecs = base.select(slice(col("e"), lo, len).as("h"))
@@ -354,35 +439,45 @@ object Similarity {
       }
       slice(array_sort(array(structs.toIndexedSeq: _*)), 1, nAssign)
     }
-    val multi = base
+    base
       .withColumn("s1", explode(rankedCells(cents1, slice(col("e"), 1, half))))
       .withColumn("s2", explode(rankedCells(cents2, slice(col("e"), half + 1, dim - half))))
       .select((col("s1.cl") * kPerHalf + col("s2.cl")).as("gid"),
-        col("vec_id"), col("e"), col("nrm"))
-    val a = multi.select(col("gid"), col("vec_id").as("a"),
-      col("e").as("ea"), col("nrm").as("na"))
-    val b = multi.select(col("gid"), col("vec_id").as("b"),
-      col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("gid"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= threshold)
-      .select("a", "b").distinct()
-      .orderBy("a", "b")
+        col("vec_id").as("vid"), col("e"), col("nrm"))
   }
 
   /** SemDeDup keep-list: drop every vector that has a near-duplicate
-    * with a smaller id (any `b` of a pair) — the deterministic
-    * "keep one representative per duplicate group" policy. One
-    * broadcast-able anti-join against the (tiny) drop set. */
+    * with a smaller id — the deterministic "keep one representative
+    * per duplicate group" policy. The drop set comes from the
+    * early-drop semi join (`dropsFromCells`) — identical by definition
+    * to `semDedupPairs(...).select("b").distinct` but never
+    * materializes the pair list, so the keep path's cost is bounded by
+    * cell rows, not dup density. One anti-join against the drop set
+    * closes it out. */
   def semDedupKeep(emb: DataFrame, nClusters: Int, threshold: Double): DataFrame = {
-    val drops = semDedupPairs(emb, nClusters, threshold)
-      .select(col("b").as("vec_id")).distinct()
+    val index = ivfBuild(emb, nClusters)
+    try keepFromDrops(emb, dropsFromCells(flatCells(index, 2), threshold))
+    finally index.release()
+  }
+
+  /** Corpus-adaptive keep-list: same sizing ladder as
+    * `semDedupPairsAuto` (flat cells under `widthCap`, product-key
+    * cells past it), with the early-drop semi join in both regimes. */
+  def semDedupKeepAuto(emb: DataFrame, threshold: Double,
+                       targetClusterRows: Long = 200L,
+                       widthCap: Int = 512,
+                       knownCount: Option[Long] = None): DataFrame = {
+    val k = autoK(emb, targetClusterRows, knownCount)
+    if (k <= widthCap) semDedupKeep(emb, k, threshold)
+    else keepFromDrops(emb, dropsFromCells(
+      pqCells(emb, kPerHalf = math.ceil(math.sqrt(k.toDouble)).toInt, nAssign = 2),
+      threshold))
+  }
+
+  private def keepFromDrops(emb: DataFrame, drops: DataFrame): DataFrame =
     emb.join(drops, Seq("vec_id"), "left_anti")
       .select("vec_id")
       .orderBy("vec_id")
-  }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range
     * (correctness slice; the scale path is `lshNearDupPairs`). */

@@ -243,26 +243,34 @@ object TextAnalysis {
     require(terms.nonEmpty && terms.size <= 8, "terms must be a small literal set")
     val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
     // consumed twice (df reduction + the scored projection): persist and
-    // materialize so the explode/agg pipeline runs once (minhash pattern;
-    // Verify/Bench release between queries)
+    // materialize so the explode/agg pipeline runs once (minhash pattern)
     val tf = tok.groupBy("doc_id")
       .agg(count(when(col("w") === terms.head, true)).as("tf0"),
         terms.tail.zipWithIndex.map { case (t, i) =>
           count(when(col("w") === t, true)).as(s"tf${i + 1}")
         }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count()
-    val dfRow = tf.agg(
-      count(lit(1)).as("n_docs"),
-      terms.indices.map(i => count(when(col(s"tf$i") > 0, true)).as(s"df$i")): _*)
-    val score = terms.indices.map(i =>
-      col(s"tf$i") * (col("n_docs") / greatest(col(s"df$i"), lit(1L))))
-      .reduce(_ + _)
-    tf.crossJoin(broadcast(dfRow))
-      .withColumn("score", score)
-      .where(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .select(col("doc_id"), col("score"))
+    try {
+      tf.count()
+      val dfRow = tf.agg(
+        count(lit(1)).as("n_docs"),
+        terms.indices.map(i => count(when(col(s"tf$i") > 0, true)).as(s"df$i")): _*)
+      val score = terms.indices.map(i =>
+        col(s"tf$i") * (col("n_docs") / greatest(col(s"df$i"), lit(1L))))
+        .reduce(_ + _)
+      val res = tf.crossJoin(broadcast(dfRow))
+        .withColumn("score", score)
+        .where(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+        .select(col("doc_id"), col("score"))
+      // the result is bounded at k rows by construction — localize it so
+      // the per-call persist can be released deterministically in
+      // `finally` (the ivfTopK pattern) instead of leaking until the
+      // caller clears the cache
+      val rows = res.collect().toIndexedSeq
+      val spark = docs.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally tf.unpersist(blocking = false)
   }
 }

@@ -115,7 +115,14 @@ object TrainingData {
         // capture groups (Spark's 2-arg form defaults to group 1 and
         // rejects group-free patterns under ANSI)
         size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).as("n_phones"))
+        // phones are counted on the POST-email-redaction string (the
+        // same intermediate the replace chain sees), so n_phones always
+        // equals the number of <PHONE> tags emitted — counting on the
+        // raw text would also count a phone-shaped substring absorbed
+        // into an email match, which leaves no tag
+        size(regexp_extract_all(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          lit(PhoneRe), lit(0))).as("n_phones"))
       .orderBy("doc_id")
 
   /** Token-budget sharding: assign docs (in stable doc_id order) to
@@ -242,7 +249,11 @@ object TrainingData {
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("redacted"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"))
+        // post-email-redaction string, matching piiRedact: counts always
+        // equal the <PHONE> tags present in `redacted`
+        size(regexp_extract_all(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          lit(PhoneRe), lit(0))).as("n_phones"))
   }
 
   /** Word `n`-gram shingles as flat rows (doc_id, sh) — the text
@@ -373,7 +384,22 @@ object TrainingData {
     * sized; at 100 TB both sides of the shingle join shuffle on the
     * same key, so AQE plans a co-partitioned sort-merge with no
     * replication. */
-  def dupNgramFraction(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+  def dupNgramFraction(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    dupNgramFractionScoped(docs, n, threshold)._1
+
+  /** `dupNgramFraction` plus the release hook for its persisted
+    * (doc, shingle)-count frame. The result frame is corpus-sized, so
+    * it can't be driver-localized the way `tfidfTopK`'s bounded top-k
+    * can; long-lived callers should consume the frame, then call
+    * `release()` — the frame stays CORRECT afterwards (the plan
+    * re-derives the shingle counts; only the cache entry is dropped).
+    * The join-back shape (doc-frequency agg + equi-join, not a count
+    * window over `sh`) is deliberate: a boilerplate shingle present in
+    * most docs would put the whole corpus in one window partition,
+    * while the join form pre-reduces with map-side combine and lets
+    * AQE split the skewed probe side. */
+  def dupNgramFractionScoped(docs: DataFrame, n: Int = 3,
+                             threshold: Double = 0.6): (DataFrame, () => Unit) = {
     // consumed twice (doc-frequency agg + the join-back): persist and
     // materialize so the shingle explode/window pipeline runs ONCE —
     // Spark re-executes shared subplans otherwise (the minhash
@@ -384,7 +410,7 @@ object TrainingData {
     perDocSh.count()
     // one row per (doc, shingle) upstream, so doc frequency = count(*)
     val docFreq = perDocSh.groupBy("sh").agg(count(lit(1)).as("nd"))
-    perDocSh.join(docFreq, Seq("sh"))
+    val res = perDocSh.join(docFreq, Seq("sh"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_shingles"),
         sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_shared"))
@@ -392,5 +418,6 @@ object TrainingData {
         (col("n_shared") / col("n_shingles")).as("shared_frac"))
       .withColumn("keep", col("shared_frac") < threshold)
       .orderBy("doc_id")
+    (res, () => perDocSh.unpersist(blocking = false))
   }
 }

@@ -107,4 +107,36 @@ object ColumnResolver {
       }
     }
   }
+
+  /** `resolve`, lifted to a DataFrame of headers from MANY files at
+    * once — the shape a 100 TB ingest wants (one distributed pass
+    * resolving every file's drifted header, not a driver loop calling
+    * `resolve` per file). `headers` = (file, pos, hdr) rows; the
+    * candidate table is a handful of literals and broadcasts.
+    *
+    * Semantics match `resolve` exactly (`ColumnResolverFrameSpec` pins
+    * row-for-row equality, including the tie rules): lowest candidate
+    * rank wins per (file, role); among header columns sharing that
+    * candidate's key, the LAST position wins (resolve's `toMap`
+    * keeps the last duplicate); roles with no matching header emit no
+    * row. Output: (file, role, col_idx, matched), ordered. */
+  def resolveFrame(headers: org.apache.spark.sql.DataFrame,
+                   candidates: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = headers.sparkSession
+    import spark.implicits._
+    val cand = candidates.flatMap { case (role, cs) =>
+      cs.zipWithIndex.map { case (c, r) => (role, r, normKey(c)) }
+    }.toDF("role", "cand_rank", "key")
+    headers
+      .withColumn("key", regexp_replace(lower(col("hdr")), "[^a-z0-9]", ""))
+      .join(broadcast(cand), Seq("key"))
+      .withColumn("rn", row_number().over(Window.partitionBy("file", "role")
+        .orderBy(col("cand_rank").asc, col("pos").desc)))
+      .where(col("rn") === 1)
+      .select(col("file"), col("role"), col("pos").cast("int").as("col_idx"),
+        col("hdr").as("matched"))
+      .orderBy("file", "role")
+  }
 }

@@ -72,6 +72,28 @@ class SimilaritySpec extends SparkSpec {
     } finally index.release()
   }
 
+  test("ivfSave/ivfLoad: search-after-reload equals search-after-build") {
+    val rng = new scala.util.Random(13)
+    def rv() = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val q0 = rv()
+    val all = emb((Seq((0L, q0)) ++ (10L to 80L).map(i => (i, rv())) :+ ((90L, q0))): _*)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    val built = Similarity.ivfBuild(all.where($"vec_id" >= 1), nList = 4)
+    try {
+      val before = Similarity.ivfSearch(built, all.where($"vec_id" < 1), 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      Similarity.ivfSave(built, dir)
+      val loaded = Similarity.ivfLoad(spark, dir)
+      try {
+        assert(loaded.nList == built.nList)
+        val after = Similarity.ivfSearch(loaded, all.where($"vec_id" < 1), 3, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(after == before)
+        assert(after.head == ((0L, 1, 90L))) // the planted duplicate survives the round-trip
+      } finally loaded.release()
+    } finally built.release()
+  }
+
   test("cosineNearDupPairs: only near pair passes threshold") {
     val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
     val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
