@@ -499,6 +499,18 @@ object SparkEntry {
     "q95_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(documents(s, d), 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // incremental dedup against the corpus SKETCH (signature store):
+    // batch = doc_id ≥ 250 deduped against the signatures of the first
+    // 250 docs and itself. Rows-only: sketch-estimated Jaccard has no
+    // DuckDB equivalent; DedupIncrementalSpec pins drop-set agreement
+    // 1.0 vs the exact full-corpus pair set plus the store lifecycle
+    "q97_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val all = documents(s, d)
+      val store = Dedup.minhashSignatures(all.where(col("doc_id") < 250))
+      Dedup.dedupIncremental(all.where(col("doc_id") >= 250), store, 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
     // drifted per-file headers (case/separator/alias variants keyed off
     // the source number, q66 pattern) resolved to canonical roles by

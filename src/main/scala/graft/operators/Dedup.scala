@@ -199,37 +199,51 @@ object Dedup {
     * frame it reads twice — split out so PlanAuditSpec can assert the
     * band self-join's physical strategy before execution. */
   private[graft] def minhashCandidatePlan(docs: DataFrame): (DataFrame, DataFrame) = {
-    val exploded = hashedShingleRows(docs)
-    val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
     // Persist the signature table: it feeds band generation AND both
     // sides of the candidate self-join, and Spark does not reuse the
     // aggregate subplan across those branches (without this, the
     // scan+shingle+hash pipeline runs once per branch — 8× the work).
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // one posexplode over the band keys — a single subtree over sigs
-    val bandKeys = (0 until Bands).map { b =>
-      val ks = (b * BandRows until (b + 1) * BandRows).map(p => col(s"h$p"))
-      xxhash64(ks: _*)
-    }
-    // SHUFFLE_HASH hint: the planner estimates this frame from the tiny
-    // persisted signature table and does not see the ×Bands explode, so
-    // it statically picks a BROADCAST join — collecting tens of millions
-    // of band rows through the driver (hits spark.driver.maxResultSize
-    // at 500 k docs; measured at sf10). Band keys hash-join fine and AQE
-    // may still broadcast at runtime when the exact size is genuinely
-    // small.
-    val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-      .hint("shuffle_hash")
-
+    val bands = bandRows(sigs)
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     (candidates, sigs)
+  }
+
+  /** The per-doc MinHash signature table (doc_id, h0…h65) — the
+    * corpus SKETCH. 66 min-hashes in one aggregation pass over hashed
+    * shingle rows; linear, one shuffle on doc_id. Exposed (unpersisted)
+    * because the sketch outlives any single query: `signatureSave`
+    * persists it to parquet and `dedupIncremental` dedups an arriving
+    * batch against it without touching the original corpus text. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = hashedShingleRows(docs)
+    val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
+    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) rows from a signature frame — one posexplode
+    * over the 22 band keys of 3 rows each.
+    *
+    * SHUFFLE_HASH hint: the planner estimates this frame from the tiny
+    * persisted signature table and does not see the ×Bands explode, so
+    * it statically picks a BROADCAST join — collecting tens of millions
+    * of band rows through the driver (hits spark.driver.maxResultSize
+    * at 500 k docs; measured at sf10). Band keys hash-join fine and AQE
+    * may still broadcast at runtime when the exact size is genuinely
+    * small. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      val ks = (b * BandRows until (b + 1) * BandRows).map(p => col(s"h$p"))
+      xxhash64(ks: _*)
+    }
+    sigs.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .hint("shuffle_hash")
   }
 
   /** MinHash + LSH near-duplicate pairs — the distributed dedup path.
@@ -395,6 +409,72 @@ object Dedup {
     val comps = nearDupComponents(docs, edges, Long.MaxValue)
     docs.join(comps.where(col("doc_id") === col("component")).select("doc_id"),
       Seq("doc_id"))
+  }
+
+  /** Persist the corpus MinHash sketch to parquet — the signature-store
+    * half of INCREMENTAL dedup (`dedupIncremental`): a 100 TB pipeline
+    * dedups each arriving batch against the sketch of everything kept
+    * so far, never against the original text. `mode = "append"` adds a
+    * batch's kept signatures to an existing store. 66 longs per doc:
+    * the store is ~0.5 KB/doc regardless of document size. */
+  def signatureSave(docs: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    minhashSignatures(docs).write.mode(mode).parquet(path)
+
+  def signatureLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental near-duplicate dedup of an arriving batch against a
+    * signature store (+ within the batch itself): returns the rows of
+    * `newDocs` that survive. A new doc drops if it matches ANY store
+    * doc (the store is canonical — id order is irrelevant across the
+    * boundary) or a smaller-id batch doc (keep-first within the batch,
+    * same policy as `dedupCorpus`).
+    *
+    * Verification is SKETCH-ESTIMATED Jaccard — the fraction of the 66
+    * signature slots that agree (an unbiased estimator; σ ≈ √(J(1−J)/66)
+    * ≈ 0.06 at J = 0.5) — because the store deliberately holds no text.
+    * That is the standard trade of the incremental regime: the store
+    * stays ~0.5 KB/doc and batch cost is O(batch), not O(corpus).
+    * `DedupIncrementalSpec` pins agreement with the exact full-corpus
+    * path on the driver testdata.
+    *
+    * Shapes for scale: batch bands shuffle-hash-join the store bands on
+    * (band, bkey) — the store side streams, only matching keys move;
+    * candidates are distinct pairs (tiny next to either side); the
+    * 66-slot comparison is a projection over candidate rows. The batch
+    * sketch is persisted only until the drop set materializes (the
+    * minhashCandidatePairs discipline). Contract: doc_ids are globally
+    * unique across store and batch. */
+  def dedupIncremental(newDocs: DataFrame, storeSigs: DataFrame,
+                       threshold: Double): DataFrame = {
+    val newSigs = minhashSignatures(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newSigs.count()
+    val store = storeSigs.select(newSigs.columns.map(col).toIndexedSeq: _*)
+    val nb = bandRows(newSigs)
+    val candVsStore = nb.as("x").join(bandRows(store).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("y.doc_id").as("a"), col("x.doc_id").as("b")).distinct()
+    val candInBatch = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sigsAll = store.unionByName(newSigs)
+    def side(tag: String) = sigsAll.toDF(sigsAll.columns.map(c =>
+      if (c == "doc_id") tag else s"${c}_$tag").toIndexedSeq: _*)
+    // slot agreement as a sum of 0/1 whens: per-CANDIDATE math, never
+    // per-corpus, so 66 checked adds are off the hot path
+    val agree = (0 until NumPerms).map(p =>
+      when(col(s"h${p}_a") === col(s"h${p}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val drops = candVsStore.unionByName(candInBatch).distinct()
+      .join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+      .where(agree.cast("double") / lit(NumPerms.toDouble) >= threshold)
+      .select(col("b").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    drops.count() // materialize, then release the batch sketch
+    newSigs.unpersist(blocking = false)
+    newDocs.join(drops, Seq("doc_id"), "left_anti")
   }
 
   /** Dedup with QUALITY-AWARE canonical selection: near-dup components
