@@ -511,6 +511,19 @@ object SparkEntry {
       Dedup.dedupIncremental(all.where(col("doc_id") >= 250), store, 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Bloom-regime decontamination: the Catalyst runtime-filter pair
+    // (BloomFilterAggregate / might_contain) lifted to the operator
+    // level. Exactness-preserving by construction (bloom pre-filter +
+    // exact confirm join), so it hash-checks against the same plain
+    // shingle-join SQL as q84 — different slice/minOverlap so the two
+    // rows are independent evidence. fpp 0.05 keeps the sketch small
+    // while the confirm join erases every false positive.
+    "q98_decontaminate_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.decontaminateBloom(docs.where(col("doc_id") >= 40),
+        docs.where(col("doc_id") < 40), 3, 1, fpp = 0.05)
+    }),
     // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
     // drifted per-file headers (case/separator/alias variants keyed off
     // the source number, q66 pattern) resolved to canonical roles by
@@ -1417,6 +1430,24 @@ object SparkEntry {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
       FROM f ORDER BY doc_id""",
+    "q98_decontaminate_bloom" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      evalset AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id < 40 AND sh IS NOT NULL),
+      corp AS (
+        SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 40 AND sh IS NOT NULL)
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corp c JOIN evalset e USING (sh)
+      GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

@@ -450,6 +450,22 @@ object Dedup {
     val newSigs = minhashSignatures(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
+    val drops = sketchDrops(newSigs, storeSigs, threshold)
+    drops.count() // materialize, then release the batch sketch
+    newSigs.unpersist(blocking = false)
+    newDocs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** The drop set of `dedupIncremental` computed directly on signature
+    * frames: batch doc_ids with a sketch-Jaccard ≥ `threshold` match in
+    * the store or at a smaller batch id. Split out so callers that
+    * already hold the batch sketch (the streaming ingest path, which
+    * must also APPEND survivors' signatures to the store) hash each
+    * document exactly once. Caller persists `newSigs` (it is read 4×
+    * here) and materializes the result before releasing it; the frame
+    * returned is persisted and owned by the caller. */
+  def sketchDrops(newSigs: DataFrame, storeSigs: DataFrame,
+                  threshold: Double): DataFrame = {
     val store = storeSigs.select(newSigs.columns.map(col).toIndexedSeq: _*)
     val nb = bandRows(newSigs)
     val candVsStore = nb.as("x").join(bandRows(store).as("y"),
@@ -467,14 +483,11 @@ object Dedup {
     val agree = (0 until NumPerms).map(p =>
       when(col(s"h${p}_a") === col(s"h${p}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    val drops = candVsStore.unionByName(candInBatch).distinct()
+    candVsStore.unionByName(candInBatch).distinct()
       .join(side("a"), Seq("a")).join(side("b"), Seq("b"))
       .where(agree.cast("double") / lit(NumPerms.toDouble) >= threshold)
       .select(col("b").as("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    drops.count() // materialize, then release the batch sketch
-    newSigs.unpersist(blocking = false)
-    newDocs.join(drops, Seq("doc_id"), "left_anti")
   }
 
   /** Dedup with QUALITY-AWARE canonical selection: near-dup components

@@ -293,6 +293,62 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** `decontaminate` for eval/benchmark sets too large to broadcast
+    * exactly — the Bloom-filter regime. Spark's own runtime-filter
+    * machinery (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * the Catalyst pair behind `spark.sql.optimizer.runtime.bloomFilter`)
+    * is lifted to the operator level: the eval shingle set folds into a
+    * fixed-size bit sketch on the executors (one tiny binary row back
+    * to the driver), the corpus side drops non-members with a codegen'd
+    * `might_contain` BEFORE any shuffle, and only bloom survivors
+    * (true hits + an `fpp` fraction of false positives) reach the
+    * exact equi-join that confirms membership.
+    *
+    * Output is therefore EXACTLY `decontaminate`'s — false positives
+    * cost work, never correctness — while the broadcast ceiling
+    * disappears: the sketch is ≤ 8 MiB (the expression's numBits cap)
+    * no matter how many shingles the eval set holds, and the confirm
+    * join shuffles only bloom survivors against the eval shingles.
+    * Both sides hash with the same `xxhash64(sh)` the builtin emits, so
+    * build and probe agree by construction. Returns the result plus a
+    * release hook for the persisted eval shingle frame (read by the
+    * sketch build and the lazy confirm join — the
+    * `dupNgramFractionScoped` discipline). */
+  def decontaminateBloomScoped(corpus: DataFrame, eval: DataFrame,
+                               n: Int = 3, minOverlap: Int = 1,
+                               fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalSh = shingleRows(eval, n).select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = math.max(evalSh.count(), 1L)
+    // optimal bits −n·ln(p)/ln²2, clamped to the expression's 2²⁶ cap
+    val numBits = math.min(
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      67108864L)
+    val bf = evalSh.select(asCol(new BloomFilterAggregate(
+        asExpr(xxhash64(col("sh"))), Literal(nItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = asCol(new BloomFilterMightContain(
+      Literal(bf, BinaryType), asExpr(xxhash64(col("sh")))))
+    val res = shingleRows(corpus, n)
+      .where(mightContain)
+      .join(evalSh, Seq("sh")) // exact confirm; count-distinct dedups
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+    (res, () => evalSh.unpersist(blocking = false))
+  }
+
+  def decontaminateBloom(corpus: DataFrame, eval: DataFrame, n: Int = 3,
+                         minOverlap: Int = 1, fpp: Double = 0.01): DataFrame =
+    decontaminateBloomScoped(corpus, eval, n, minOverlap, fpp)._1
+
   /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
     * Models" §A1.1): per-document word-level metrics and the composite
     * keep verdict — word-count bounds, mean-word-length bounds,

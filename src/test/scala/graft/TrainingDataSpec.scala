@@ -182,4 +182,22 @@ class TrainingDataSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((10L, 2L), (11L, 3L)))
   }
+
+  test("decontaminateBloom equals exact decontaminate at any fpp") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (corpus, eval) =
+      (all.where(col("doc_id") >= 40), all.where(col("doc_id") < 40))
+    val exact = TrainingData.decontaminate(corpus, eval, 3, 1)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "testdata must contain eval overlap")
+    // loose sketch (fpp 0.5): many false positives reach the confirm
+    // join — output must still be EXACT; tight sketch likewise
+    for (fpp <- Seq(0.5, 0.01)) {
+      val (bloom, release) =
+        TrainingData.decontaminateBloomScoped(corpus, eval, 3, 1, fpp)
+      assert(bloom.collect().map(_.toSeq).toSeq == exact, s"fpp=$fpp")
+      release()
+    }
+  }
 }
