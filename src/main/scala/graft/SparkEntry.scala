@@ -524,6 +524,22 @@ object SparkEntry {
       TrainingData.decontaminateBloom(docs.where(col("doc_id") >= 40),
         docs.where(col("doc_id") < 40), 3, 1, fpp = 0.05)
     }),
+    // Lee et al. 2021 EXACTSUBSTR: maximal per-doc token spans covered
+    // by 5-gram runs appearing verbatim in ≥2 documents — the span-CUT
+    // companion to the whole-doc near-dup family (q36/q95). The
+    // suffix-array construction reduces to df≥2 gram starts + a
+    // gaps-and-islands interval merge, both oracle-expressible.
+    "q99_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrSpans(documents(s, d), 5)),
+    // CCNet-style LM quality scoring: bigram model trained on docs
+    // < 250, all docs scored by mean bigram probability in FIXED-POINT
+    // ppm (integer div) so the perplexity proxy hash-checks exactly;
+    // docs ≥ 250 exercise the unseen-bigram backoff path.
+    "q100_lm_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
+    }),
     // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
     // drifted per-file headers (case/separator/alias variants keyed off
     // the source number, q66 pattern) resolved to canonical roles by
@@ -1448,6 +1464,70 @@ object SparkEntry {
       SELECT c.doc_id, COUNT(*) AS n_overlap
       FROM corp c JOIN evalset e USING (sh)
       GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY doc_id""",
+    "q99_exact_substr" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) - 1 AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g AS (SELECT doc_id, pos, sh FROM grams WHERE sh IS NOT NULL),
+      dup AS (
+        SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        WHERE df >= 2),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (sh)),
+      opens AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+               THEN 1 ELSE 0 END AS o
+        FROM hits),
+      isl AS (
+        SELECT doc_id, pos, SUM(o) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM opens)
+      SELECT doc_id,
+             CAST(MIN(pos) AS INT) AS span_start,
+             CAST(MAX(pos) + 5 - MIN(pos) AS INT) AS span_len,
+             CAST(COUNT(*) AS INT) AS n_grams
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
+    "q100_lm_quality" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      db AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c
+        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      trainb AS (
+        SELECT w1, w2, SUM(c) AS c12 FROM db WHERE doc_id < 250 GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(c12) AS c1 FROM trainb GROUP BY 1),
+      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM trainb)
+      SELECT d.doc_id,
+             CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(d.c * (((COALESCE(t.c12, 0) + 1) * 1000000)
+                             // (COALESCE(x.c1, 0) + voc.v))) AS BIGINT)
+               / (CAST(SUM(d.c) AS BIGINT) * 1000000) AS score
+      FROM db d
+      LEFT JOIN trainb t USING (w1, w2)
+      LEFT JOIN ctx x USING (w1)
+      CROSS JOIN voc
+      GROUP BY d.doc_id, voc.v
+      ORDER BY doc_id""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

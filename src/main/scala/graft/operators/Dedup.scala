@@ -550,4 +550,68 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** Exact-substring duplicated spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the EXACTSUBSTR
+    * half, companion to the MinHash NEARDUP family above): the maximal
+    * token ranges of each document covered by some `k`-token run that
+    * also appears verbatim in another document. Pipelines CUT these
+    * spans instead of dropping whole documents — the policy the paper
+    * found strictly better for boilerplate (licenses, headers,
+    * templated paragraphs) embedded in otherwise-unique pages.
+    *
+    * The paper builds a corpus suffix array; relationally the same set
+    * falls out without one: a position starts a duplicated run iff its
+    * `k`-gram has document frequency ≥ 2, and maximal spans are the
+    * gaps-and-islands closure of those fixed-length intervals
+    * [pos, pos+k−1] — merge while the next start is ≤ current end + 1.
+    * Emits (doc_id, span_start, span_len, n_grams) per span, 0-based
+    * token offsets, so a downstream cutter slices text by token index.
+    *
+    * Shape for scale: gram rows → (doc, sh)-distinct df agg with
+    * map-side combine → equi-join back on the gram key (co-partitioned
+    * with the agg, AQE splits skewed boilerplate grams) → per-doc
+    * windows run over MATCHING positions only (the duplicated subset,
+    * tiny next to the corpus). Nothing materializes per-doc arrays and
+    * no stage sees the corpus in one partition. */
+  def exactSubstrSpans(docs: DataFrame, k: Int = 5): DataFrame =
+    exactSubstrSpansScoped(docs, k)._1
+
+  /** `exactSubstrSpans` plus the release hook for its persisted gram
+    * frame (consumed by the df agg and the join-back — the
+    * `dupNgramFractionScoped` discipline). */
+  def exactSubstrSpansScoped(docs: DataFrame, k: Int = 5): (DataFrame, () => Unit) = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
+    }
+    val grams = withNext.where(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("w") +: (1 until k).map(i => col(s"w$i"))): _*).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count()
+    val dupGrams = grams.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("sh")
+    val hits = grams.join(dupGrams, Seq("sh")).select("doc_id", "pos")
+    // gaps-and-islands over fixed-length intervals: a start opens a new
+    // span iff it lies past the running max end + 1 (adjacent coverage
+    // merges); island id = running count of opens
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val res = hits
+      .withColumn("opens",
+        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("opens")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).as("span_len"),
+        count(lit(1)).cast("int").as("n_grams"))
+      .select("doc_id", "span_start", "span_len", "n_grams")
+      .orderBy("doc_id", "span_start")
+    (res, () => grams.unpersist(blocking = false))
+  }
 }

@@ -476,4 +476,65 @@ object TrainingData {
       .orderBy("doc_id")
     (res, () => perDocSh.unpersist(blocking = false))
   }
+
+  /** N-gram language-model quality scoring (Wenzek et al. 2020, CCNet
+    * §4.3 — the perplexity filter every web-scale pipeline runs, here
+    * with the LM trained by the engine itself instead of a shipped
+    * KenLM binary): fit a Laplace-smoothed bigram model on `train`,
+    * score each `docs` row by its mean bigram probability, the
+    * monotone perplexity proxy (higher = more train-like; CCNet
+    * buckets head/middle/tail on exactly this ordering).
+    *
+    * Floating-point log-likelihoods would break the oracle hash (libm
+    * `ln` differs across engines in the last ulp), so probabilities
+    * are FIXED-POINT: each conditional is materialized as
+    * ppm = ((c12 + 1) · 10⁶) div (c1 + V) — integer division of exact
+    * longs, identical in any engine — and a document's score is ONE
+    * double division of exact operands, Σppm / (n_bigrams · 10⁶).
+    * Unseen bigrams back off through the same formula (c12 = 0, and
+    * c1 = 0 when the context word itself is novel), so held-out text
+    * scores without special cases.
+    *
+    * Shape for scale: both sides reduce to per-(doc,)bigram COUNT
+    * frames before any join (map-side combine); the model join is
+    * co-partitioned on the bigram key; V and the unigram context
+    * counts ride along as one broadcast row + a model-sized frame.
+    * Scoring the training corpus itself re-derives the doc-bigram
+    * frame once per side — callers fusing both (the driver query)
+    * get the shared-subplan persist via the Scoped form. */
+  def lmQualityScore(docs: DataFrame, train: DataFrame): DataFrame =
+    lmQualityScoreScoped(docs, train)._1
+
+  def lmQualityScoreScoped(docs: DataFrame,
+                           train: DataFrame): (DataFrame, () => Unit) = {
+    def docBigrams(df: DataFrame): DataFrame = {
+      val tok = df.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      tok.withColumn("w2",
+          lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .where(col("w2").isNotNull)
+        .groupBy(col("doc_id"), col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val trainB = docBigrams(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainB.count()
+    val model = trainB.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+    val contexts = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = model.agg(countDistinct(col("w2")).as("v"))
+    val res = docBigrams(docs)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c"),
+        expr("((coalesce(c12, 0L) + 1L) * 1000000L) div (coalesce(c1, 0L) + v)")
+          .as("ppm"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_ppm") / (col("n_bigrams") * lit(1000000L))).as("score"))
+      .orderBy("doc_id")
+    (res, () => trainB.unpersist(blocking = false))
+  }
 }

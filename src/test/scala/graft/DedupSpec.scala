@@ -121,6 +121,41 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("exactSubstrSpans: cross-doc 5-gram runs merge into maximal spans") {
+    // docs 1 and 2 share the verbatim 8-token run "one two three four
+    // five six seven eight" at different offsets; doc 3 is disjoint.
+    val shared = "one two three four five six seven eight"
+    val d = docs(
+      1L -> (shared + " unique tail words here"),
+      2L -> ("prefix words go first " + shared),
+      3L -> "nothing here repeats anywhere else in the corpus at all today")
+    val out = Dedup.exactSubstrSpans(d, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // 8-token run = 4 overlapping 5-gram starts, merged into ONE span:
+    // doc 1 at tokens [0,8), doc 2 at [4,12); doc 3 emits nothing
+    assert(out.toSeq == Seq((1L, 0, 8, 4), (2L, 4, 8, 4)))
+  }
+
+  test("exactSubstrSpans: disjoint duplicated runs stay separate spans") {
+    val runA = "alpha beta gamma delta epsilon"
+    val runB = "zeta eta theta iota kappa"
+    val d = docs(
+      1L -> (runA + " filler middle words " + runB), // two disjoint 5-gram hits
+      2L -> (runA + " some different interior then " + runB))
+    val out = Dedup.exactSubstrSpans(d, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 1: runA at [0,5), runB at [8,13); doc 2: runA at [0,5), runB at [9,14)
+    assert(out.toSeq == Seq((1L, 0, 5), (1L, 8, 5), (2L, 0, 5), (2L, 9, 5)))
+  }
+
+  test("exactSubstrSpans: whole-doc exact dup covers the full document") {
+    val t = "repeat me fully across both documents with many tokens inside"
+    val n = t.split(" ").length
+    val out = Dedup.exactSubstrSpans(docs(1L -> t, 2L -> t), 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 0, n), (2L, 0, n)))
+  }
+
   test("keyMerge: langs merged sorted-distinct") {
     val d = Seq(
       (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))

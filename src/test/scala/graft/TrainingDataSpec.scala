@@ -183,6 +183,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 2L), (11L, 3L)))
   }
 
+  test("lmQualityScore: train-like text outscores novel text; backoff is total") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"),          // every bigram seen in train
+      (11L, "purple quantum zebras juggle flaming accordions")) // none seen
+      .toDF("doc_id", "text")
+    val (res, release) = TrainingData.lmQualityScoreScoped(score, train)
+    val out = res.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    release()
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) > out(11L), s"train-like must outscore novel: $out")
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+    // fully-novel text still gets a nonzero Laplace floor, never NaN/null
+    assert(out(11L) > 0.0)
+  }
+
+  test("lmQualityScore: fixed-point ppm is exact integer arithmetic") {
+    // train: "a b a b" -> bigrams (a,b)x2? no: a b, b a, a b => c(a,b)=2,
+    // c(b,a)=1; contexts c1(a)=2, c1(b)=1; vocab V = |{a, b}| = 2
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b")).toDF("doc_id", "text")
+    val out = TrainingData.lmQualityScore(score, train).collect()
+    // ppm(a->b) = (2+1)*1e6 div (2+2) = 750000; score = 750000/1e6
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((10L, 1L, 0.75)))
+  }
+
   test("decontaminateBloom equals exact decontaminate at any fpp") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
