@@ -327,6 +327,11 @@ object SparkEntry {
     // similarity search
     "q39_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 5, 10)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
+    // int8 scalar-quantized brute top-k (FAISS SQ8 codec as native
+    // codegen expressions). Rows-only: quantized ranks can differ from
+    // the float path near ties; Sq8Spec pins recall@10 >= 0.9 vs q39
+    // plus codec exactness and the IVF,SQ8 save/load round trip.
+    "q101_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d), 5, 10)),
     "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
     "q61_lsh_near_dup" -> ((s, d) => Similarity.lshNearDupPairs(embeddings(s, d), 0.35)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),

@@ -153,11 +153,15 @@ object Similarity {
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids")
     val nList = cents.count().toInt
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val raw = spark.read.parquet(s"$path/assigned")
+    // float lists carry `ce` (array<double>), SQ8 lists `qc` (binary) —
+    // both round-trip through the same save/load
+    val dataCol = if (raw.columns.contains("qc")) "qc" else "ce"
+    val assigned = raw
       // partitionBy moved list_id to the end and widened it; restore the
       // build-time column order and type so the two index forms are
       // interchangeable frame-for-frame
-      .select(col("vid"), col("ce"), col("cn"), col("list_id").cast("int").as("list_id"))
+      .select(col("vid"), col(dataCol), col("cn"), col("list_id").cast("int").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(cents, assigned, nList)
   }
@@ -204,6 +208,78 @@ object Similarity {
       val spark = emb.sparkSession
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
     } finally index.release()
+  }
+
+  /** Scalar-quantized (int8) brute-force cosine top-k — `cosineTopK`
+    * over `Sq8Encode` codes (functions/Sq8Expressions.scala): 72 B per
+    * 64-dim vector instead of 512 B of promoted doubles, the memory
+    * ratio that decides whether a 10⁹-vector corpus's hot set fits in
+    * executor memory at all. Same deterministic contract (score desc,
+    * vid asc); scores are approximate, so ranks can differ from the
+    * float path near ties — recall@k vs `cosineTopK` is pinned by
+    * `Sq8Spec`, not asserted equal. Encode is a single codegen'd
+    * projection (no second pass for norms: the approximate norm is
+    * sq8_dot(code, code)). */
+  def sq8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import graft.functions.Sq8
+    val base = emb.select(col("vec_id"),
+        Sq8.encode(asDouble(col("embedding"))).as("qc"))
+      .withColumn("nrm", sqrt(Sq8.dot(col("qc"), col("qc"))))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qc").as("qq"), col("nrm").as("qn"))
+    val c = base.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("vid"), col("qc").as("cc"), col("nrm").as("cn"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("vid"),
+        (Sq8.dot(col("qq"), col("cc")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF with scalar-quantized inverted lists — the FAISS `IVF,SQ8`
+    * composite: the coarse quantizer trains on floats (centroid math
+    * stays exact), but the ASSIGNED LISTS — the big, long-lived side
+    * of the index — hold int8 codes. `ivfSave`/`ivfLoad` round-trip
+    * this index unchanged (binary parquet column), so the on-disk
+    * footprint drops by the same ~7× as memory. */
+  def ivfBuildSq8(corpus: DataFrame, nList: Int = 8): IvfIndex = {
+    import graft.functions.Sq8
+    val fl = ivfBuild(corpus, nList)
+    val assigned = fl.assigned
+      .select(col("vid"), Sq8.encode(col("ce")).as("qc"), col("list_id"))
+      .withColumn("cn", sqrt(Sq8.dot(col("qc"), col("qc"))))
+      .select("vid", "qc", "cn", "list_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize codes, then drop the float lists
+    fl.release()
+    IvfIndex(fl.centroids, assigned, fl.nList)
+  }
+
+  /** Search an `ivfBuildSq8` index: probe selection runs on float
+    * centroids (broadcast, tiny), candidate scoring on int8 codes. */
+  def ivfSearchSq8(index: IvfIndex, queries: DataFrame, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    import graft.functions.Sq8
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qq", Sq8.encode(col("qe")))
+      .withColumn("qn", sqrt(Sq8.dot(col("qq"), col("qq"))))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dist", -dot(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("qid"), col("qq"), col("qn"), col("list_id"))
+    probes.join(index.assigned, Seq("list_id"))
+      .select(col("qid"), col("vid"),
+        (Sq8.dot(col("qq"), col("qc")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
   }
 
   /** LSH-bucketed embedding near-duplicate pairs — the scale path for
