@@ -38,8 +38,9 @@ object ScaleReport {
         .foreach(_.unpersist(blocking = false))
     }
     // optional section allowlist (minhash,simhash,cc,ann,text,curation,
-    // semdedup) for isolating one family — host-level stall noise makes
-    // whole-report timings incomparable across runs (CLAUDE.md round 4)
+    // semdedup,ivfio,exactsubstr,lm,bloomdecon,sq8,ingest) for isolating
+    // one family — host-level stall noise makes whole-report timings
+    // incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     def section(name: String): Boolean = sections.isEmpty || sections(name)
@@ -247,6 +248,102 @@ object ScaleReport {
         val n = Similarity.ivfSearch(idx, emb.where(col("vec_id") < 5), 10, 3).count()
         idx.release(); n
       }
+    }
+
+    // Exact-substring spans (q99): df agg + join-back + islands — the
+    // corpus-level law to pin is hit volume (duplicated positions) vs
+    // gram volume, the analog of the minhash candidate:verified ratio
+    if (section("exactsubstr")) {
+      val spans = timed("exact_substr_spans") {
+        Dedup.exactSubstrSpans(docs, 5).count()
+      }
+      println(s"""{"op":"exact_substr","spans":$spans,"docs":$nDocs}""")
+    }
+
+    // Self-trained bigram LM scoring (q100): model agg + score join,
+    // both map-side-combined; train on the first half, score everything
+    // so the unseen-backoff join path is exercised at scale
+    if (section("lm")) {
+      timed("lm_quality_score") {
+        TrainingData.lmQualityScore(docs,
+          docs.where(col("doc_id") < nDocs / 2)).count()
+      }
+    }
+
+    // Bloom-regime decontamination (q98) vs the broadcast regime (q84)
+    // on the identical slice: same output (exactness is join-confirmed),
+    // the question is the cost of trading the broadcast for the sketch
+    if (section("bloomdecon")) {
+      val evalCut = nDocs / 100
+      val corp = docs.where(col("doc_id") >= evalCut)
+      val ev = docs.where(col("doc_id") < evalCut)
+      val exact = timed("decontaminate_broadcast") {
+        TrainingData.decontaminate(corp, ev, 3, 2).count()
+      }
+      val bloom = timed("decontaminate_bloom") {
+        TrainingData.decontaminateBloom(corp, ev, 3, 2, fpp = 0.01).count()
+      }
+      println(s"""{"op":"bloom_parity","broadcast_rows":$exact,"bloom_rows":$bloom}""")
+    }
+
+    // Int8 scalar quantization (q101): brute + IVF,SQ8 timing with
+    // recall vs their float baselines — the codec must keep finding the
+    // same neighbors while cutting candidate bytes ~7×
+    if (section("sq8")) {
+      val gold = Similarity.cosineTopK(emb, 5, 10)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      release()
+      var sqHits = Set.empty[(Long, Long)]
+      timed("sq8_topk_brute") {
+        sqHits = Similarity.sq8TopK(emb, 5, 10)
+          .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        sqHits.size.toLong
+      }
+      val sqRecall = sqHits.intersect(gold).size.toDouble / gold.size
+      val flIdx = Similarity.ivfBuild(emb.where(col("vec_id") >= 5), 16)
+      val flHits = Similarity.ivfSearch(flIdx, emb.where(col("vec_id") < 5), 10, 3)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      flIdx.release(); release()
+      var sqIvfHits = Set.empty[(Long, Long)]
+      timed("sq8_ivf_topk") {
+        val idx = Similarity.ivfBuildSq8(emb.where(col("vec_id") >= 5), 16)
+        sqIvfHits = Similarity.ivfSearchSq8(idx, emb.where(col("vec_id") < 5), 10, 3)
+          .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        idx.release(); sqIvfHits.size.toLong
+      }
+      val ivfAgree = if (flHits.isEmpty) 1.0
+                     else sqIvfHits.intersect(flHits).size.toDouble / flHits.size
+      println(f"""{"op":"sq8_recall","brute_recall":$sqRecall%.2f,"ivf_agreement":$ivfAgree%.2f}""")
+    }
+
+    // Streaming ingest gate (IngestDedup over the signature store): the
+    // scale claim is that per-batch cost stays BOUNDED as the store
+    // grows — the store side of the band join streams from parquet and
+    // only matching (band, bkey) groups move. Five equal batches fold
+    // the corpus into an empty store; each line logs batch seconds,
+    // survivors, and the store size it deduped against.
+    if (section("ingest")) {
+      import graft.streaming.IngestDedup
+      val tmpS = java.nio.file.Files.createTempDirectory("ingest_store").toString
+      val tmpO = java.nio.file.Files.createTempDirectory("ingest_out").toString
+      val nBatches = 5
+      val step = math.max(1L, nDocs / nBatches)
+      for (b <- 0 until nBatches) {
+        val lo = b * step
+        val hi = if (b == nBatches - 1) Long.MaxValue else (b + 1) * step
+        val batch = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+        val storeBefore =
+          if (b == 0) 0L
+          else spark.read.parquet(tmpS).count()
+        val t0 = System.nanoTime()
+        val kept = IngestDedup.processBatch(batch, tmpS, tmpO, 0.5)
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        println(f"""{"op":"ingest_batch","batch":$b,"kept":$kept,"store_before":$storeBefore,"sec":$sec%.2f}""")
+      }
+      val totalKept = spark.read.parquet(tmpO).count()
+      println(s"""{"op":"ingest_total","kept":$totalKept,"docs":$nDocs}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

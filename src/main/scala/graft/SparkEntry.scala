@@ -536,6 +536,11 @@ object SparkEntry {
     // gaps-and-islands interval merge, both oracle-expressible.
     "q99_exact_substr" -> ((s, d) =>
       Dedup.exactSubstrSpans(documents(s, d), 5)),
+    // the consumer-facing half of EXACTSUBSTR: the corpus with q99's
+    // spans cut out and kept tokens reassembled — every doc emits one
+    // row, so the output IS the post-cut training corpus
+    "q102_exact_substr_cut" -> ((s, d) =>
+      Dedup.exactSubstrCut(documents(s, d), 5)),
     // CCNet-style LM quality scoring: bigram model trained on docs
     // < 250, all docs scored by mean bigram probability in FIXED-POINT
     // ppm (integer div) so the perplexity proxy hash-checks exactly;
@@ -1505,6 +1510,36 @@ object SparkEntry {
              CAST(COUNT(*) AS INT) AS n_grams
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+    "q102_exact_substr_cut" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) - 1 AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g AS (SELECT doc_id, pos, sh FROM grams WHERE sh IS NOT NULL),
+      dup AS (
+        SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        WHERE df >= 2),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (sh)),
+      cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos FROM hits)),
+      sel AS (
+        SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS cv
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_tok,
+             CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS INT) AS n_cut,
+             COALESCE(string_agg(CASE WHEN NOT cv THEN w END, ' ' ORDER BY pos), '')
+               AS cut_text
+      FROM sel GROUP BY doc_id ORDER BY doc_id""",
     "q100_lm_quality" -> """
       WITH tok AS (
         SELECT doc_id,

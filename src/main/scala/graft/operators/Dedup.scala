@@ -577,12 +577,14 @@ object Dedup {
   def exactSubstrSpans(docs: DataFrame, k: Int = 5): DataFrame =
     exactSubstrSpansScoped(docs, k)._1
 
-  /** `exactSubstrSpans` plus the release hook for its persisted gram
-    * frame (consumed by the df agg and the join-back — the
-    * `dupNgramFractionScoped` discipline). */
-  def exactSubstrSpansScoped(docs: DataFrame, k: Int = 5): (DataFrame, () => Unit) = {
-    val tok = docs.select(col("doc_id"),
+  /** Token rows (doc_id, pos, w), 0-based. */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+
+  /** k-gram rows (doc_id, pos, sh) from token rows, PERSISTED (the df
+    * agg and the join-back both consume them); caller releases. */
+  private def gramRows(tok: DataFrame, k: Int): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = (1 until k).foldLeft(tok) { (d, i) =>
       d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
@@ -592,10 +594,24 @@ object Dedup {
         concat_ws(" ", (col("w") +: (1 until k).map(i => col(s"w$i"))): _*).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count()
+    grams
+  }
+
+  /** Positions that START a duplicated k-gram (df ≥ 2 over docs). */
+  private def coveredStarts(grams: DataFrame): DataFrame = {
     val dupGrams = grams.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2).select("sh")
-    val hits = grams.join(dupGrams, Seq("sh")).select("doc_id", "pos")
+    grams.join(dupGrams, Seq("sh")).select("doc_id", "pos")
+  }
+
+  /** `exactSubstrSpans` plus the release hook for its persisted gram
+    * frame (consumed by the df agg and the join-back — the
+    * `dupNgramFractionScoped` discipline). */
+  def exactSubstrSpansScoped(docs: DataFrame, k: Int = 5): (DataFrame, () => Unit) = {
+    val grams = gramRows(tokenRows(docs), k)
+    val hits = coveredStarts(grams)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     // gaps-and-islands over fixed-length intervals: a start opens a new
     // span iff it lies past the running max end + 1 (adjacent coverage
     // merges); island id = running count of opens
@@ -612,6 +628,44 @@ object Dedup {
         count(lit(1)).cast("int").as("n_grams"))
       .select("doc_id", "span_start", "span_len", "n_grams")
       .orderBy("doc_id", "span_start")
+    (res, () => grams.unpersist(blocking = false))
+  }
+
+  /** The consumer-facing half of EXACTSUBSTR: the corpus with every
+    * duplicated span CUT OUT — kept tokens reassembled in position
+    * order, plus the (n_tok, n_cut) accounting. Every input doc emits
+    * one row (unduplicated docs pass through verbatim; fully-covered
+    * docs emit an empty `cut_text`), so the output IS the training
+    * corpus after span removal.
+    *
+    * Covered positions = the union of [pos, pos+k−1] over duplicated
+    * gram starts — one `sequence` explode over the (tiny) hit set,
+    * distinct, then a left join back to token rows. Reassembly builds
+    * one doc-sized array per document (sort_array over collected
+    * (pos, w) structs — per-doc arrays are bounded by document length,
+    * the urlKeyMerge cold-path contract; the corpus never concentrates
+    * in one partition because the group key is doc_id). */
+  def exactSubstrCut(docs: DataFrame, k: Int = 5): DataFrame =
+    exactSubstrCutScoped(docs, k)._1
+
+  def exactSubstrCutScoped(docs: DataFrame, k: Int = 5): (DataFrame, () => Unit) = {
+    val tok = tokenRows(docs)
+    val grams = gramRows(tok, k)
+    val cov = coveredStarts(grams)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("cv", lit(1))
+    val res = tok.join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        sum(when(col("cv") === 1, 1).otherwise(0)).cast("int").as("n_cut"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cv").isNull,
+            struct(col("pos"), col("w"))))),
+          x => x("w"))).as("cut_text"))
+      .orderBy("doc_id")
     (res, () => grams.unpersist(blocking = false))
   }
 }

@@ -156,6 +156,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, n), (2L, 0, n)))
   }
 
+  test("exactSubstrCut: spans removed, unique docs pass through verbatim") {
+    val shared = "one two three four five six seven eight"
+    val d = docs(
+      1L -> (shared + " unique tail words here"),
+      2L -> ("prefix words go first " + shared),
+      3L -> "nothing here repeats anywhere else in the corpus at all today")
+    val out = Dedup.exactSubstrCut(d, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 12, 8, "unique tail words here"),
+      (2L, 12, 8, "prefix words go first"),
+      (3L, 11, 0, "nothing here repeats anywhere else in the corpus at all today")))
+  }
+
+  test("exactSubstrCut: fully-duplicated doc cuts to empty text") {
+    val t = "repeat me fully across both documents with many tokens inside"
+    val out = Dedup.exactSubstrCut(docs(1L -> t, 2L -> t), 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSeq
+    assert(out == Seq((1L, 10, ""), (2L, 10, "")))
+  }
+
   test("keyMerge: langs merged sorted-distinct") {
     val d = Seq(
       (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))
