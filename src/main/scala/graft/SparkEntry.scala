@@ -550,6 +550,24 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // DSIR importance resampling (Xie et al. 2023): bag-of-bigram
+    // target (lang='en') vs raw models, docs ranked by the fixed-point
+    // probability-difference surrogate of the log-likelihood ratio,
+    // top 100 kept; the hashed-feature mode is DsirSpec-pinned
+    "q103_dsir_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.dsirSelect(docs, docs.where(col("lang") === "en"), 100)
+    }),
+    // corpus-wide boilerplate table: exact top-25 5-grams by total
+    // occurrences (ties lexical) with distinct-doc counts — one hash
+    // agg + TakeOrdered, the C4 line-frequency analog
+    "q104_heavy_hitters" -> ((s, d) =>
+      Dedup.heavyHitterGrams(documents(s, d), 5, 25)),
+    // the purge half of q104: every occurrence of the top-25 grams cut
+    // from every doc, q102's reassembly contract (one row per doc)
+    "q105_boilerplate_cut" -> ((s, d) =>
+      Dedup.boilerplateCut(documents(s, d), 5, 25)),
     // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
     // drifted per-file headers (case/separator/alias variants keyed off
     // the source number, q66 pattern) resolved to canonical roles by
@@ -1528,6 +1546,86 @@ object SparkEntry {
         SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
         WHERE df >= 2),
       hits AS (SELECT doc_id, pos FROM g JOIN dup USING (sh)),
+      cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos FROM hits)),
+      sel AS (
+        SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS cv
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_tok,
+             CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS INT) AS n_cut,
+             COALESCE(string_agg(CASE WHEN NOT cv THEN w END, ' ' ORDER BY pos), '')
+               AS cut_text
+      FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    "q103_dsir_select" -> """
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, lang, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      rawf AS (
+        SELECT doc_id, w1 || ' ' || w2 AS f, COUNT(*) AS c
+        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      tgtm AS (
+        SELECT w1 || ' ' || w2 AS f, COUNT(*) AS ct
+        FROM bg WHERE w2 IS NOT NULL AND lang = 'en' GROUP BY 1),
+      rawm AS (SELECT f, SUM(c) AS cr FROM rawf GROUP BY 1),
+      consts AS (
+        SELECT (SELECT SUM(cr) FROM rawm) AS tot_r,
+               (SELECT COUNT(*) FROM rawm) AS v,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgtm) AS tot_t)
+      SELECT r.doc_id,
+             CAST(SUM(r.c) AS BIGINT) AS n_feats,
+             CAST(SUM(r.c * ((((COALESCE(t.ct, 0) + 1) * 1000000) // (tot_t + v))
+                           - (((m.cr + 1) * 1000000) // (tot_r + v)))) AS BIGINT)
+               AS weight
+      FROM rawf r
+      LEFT JOIN tgtm t USING (f)
+      JOIN rawm m USING (f)
+      CROSS JOIN consts
+      GROUP BY r.doc_id
+      ORDER BY weight DESC, doc_id
+      LIMIT 100""",
+    "q104_heavy_hitters" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g AS (SELECT doc_id, sh FROM grams WHERE sh IS NOT NULL)
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 ORDER BY n_occ DESC, sh LIMIT 25""",
+    "q105_boilerplate_cut" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) - 1 AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g AS (SELECT doc_id, pos, sh FROM grams WHERE sh IS NOT NULL),
+      hh AS (SELECT sh FROM (
+        SELECT sh, COUNT(*) AS n_occ FROM g GROUP BY 1
+        ORDER BY n_occ DESC, sh LIMIT 25)),
+      hits AS (SELECT doc_id, pos FROM g JOIN hh USING (sh)),
       cov AS (
         SELECT DISTINCT doc_id, pos FROM (
           SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos FROM hits)),

@@ -582,9 +582,11 @@ object Dedup {
     docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "w")))
 
-  /** k-gram rows (doc_id, pos, sh) from token rows, PERSISTED (the df
-    * agg and the join-back both consume them); caller releases. */
-  private def gramRows(tok: DataFrame, k: Int): DataFrame = {
+  /** k-gram rows (doc_id, pos, sh) from token rows. PERSISTED by
+    * default (the df agg and the join-back both consume them; caller
+    * releases); `doPersist = false` for single-consumer plans. */
+  private def gramRows(tok: DataFrame, k: Int,
+                       doPersist: Boolean = true): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = (1 until k).foldLeft(tok) { (d, i) =>
       d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
@@ -592,9 +594,12 @@ object Dedup {
     val grams = withNext.where(col(s"w${k - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", (col("w") +: (1 until k).map(i => col(s"w$i"))): _*).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count()
-    grams
+    if (!doPersist) grams
+    else {
+      val p = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
   }
 
   /** Positions that START a duplicated k-gram (df ≥ 2 over docs). */
@@ -651,12 +656,26 @@ object Dedup {
   def exactSubstrCutScoped(docs: DataFrame, k: Int = 5): (DataFrame, () => Unit) = {
     val tok = tokenRows(docs)
     val grams = gramRows(tok, k)
-    val cov = coveredStarts(grams)
+    val res = cutDocs(tok, coverage(coveredStarts(grams), k))
+    (res, () => grams.unpersist(blocking = false))
+  }
+
+  /** Positions covered by the union of [pos, pos+k−1] over gram
+    * starts — one `sequence` explode over the (tiny) hit set. */
+  private def coverage(starts: DataFrame, k: Int): DataFrame =
+    starts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
       .withColumn("cv", lit(1))
-    val res = tok.join(cov, Seq("doc_id", "pos"), "left")
+
+  /** Reassemble each doc with covered positions removed: one row per
+    * doc with (n_tok, n_cut) accounting. Per-doc arrays are bounded by
+    * document length (the urlKeyMerge cold-path contract); the corpus
+    * never concentrates in one partition because the group key is
+    * doc_id. */
+  private def cutDocs(tok: DataFrame, cov: DataFrame): DataFrame =
+    tok.join(cov, Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_tok"),
@@ -666,6 +685,47 @@ object Dedup {
             struct(col("pos"), col("w"))))),
           x => x("w"))).as("cut_text"))
       .orderBy("doc_id")
+
+  /** Corpus-wide heavy-hitter k-grams: the exact top-`topN` grams by
+    * total occurrence count (ties → lexical gram order), with the
+    * number of distinct docs each appears in — the boilerplate table a
+    * C4/RefinedWeb-style curation pass consults before stripping
+    * templated content. Reference analog: the duplicated-content
+    * accounting the EXACTSUBSTR family serves (exactSubstrSpans),
+    * aggregated corpus-wide instead of per-doc.
+    *
+    * Shape for scale: one hash agg over gram rows with map-side
+    * combine, then TakeOrdered for the top-N — no window, no sort of
+    * the full gram table. */
+  def heavyHitterGrams(docs: DataFrame, k: Int = 5, topN: Int = 50): DataFrame =
+    gramRows(tokenRows(docs), k, doPersist = false)
+      .groupBy("sh")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("sh"))
+      .limit(topN)
+
+  /** The purge half of the heavy-hitter table: cut every occurrence of
+    * the corpus's top-`topN` k-grams out of every document (the C4
+    * "remove boilerplate lines" analog at k-gram granularity). Same
+    * output contract as `exactSubstrCut`: one row per input doc,
+    * covered tokens removed, (n_tok, n_cut) accounting.
+    *
+    * The heavy-hitter list is topN rows → broadcast to the join-back;
+    * coverage/reassembly reuse the EXACTSUBSTR cut machinery. */
+  def boilerplateCut(docs: DataFrame, k: Int = 5, topN: Int = 50): DataFrame =
+    boilerplateCutScoped(docs, k, topN)._1
+
+  def boilerplateCutScoped(docs: DataFrame, k: Int = 5,
+                           topN: Int = 50): (DataFrame, () => Unit) = {
+    val tok = tokenRows(docs)
+    val grams = gramRows(tok, k)
+    val hh = grams.groupBy("sh").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("sh"))
+      .limit(topN)
+      .select("sh")
+    val starts = grams.join(broadcast(hh), Seq("sh")).select("doc_id", "pos")
+    val res = cutDocs(tok, coverage(starts, k))
     (res, () => grams.unpersist(blocking = false))
   }
 }

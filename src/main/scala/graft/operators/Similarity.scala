@@ -282,6 +282,34 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Two-stage refine search over an `ivfBuildSq8` index — the FAISS
+    * `IVF,SQ8` + `RefineFlat` composite: stage 1 scans the int8 lists
+    * for `k × refine` candidates per query (the cheap, 7×-smaller-IO
+    * pass), stage 2 re-scores ONLY those candidates against the float
+    * store `emb` with the exact codegen dot product and keeps the true
+    * top k. The refine join touches k·refine rows per query —
+    * negligible next to the list scan — so quantization rank error is
+    * repaired at ~zero marginal cost (`Sq8Spec` pins parity with the
+    * all-float IVF search). */
+  def ivfSearchSq8Refine(index: IvfIndex, emb: DataFrame, queries: DataFrame,
+                         k: Int, nProbe: Int = 2, refine: Int = 4): DataFrame = {
+    val cand = ivfSearchSq8(index, queries, k * refine, nProbe)
+      .select("qid", "vid")
+    val flo = emb.select(col("vec_id").as("vid"), asDouble(col("embedding")).as("ve"))
+      .withColumn("vn", sqrt(dot(col("ve"), col("ve"))))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    cand.join(flo, Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the scale path for
     * `cosineNearDupPairs`: pairs form only within sign-LSH buckets
     * (shuffle on bucket key), then the exact cosine threshold verifies.

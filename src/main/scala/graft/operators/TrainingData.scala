@@ -537,4 +537,72 @@ object TrainingData {
       .orderBy("doc_id")
     (res, () => trainB.unpersist(blocking = false))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit bag-of-bigram
+    * models on a TARGET slice and on the RAW corpus, weight every raw
+    * doc by how much more target-like than raw-like its features are,
+    * keep the top `n`. The reference's curation layer has no analog —
+    * this is the pipeline op a pretraining-data team runs to upsample
+    * domain-matched text.
+    *
+    * The paper hashes features into 10⁴ buckets and ranks docs by the
+    * log-likelihood ratio Σ c_f·log(p_f/q_f); this form keeps exactness
+    * for the oracle gate with two substitutions, both documented:
+    * the bigram string itself is the feature (`hashBuckets > 0`
+    * switches to the paper's hashed space — xxhash64 mod B, the 100 TB
+    * memory shape, spec-pinned against the exact form), and the
+    * log-ratio is replaced by its fixed-point probability-difference
+    * surrogate Σ c_f·(ppm_p − ppm_q) (Laplace-smoothed probabilities in
+    * integer ppm, the `lmQualityScore` discipline) so weights are
+    * BIGINT-exact. Both smoothings share the raw vocabulary size V, so
+    * p and q live on the same scale.
+    *
+    * Shape for scale: two bag-of-feature aggs (map-side combined), one
+    * join of doc features to the two models on the feature key, one
+    * per-doc agg, TakeOrdered for the top-n. The model frames are
+    * vocabulary-sized (tiny next to the corpus) — broadcast candidates
+    * at real scale; nothing materializes per-doc vectors. */
+  def dsirSelect(docs: DataFrame, target: DataFrame, n: Int,
+                 hashBuckets: Int = 0): DataFrame =
+    dsirSelectScoped(docs, target, n, hashBuckets)._1
+
+  def dsirSelectScoped(docs: DataFrame, target: DataFrame, n: Int,
+                       hashBuckets: Int = 0): (DataFrame, () => Unit) = {
+    def feats(df: DataFrame): DataFrame = {
+      val tok = df.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      tok.withColumn("w2",
+          lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .where(col("w2").isNotNull)
+        .select(col("doc_id"),
+          (if (hashBuckets > 0)
+             pmod(xxhash64(concat_ws(" ", col("w"), col("w2"))),
+               lit(hashBuckets.toLong)).cast("string")
+           else concat_ws(" ", col("w"), col("w2"))).as("f"))
+        .groupBy("doc_id", "f")
+        .agg(count(lit(1)).as("c"))
+    }
+    val rawF = feats(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rawF.count()
+    val rawModel = rawF.groupBy("f").agg(sum(col("c")).as("cr"))
+    val tgtModel = feats(target).groupBy("f").agg(sum(col("c")).as("ct"))
+    // single-row constants: raw total + vocab, target total
+    val consts = rawModel.agg(sum(col("cr")).as("tot_r"), count(lit(1)).as("v"))
+      .crossJoin(tgtModel.agg(coalesce(sum(col("ct")), lit(0L)).as("tot_t")))
+    val res = rawF
+      .join(tgtModel, Seq("f"), "left")
+      .join(rawModel, Seq("f"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("c"),
+        expr("((coalesce(ct, 0L) + 1L) * 1000000L) div (tot_t + v)").as("pt"),
+        expr("((cr + 1L) * 1000000L) div (tot_r + v)").as("pr"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * (col("pt") - col("pr"))).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(n)
+    (res, () => rawF.unpersist(blocking = false))
+  }
 }

@@ -177,6 +177,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 10, ""), (2L, 10, "")))
   }
 
+  test("heavyHitterGrams: exact top-N by count, ties lexical, with doc freq") {
+    val d = docs(
+      1L -> "a b c d e x1 y1 z1 w1 v1",
+      2L -> "a b c d e x2 y2 z2 w2 v2",
+      3L -> "a b c d e x3 y3 z3 w3 v3")
+    val out = Dedup.heavyHitterGrams(d, 5, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("a b c d e", 3L, 3L),       // the shared prefix, 3 occurrences / 3 docs
+      ("b c d e x1", 1L, 1L)))     // lexically first among the count-1 tail
+  }
+
+  test("boilerplateCut: top-1 gram occurrences removed from every doc") {
+    val d = docs(
+      1L -> "a b c d e x1 y1 z1 w1 v1",
+      2L -> "a b c d e x2 y2 z2 w2 v2",
+      3L -> "a b c d e x3 y3 z3 w3 v3")
+    val out = Dedup.boilerplateCut(d, 5, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 10, 5, "x1 y1 z1 w1 v1"),
+      (2L, 10, 5, "x2 y2 z2 w2 v2"),
+      (3L, 10, 5, "x3 y3 z3 w3 v3")))
+  }
+
   test("keyMerge: langs merged sorted-distinct") {
     val d = Seq(
       (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))

@@ -103,4 +103,22 @@ class Sq8Spec extends SparkSpec {
       assert(agree >= 0.9, s"agreement $agree")
     } finally { fl.release(); sq.release() }
   }
+
+  test("ivfSearchSq8Refine repairs quantization rank error to float parity") {
+    val queries = testEmb.where($"vec_id" < 20)
+    val corpus = testEmb.where($"vec_id" >= 20)
+    val fl = Similarity.ivfBuild(corpus, nList = 8)
+    val sq = Similarity.ivfBuildSq8(corpus, nList = 8)
+    try {
+      // same probe lists (float centroids in both indexes), so refine's
+      // float re-rank of the sq8 top-40 must reproduce the float IVF
+      // top-10 exactly — ranks included
+      val gold = Similarity.ivfSearch(fl, queries, 10, nProbe = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val refined = Similarity
+        .ivfSearchSq8Refine(sq, corpus, queries, 10, nProbe = 3, refine = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(refined == gold)
+    } finally { fl.release(); sq.release() }
+  }
 }

@@ -214,6 +214,38 @@ class TrainingDataSpec extends SparkSpec {
       Seq((10L, 1L, 0.75)))
   }
 
+  test("dsirSelect: target-vocabulary docs outrank off-target docs") {
+    val d = docs(
+      1L -> "aa bb aa bb aa bb",
+      2L -> "aa bb cc aa bb cc",
+      3L -> "xx yy xx yy xx yy",
+      4L -> "xx zz xx zz xx zz")
+    val target = d.where(org.apache.spark.sql.functions.col("doc_id") === 1L)
+    val out = TrainingData.dsirSelect(d, target, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // top-2 are the aa/bb-vocabulary docs, ordered weight desc
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.head._3 > 0, "target doc must score positive")
+    // off-target docs carry strictly smaller weights
+    val all = TrainingData.dsirSelect(d, target, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all(3L) < all(2L) && all(4L) < all(2L))
+  }
+
+  test("dsirSelect hashed-feature mode agrees with the exact form") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = all.where(col("lang") === "en")
+    def ids(hashBuckets: Int) =
+      TrainingData.dsirSelect(all, target, 100, hashBuckets).collect()
+        .map(_.getLong(0)).toSet
+    val exact = ids(0)
+    val hashed = ids(1 << 14)
+    val overlap = (exact & hashed).size.toDouble / exact.size
+    info(s"dsir hashed/exact top-100 overlap = $overlap")
+    assert(overlap >= 0.8, s"overlap $overlap")
+  }
+
   test("decontaminateBloom equals exact decontaminate at any fpp") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
