@@ -602,12 +602,16 @@ object Dedup {
     }
   }
 
-  /** Positions that START a duplicated k-gram (df ≥ 2 over docs). */
+  /** Positions that START a duplicated k-gram (df ≥ 2 over docs).
+    * The duplicated-gram set scales with corpus dup density — never
+    * let the static planner broadcast it (its estimate is blinded by
+    * the upstream window/agg); AQE may still broadcast from exact
+    * runtime sizes. */
   private def coveredStarts(grams: DataFrame): DataFrame = {
     val dupGrams = grams.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2).select("sh")
-    grams.join(dupGrams, Seq("sh")).select("doc_id", "pos")
+    grams.join(dupGrams.hint("shuffle_hash"), Seq("sh")).select("doc_id", "pos")
   }
 
   /** `exactSubstrSpans` plus the release hook for its persisted gram
@@ -675,7 +679,11 @@ object Dedup {
     * never concentrates in one partition because the group key is
     * doc_id. */
   private def cutDocs(tok: DataFrame, cov: DataFrame): DataFrame =
-    tok.join(cov, Seq("doc_id", "pos"), "left")
+    // the coverage set scales with dup density (sequence-explode output
+    // — statically unsized): pin shuffle_hash so a dup-heavy corpus
+    // can't static-broadcast a corpus-sized frame; AQE re-plans small
+    // coverage sets to broadcast from runtime sizes
+    tok.join(cov.hint("shuffle_hash"), Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_tok"),

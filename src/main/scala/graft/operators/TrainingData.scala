@@ -591,9 +591,14 @@ object TrainingData {
     // single-row constants: raw total + vocab, target total
     val consts = rawModel.agg(sum(col("cr")).as("tot_r"), count(lit(1)).as("v"))
       .crossJoin(tgtModel.agg(coalesce(sum(col("ct")), lit(0L)).as("tot_t")))
+    // broadcast the MODEL side explicitly: statically the persisted
+    // per-doc feature frame can look smaller than the unsized aggs and
+    // get picked as build side (the round-3 explode-broadcast trap) —
+    // but models are vocabulary-sized, and hashed mode bounds them at
+    // `hashBuckets` rows by design
     val res = rawF
-      .join(tgtModel, Seq("f"), "left")
-      .join(rawModel, Seq("f"))
+      .join(broadcast(tgtModel), Seq("f"), "left")
+      .join(broadcast(rawModel), Seq("f"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("c"),
         expr("((coalesce(ct, 0L) + 1L) * 1000000L) div (tot_t + v)").as("pt"),

@@ -118,6 +118,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts.isEmpty, "early-drop semi join statically broadcasts the exploded cell side")
   }
 
+  test("exact-substr cut joins never plan as static broadcasts") {
+    // Both the duplicated-gram join-back and the coverage left join
+    // scale with corpus dup density, and both sit behind window/agg/
+    // sequence-explode boundaries that blind static size estimation —
+    // a static BROADCAST would collect a corpus-sized frame through
+    // the driver on a dup-heavy corpus. shuffle_hash must hold (AQE
+    // may still broadcast from exact runtime sizes).
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, build) <- Seq[(String, () => (org.apache.spark.sql.DataFrame, () => Unit))](
+        "exactSubstrCut" -> (() => Dedup.exactSubstrCutScoped(docs, 5)),
+        "boilerplateCut" -> (() => Dedup.boilerplateCutScoped(docs, 5, 25)))) {
+      val (df, release) = build()
+      try {
+        // boilerplateCut's one INTENDED broadcast is the topN-row
+        // heavy-hitter list (inner join); everything density-scaled —
+        // the dup-gram join-back and the coverage left join — must
+        // shuffle. exactSubstrCut has no sanctioned broadcast at all.
+        val broadcasts = df.queryExecution.sparkPlan.collectWithSubqueries {
+          case b: BroadcastHashJoinExec
+            if name == "exactSubstrCut" ||
+              b.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => b
+        }
+        assert(broadcasts.isEmpty,
+          s"$name statically broadcasts a density-scaled join side")
+      } finally release()
+    }
+  }
+
   test("minhash/simhash band self-joins never plan as static broadcasts") {
     // The ×bands posexplode is invisible to static size estimation: the
     // planner sees the small signature table and would BROADCAST tens of
