@@ -38,9 +38,9 @@ object ScaleReport {
         .foreach(_.unpersist(blocking = false))
     }
     // optional section allowlist (minhash,simhash,cc,ann,text,curation,
-    // semdedup,ivfio,exactsubstr,lm,bloomdecon,sq8,ingest) for isolating
-    // one family — host-level stall noise makes whole-report timings
-    // incomparable across runs (CLAUDE.md round 4)
+    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest) for
+    // isolating one family — host-level stall noise makes whole-report
+    // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     def section(name: String): Boolean = sections.isEmpty || sections(name)
@@ -258,6 +258,43 @@ object ScaleReport {
         Dedup.exactSubstrSpans(docs, 5).count()
       }
       println(s"""{"op":"exact_substr","spans":$spans,"docs":$nDocs}""")
+      // the cut half (q102): same gram frame plus coverage explode +
+      // per-doc reassembly; log the corpus-level token retention so the
+      // dup-density cost driver is visible next to the seconds
+      timed("exact_substr_cut") { Dedup.exactSubstrCut(docs, 5).count() }
+      val kept = Dedup.exactSubstrCut(docs, 5)
+        .agg(org.apache.spark.sql.functions.sum(col("n_tok")).as("t"),
+          org.apache.spark.sql.functions.sum(col("n_cut")).as("c")).head()
+      release()
+      println(s"""{"op":"exact_substr_cut_tokens","total":${kept.getLong(0)},"cut":${kept.getLong(1)}}""")
+      // boilerplate purge (q105): heavy-hitter table + targeted cut —
+      // coverage bounded by topN gram occurrences, not corpus dup rate
+      timed("heavy_hitters") { Dedup.heavyHitterGrams(docs, 5, 50).count() }
+      timed("boilerplate_cut") { Dedup.boilerplateCut(docs, 5, 50).count() }
+    }
+
+    // DSIR importance resampling (q103): two bag-of-feature aggs + a
+    // model join; the scale question is the hashed feature space —
+    // bounded model size must not change the selection materially
+    if (section("dsir")) {
+      import graft.operators.TrainingData
+      val n = math.max(100L, nDocs / 10).toInt
+      val target = docs.where(col("lang") === "en")
+      var exactIds = Set.empty[Long]
+      timed("dsir_exact") {
+        exactIds = TrainingData.dsirSelect(docs, target, n).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        exactIds.size.toLong
+      }
+      var hashedIds = Set.empty[Long]
+      timed("dsir_hashed_64k") {
+        hashedIds = TrainingData.dsirSelect(docs, target, n, 1 << 16)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        hashedIds.size.toLong
+      }
+      val overlap = if (exactIds.isEmpty) 1.0
+                    else exactIds.intersect(hashedIds).size.toDouble / exactIds.size
+      println(f"""{"op":"dsir_overlap","n":$n,"overlap":$overlap%.3f}""")
     }
 
     // Self-trained bigram LM scoring (q100): model agg + score join,
@@ -314,6 +351,19 @@ object ScaleReport {
       val ivfAgree = if (flHits.isEmpty) 1.0
                      else sqIvfHits.intersect(flHits).size.toDouble / flHits.size
       println(f"""{"op":"sq8_recall","brute_recall":$sqRecall%.2f,"ivf_agreement":$ivfAgree%.2f}""")
+      // RefineFlat second stage: float re-rank of the int8 top-k×4 —
+      // must restore exact float-IVF parity at ~the sq8 scan cost
+      var refHits = Set.empty[(Long, Long)]
+      timed("sq8_ivf_refine") {
+        val idx = Similarity.ivfBuildSq8(emb.where(col("vec_id") >= 5), 16)
+        refHits = Similarity.ivfSearchSq8Refine(idx,
+            emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5), 10, 3)
+          .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        idx.release(); refHits.size.toLong
+      }
+      val refAgree = if (flHits.isEmpty) 1.0
+                     else refHits.intersect(flHits).size.toDouble / flHits.size
+      println(f"""{"op":"sq8_refine_agreement","vs_float_ivf":$refAgree%.2f}""")
     }
 
     // Streaming ingest gate (IngestDedup over the signature store): the

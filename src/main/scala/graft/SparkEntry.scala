@@ -333,6 +333,14 @@ object SparkEntry {
     // plus codec exactness and the IVF,SQ8 save/load round trip.
     "q101_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d), 5, 10)),
     "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
+    // cluster-balanced diversity sample: k-means quota over embedding
+    // space (rows-only — seeded KMeans; SimilaritySpec pins cap/
+    // determinism/output size)
+    "q106_diversity_sample" -> ((s, d) => {
+      val (res, release) = Similarity.diversitySampleScoped(embeddings(s, d), 8, 40)
+      val out = res.cache(); out.count(); release()
+      out
+    }),
     "q61_lsh_near_dup" -> ((s, d) => Similarity.lshNearDupPairs(embeddings(s, d), 0.35)),
     "q46_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 300L, 0.4)),
     // round-3 oracle coverage: P4/P5/P13 + the SQL extension surface

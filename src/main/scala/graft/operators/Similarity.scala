@@ -132,6 +132,34 @@ object Similarity {
     IvfIndex(centDf, assigned, nList)
   }
 
+  /** Cluster-balanced diversity sampling — the embedding-space analog
+    * of `TrainingData.quotaSample`: k-means the corpus with the IVF
+    * coarse quantizer (seeded, deterministic), then keep up to
+    * `perCluster` vectors per cluster by deterministic hash rank. A
+    * pretraining mixture uses this to flatten semantic density:
+    * over-represented regions contribute at most `perCluster` docs
+    * each, regardless of how many near-identical variants exist.
+    *
+    * Shape for scale: the quota window shuffles once on list_id (same
+    * partitioning the IVF search reuses); the hash rank needs no
+    * global sort. Rows-only at the driver gate (seeded KMeans has no
+    * DuckDB analog); `SimilaritySpec` pins determinism, the
+    * per-cluster cap, and exact expected output size. */
+  def diversitySample(emb: DataFrame, nClusters: Int, perCluster: Int): DataFrame =
+    diversitySampleScoped(emb, nClusters, perCluster)._1
+
+  def diversitySampleScoped(emb: DataFrame, nClusters: Int,
+                            perCluster: Int): (DataFrame, () => Unit) = {
+    val idx = ivfBuild(emb, nClusters)
+    val res = idx.assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("list_id").orderBy(xxhash64(col("vid")), col("vid"))))
+      .where(col("rk") <= perCluster)
+      .select(col("vid").as("vec_id"), col("list_id"), col("rk"))
+      .orderBy("vec_id")
+    (res, () => idx.release())
+  }
+
   /** Persist a trained IVF index as two parquet tables (`centroids/`,
     * `assigned/`) so later sessions can search without re-running the
     * KMeans fit — the FAISS write_index/read_index lifecycle. The

@@ -94,6 +94,32 @@ class SimilaritySpec extends SparkSpec {
     } finally built.release()
   }
 
+  test("diversitySample: per-cluster cap, deterministic, exact output size") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (res, release) = Similarity.diversitySampleScoped(all, 4, 30)
+    try {
+      val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      // cap respected in every cluster
+      val perCluster = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(perCluster.values.forall(_ <= 30), s"cap exceeded: $perCluster")
+      assert(perCluster.size == 4, "every cluster must contribute")
+      // exact expected size: sum of min(|cluster|, cap)
+      val (sizes, release2) = {
+        val idx = Similarity.ivfBuild(all, 4)
+        (idx.assigned.groupBy("list_id").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap, () => idx.release())
+      }
+      release2()
+      val expected = sizes.values.map(n => math.min(n, 30L)).sum
+      assert(rows.length.toLong == expected)
+      // deterministic: seeded kmeans + hash rank -> identical re-run
+      val (res2, releaseB) = Similarity.diversitySampleScoped(all, 4, 30)
+      try assert(res2.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+        == rows.toSeq)
+      finally releaseB()
+    } finally release()
+  }
+
   test("cosineNearDupPairs: only near pair passes threshold") {
     val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
     val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
