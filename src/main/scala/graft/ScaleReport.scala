@@ -58,6 +58,16 @@ object ScaleReport {
     val emb = Tables.embeddings(spark, sfDir)
     val nDocs = docs.count(); val nVecs = emb.count()
     println(s"""{"op":"corpus","docs":$nDocs,"vecs":$nVecs,"dir":"$sfDir"}""")
+    // spill-aware partitioning (the CLAUDE.md scale rule): band-join
+    // build maps must fit the per-task heap share, and band rows grow
+    // ~84× the corpus — size shuffle partitions with the corpus instead
+    // of pinning them to the thread count. At sf10 this is the
+    // difference between 1.3 M-row and ~150 k-row shuffled-hash build
+    // maps (32 concurrent tasks share ONE local-mode heap; a real
+    // cluster sets this via spark.sql.shuffle.partitions the same way).
+    val shufflePartitions = math.max(cpus.toInt, (nDocs / 4000).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    println(s"""{"op":"conf","shuffle_partitions":$shufflePartitions}""")
 
     // MinHash-LSH family: candidate volume vs verified volume
     if (section("minhash")) {
