@@ -273,4 +273,54 @@ object TextAnalysis {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
     } finally tf.unpersist(blocking = false)
   }
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones, k1 = 1.2,
+    * b = 0.75) — the keyword half of hybrid retrieval next to the
+    * embedding ANN family. Scores are EXACT integers: with
+    * avgdl = A/N (A total tokens, N docs), the per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * clears to the integer ratio
+    *   (2N − 2df + 1) · 22·tf·A   over   (2df + 1) · (10·A·tf + 3·A + 9·dl·N)
+    * using the linear Robertson idf (N − df + ½)/(df + ½) — the q91
+    * discipline: no logarithm, so no cross-engine libm ulp drift — and
+    * lands as fixed-point ppm via a DECIMAL(38,0)-widened integer
+    * division (the q100/q103 discipline). The doc score is a BIGINT
+    * sum of per-term ppm parts: bit-exact against the oracle.
+    *
+    * Shape for scale: same as `tfidfTopK` — per-term tf pivots inside
+    * ONE hash aggregation (terms are literals, not data), constants
+    * reduce to one broadcast row, scoring is a projection, TakeOrdered
+    * bounds the result at k. Zero-score docs drop before the sort. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "terms must be a small literal set")
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          count(when(col("w") === t, true)).as(s"tf$i")
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.count()
+      val constCols = Seq(count(lit(1)).as("nd"), sum(col("dl")).as("ta")) ++
+        terms.indices.map(i => count(when(col(s"tf$i") > 0, true)).as(s"df$i"))
+      val consts = tf.agg(constCols.head, constCols.tail: _*)
+      val scorePpm = terms.indices.map { i =>
+        expr(s"CAST((CAST((2L*nd - 2L*df$i + 1L) * 22L * tf$i * ta AS DECIMAL(38,0))" +
+          s" * 1000000) div ((2L*df$i + 1L) * (10L*ta*tf$i + 3L*ta + 9L*dl*nd))" +
+          " AS BIGINT)")
+      }.reduce(_ + _)
+      val res = tf.crossJoin(broadcast(consts))
+        .withColumn("score_ppm", scorePpm)
+        .where(col("score_ppm") > 0)
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(k)
+        .select(col("doc_id"), col("score_ppm"))
+      // bounded at k rows: localize, then release the persist (the
+      // tfidfTopK/ivfTopK deterministic-release pattern)
+      val rows = res.collect().toIndexedSeq
+      val spark = docs.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally tf.unpersist(blocking = false)
+  }
 }

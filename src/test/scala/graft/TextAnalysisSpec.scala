@@ -113,4 +113,19 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("bm25TopK: fixed-point ppm scores match the hand computation") {
+    // N=3 docs, A=9 tokens, dl=3 each; term 'a' df=2, term 'c' df=1.
+    // per-term ppm = ((2N-2df+1)·22·tf·A · 1e6) div ((2df+1)·(10·A·tf + 3·A + 9·dl·N))
+    //   doc1 'a' tf=2: (3·22·2·9·1e6) div (5·(180+27+81)) = 1188e6 div 1440 = 825000
+    //   doc2 'a' tf=1: (3·22·1·9·1e6) div (5·198)          = 594e6  div 990  = 600000
+    //   doc2 'c' tf=2: (5·22·2·9·1e6) div (3·288)          = 1980e6 div 864  = 2291666
+    val d = docs(
+      (1L, "a a b", "en"),
+      (2L, "a c c", "en"),
+      (3L, "d d d", "en"))
+    val out = TextAnalysis.bm25TopK(d, Seq("a", "c"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 600000L + 2291666L), (1L, 825000L)))
+  }
 }
