@@ -132,6 +132,44 @@ object Similarity {
     IvfIndex(centDf, assigned, nList)
   }
 
+  /** Hybrid-retrieval fusion (Cormack et al. 2009 reciprocal rank
+    * fusion): merge the DENSE candidate list (exact cosine top-2k per
+    * query embedding) with the LEXICAL candidate list (BM25 top-2k for
+    * the term set) by RRF points 1/(60 + rank), kept exact as
+    * fixed-point ppm (1000000 div (60 + rank)) so the fused ranking is
+    * BIGINT-exact against the oracle — no float accumulation anywhere.
+    * Output (qid, rnk, vid, rrf_ppm): the top-k fused list per query.
+    *
+    * The lexical corpus is restricted to the dense corpus side
+    * (doc_id ≥ nQueries) so both lists draw from the same candidate
+    * pool. Shape for scale: both stages are the already-audited q39/
+    * q107 shapes (broadcast query side; single-agg pivot); the fusion
+    * itself aggregates ≤ nQueries·4k candidate rows — negligible. */
+  def rrfFusion(emb: DataFrame, docs: DataFrame, terms: Seq[String],
+                nQueries: Int, k: Int): DataFrame = {
+    val dense = cosineTopK(emb, nQueries, 2 * k)
+      .select(col("qid"), col("vid"),
+        expr("1000000L div (60L + rnk)").as("pts"))
+    val lex = TextAnalysis.bm25TopK(
+        docs.where(col("doc_id") >= nQueries), terms, 2 * k)
+      .withColumn("lrnk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("vid"),
+        expr("1000000L div (60L + lrnk)").as("pts"))
+    // the lexical list is query-independent: every query receives the
+    // same contributions (bounded 2k-row crossJoin)
+    val qids = dense.select("qid").distinct()
+    val fused = dense.unionByName(qids.crossJoin(lex))
+      .groupBy("qid", "vid")
+      .agg(sum(col("pts")).as("rrf_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vid"), col("rrf_ppm"))
+      .orderBy("qid", "rnk")
+    fused
+  }
+
   /** Cluster-balanced diversity sampling — the embedding-space analog
     * of `TrainingData.quotaSample`: k-means the corpus with the IVF
     * coarse quantizer (seeded, deterministic), then keep up to

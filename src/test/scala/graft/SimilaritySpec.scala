@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
     } finally release()
   }
 
+  test("rrfFusion: lexical evidence overturns the dense ranking, ppm exact") {
+    val e = emb(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (5L, Seq(1.0f, 0.0f)),   // dense rank 1 (cos 1), no lexical hit
+      (6L, Seq(0.0f, 1.0f)))   // dense rank 2 (cos 0), lexical rank 1
+    val d = Seq(
+      (5L, "plain words only here", "en", "src0", 10L),
+      (6L, "zz zz appears here", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Similarity.rrfFusion(e, d, Seq("zz"), 1, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // vid 6 = dense#2 + lex#1 = 1e6 div 62 + 1e6 div 61 = 16129 + 16393
+    // vid 5 = dense#1 only    = 1e6 div 61 = 16393
+    assert(out == Seq((0L, 1, 6L, 32522L), (0L, 2, 5L, 16393L)))
+  }
+
   test("cosineNearDupPairs: only near pair passes threshold") {
     val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
     val b = Seq(0.99f, 0.01f, 0.0f, 0.0f)
