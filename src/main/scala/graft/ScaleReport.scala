@@ -258,6 +258,17 @@ object ScaleReport {
         val n = Similarity.ivfSearch(idx, emb.where(col("vec_id") < 5), 10, 3).count()
         idx.release(); n
       }
+      // incremental add: assign a 1%-of-corpus batch against the saved
+      // centroids and append to the list store — O(batch), no list scan,
+      // no refit; the claim is append ≪ build
+      timed("ivf_append_batch") {
+        val batch = emb.where(col("vec_id") < math.max(1L, nVecs / 100))
+          .select((col("vec_id") +
+            org.apache.spark.sql.functions.lit(10000000L)).as("vec_id"),
+            col("embedding"))
+        Similarity.ivfAppendSave(spark, tmp, batch)
+        spark.read.parquet(s"$tmp/assigned").count()
+      }
     }
 
     // Exact-substring spans (q99): df agg + join-back + islands — the

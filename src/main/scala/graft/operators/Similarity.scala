@@ -232,6 +232,62 @@ object Similarity {
     IvfIndex(cents, assigned, nList)
   }
 
+  /** Assign NEW vectors to an existing index's lists without refitting
+    * the quantizer — the FAISS `index.add()` analog and the vector half
+    * of the incremental-ingest story (q97 / `IngestDedup` for docs):
+    * a growing corpus appends embeddings batch by batch against frozen
+    * centroids, refitting only on drift. Assignment uses the
+    * quantizer's own metric (squared Euclidean — argmin of
+    * |c|² − 2·v·c with |v|² constant), so appended vectors land in the
+    * same list `ivfBuild` would have chosen; works for float and SQ8
+    * indexes alike (codes re-encoded per batch). Centroids broadcast;
+    * the only data motion is the new batch. */
+  def ivfAppend(index: IvfIndex, newVecs: DataFrame): IvfIndex = {
+    val merged = index.assigned.unionByName(assignToLists(
+        index.centroids, newVecs, sq8 = index.assigned.columns.contains("qc")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    index.release()
+    IvfIndex(index.centroids, merged, index.nList)
+  }
+
+  /** Append new vectors to an `ivfSave`d index ON DISK: assign against
+    * the saved centroids (read, broadcast — no list scan at all) and
+    * append the new rows to the partitioned list store. A subsequent
+    * `ivfLoad` sees the union; per-batch cost is O(batch), independent
+    * of the store size — the `IngestDedup.processBatch` contract for
+    * vectors. */
+  def ivfAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val sq8 = spark.read.parquet(s"$path/assigned").schema.fieldNames.contains("qc")
+    assignToLists(cents, newVecs, sq8)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
+  }
+
+  /** New-batch list assignment shared by the append paths: nearest
+    * centroid by the quantizer metric, then rows in the index's
+    * list-frame layout (float `ce` or SQ8 `qc`). */
+  private def assignToLists(centroids: DataFrame, newVecs: DataFrame,
+                            sq8: Boolean): DataFrame = {
+    val cents = centroids.withColumn("cc", dot(col("centroid"), col("centroid")))
+    val assigned = newVecs
+      .select(col("vec_id").as("vid"), asDouble(col("embedding")).as("e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", col("cc") - lit(2.0) * dot(col("e"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vid").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("pr") === 1)
+    if (sq8) {
+      import graft.functions.Sq8
+      assigned.select(col("vid"), Sq8.encode(col("e")).as("qc"), col("list_id"))
+        .withColumn("cn", sqrt(Sq8.dot(col("qc"), col("qc"))))
+        .select("vid", "qc", "cn", "list_id")
+    } else
+      assigned.withColumn("cn", sqrt(dot(col("e"), col("e"))))
+        .select(col("vid"), col("e").as("ce"), col("cn"), col("list_id"))
+  }
+
   /** Search a trained index: each query probes only the `nProbe` lists
     * whose centroids score highest (centroids broadcast — nList rows),
     * candidates shuffle on list id, no cross join against the corpus. */

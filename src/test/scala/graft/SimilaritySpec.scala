@@ -120,6 +120,40 @@ class SimilaritySpec extends SparkSpec {
     } finally release()
   }
 
+  test("ivfAppend: twins land in their duplicate's list; disk append survives reload") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where($"vec_id" >= 20 && $"vec_id" < 400)
+    val idx = Similarity.ivfBuild(corpus, 4)
+    // append batch = exact duplicates of corpus vectors, re-keyed
+    val dup = all.where($"vec_id" >= 20 && $"vec_id" < 25)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val idx2 = Similarity.ivfAppend(idx, dup)
+    try {
+      // quantizer-metric assignment: each twin joins its duplicate's list
+      val lists = idx2.assigned.select("vid", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (v <- 20L until 25L)
+        assert(lists(v + 10000L) == lists(v), s"twin of $v landed elsewhere")
+      // searching with an original's embedding surfaces the appended twin
+      val hits = Similarity.ivfSearch(idx2, all.where($"vec_id" === 20), 3, 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(hits.head == ((1, 20L)) && hits.map(_._2).contains(10020L), s"$hits")
+      // on-disk append: save, append a second batch, reload, search
+      val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+      Similarity.ivfSave(idx2, dir)
+      val batch2 = all.where($"vec_id" >= 25 && $"vec_id" < 30)
+        .select(($"vec_id" + 20000L).as("vec_id"), $"embedding")
+      Similarity.ivfAppendSave(spark, dir, batch2)
+      val loaded = Similarity.ivfLoad(spark, dir)
+      try {
+        assert(loaded.assigned.count() == idx2.assigned.count() + 5)
+        val twin = Similarity.ivfSearch(loaded, all.where($"vec_id" === 25), 3, 4)
+          .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+        assert(twin.head == ((1, 25L)) && twin.map(_._2).contains(20025L), s"$twin")
+      } finally loaded.release()
+    } finally idx2.release()
+  }
+
   test("rrfFusion: lexical evidence overturns the dense ranking, ppm exact") {
     val e = emb(
       (0L, Seq(1.0f, 0.0f)),   // query

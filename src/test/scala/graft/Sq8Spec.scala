@@ -104,6 +104,21 @@ class Sq8Spec extends SparkSpec {
     } finally { fl.release(); sq.release() }
   }
 
+  test("ivfAppend on an SQ8 index re-encodes the batch to int8 codes") {
+    val corpus = testEmb.where($"vec_id" >= 20 && $"vec_id" < 400)
+    val idx = Similarity.ivfBuildSq8(corpus, nList = 4)
+    val dup = testEmb.where($"vec_id" >= 20 && $"vec_id" < 23)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val idx2 = Similarity.ivfAppend(idx, dup)
+    try {
+      assert(idx2.assigned.columns.contains("qc"), "append must keep the code column")
+      // identical vector -> identical code -> cos exactly 1.0 with its twin
+      val hits = Similarity.ivfSearchSq8(idx2, testEmb.where($"vec_id" === 20), 3, 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(hits.head == ((1, 20L)) && hits.map(_._2).contains(10020L), s"$hits")
+    } finally idx2.release()
+  }
+
   test("ivfSearchSq8Refine repairs quantization rank error to float parity") {
     val queries = testEmb.where($"vec_id" < 20)
     val corpus = testEmb.where($"vec_id" >= 20)
