@@ -569,6 +569,17 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // model-based quality filtering (Brown et al. 2020 App. A): LR
+    // trained on gopherQuality's verdict over docs < 250 as weak
+    // labels, every doc scored with a soft probability (rows-only —
+    // iterative float fit; TrainingDataSpec pins held-out agreement)
+    "q109_quality_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val labels = TrainingData.gopherQuality(docs.where(col("doc_id") < 250))
+        .select(col("doc_id"), when(col("keep"), 1.0).otherwise(0.0).as("label"))
+      TrainingData.qualityClassifier(docs, labels)
+    }),
     // DSIR importance resampling (Xie et al. 2023): bag-of-bigram
     // target (lang='en') vs raw models, docs ranked by the fixed-point
     // probability-difference surrogate of the log-likelihood ratio,

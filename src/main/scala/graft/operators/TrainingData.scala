@@ -538,6 +538,62 @@ object TrainingData {
     (res, () => trainB.unpersist(blocking = false))
   }
 
+  /** Model-based quality filtering — the GPT-3/LLaMA "quality
+    * classifier" stage (Brown et al. 2020, App. A): train a logistic
+    * regression on WEAK LABELS (a rule verdict or a reference-corpus
+    * membership bit on a labeled slice — here typically
+    * `gopherQuality`'s keep column), then score EVERY doc with a soft
+    * quality probability. This distills hard threshold rules into a
+    * calibrated ranker: borderline docs get ordered, not guillotined,
+    * and the cut point becomes a corpus-level budget decision.
+    *
+    * Features are the interpretable per-doc statistics the rule family
+    * already uses — token count, mean word length, stopword fraction,
+    * distinct-token ratio, max-token-frequency fraction — computed in
+    * a two-level hash agg (per-(doc,token) counts first, the q81
+    * shape). Training is MLlib L-BFGS logistic regression: per
+    * iteration one treeAggregate over the labeled slice; the model is
+    * a coefficient vector that broadcasts into a single scoring
+    * projection. Rows-only at the driver gate (iteratively-fitted
+    * float probabilities have no DuckDB analog); `TrainingDataSpec`
+    * pins held-out rule agreement and determinism. */
+  def qualityClassifier(docs: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val f = qcFeatures(docs).withColumn("features", array_to_vector(col("f")))
+    val train = f.join(labels, Seq("doc_id")).select(col("features"), col("label"))
+    val model = new LogisticRegression()
+      .setMaxIter(100).setRegParam(0.01).setStandardization(true)
+      .fit(train)
+    model.transform(f)
+      .select(col("doc_id"),
+        vector_to_array(col("probability")).getItem(1).as("p_good"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc quality features for `qualityClassifier`: two-level agg
+    * (token counts per doc first) so max-token frequency needs no
+    * window; emits (doc_id, f: array<double>). */
+  private def qcFeatures(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that", "with", "for")
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * length(col("w"))).as("sl"),
+        sum(when(col("w").isInCollection(stop), col("c")).otherwise(0L)).as("ns"),
+        count(lit(1)).as("nd"),
+        max(col("c")).as("maxc"))
+      .select(col("doc_id"), array(
+        col("n").cast("double"),
+        (col("sl") / col("n")).cast("double"),
+        (col("ns") / col("n")).cast("double"),
+        (col("nd") / col("n")).cast("double"),
+        (col("maxc") / col("n")).cast("double")).as("f"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): fit bag-of-bigram
     * models on a TARGET slice and on the RAW corpus, weight every raw

@@ -246,6 +246,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("qualityClassifier: learns the rule, ranks held-out docs correctly") {
+    import org.apache.spark.sql.functions.col
+    // good docs: long, varied vocabulary with stopwords; bad docs: one
+    // token repeated. Label half of each class; score everything.
+    val good = (0L until 20L).map(i =>
+      (i, (0 until 60).map(j => Seq("the", "quick", "brown", "fox", s"w${(i + j) % 17}")((j + i).toInt % 5)).mkString(" ")))
+    val bad = (20L until 40L).map(i => (i, Seq.fill(8)("spam").mkString(" ")))
+    val d = docs((good ++ bad): _*)
+    val labels = d.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(col("doc_id") < 20L, 1.0).otherwise(0.0).as("label"))
+    val out = TrainingData.qualityClassifier(d, labels).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 40)
+    // every held-out good doc outscores every held-out bad doc
+    val heldGood = (1L until 20L by 2).map(out)
+    val heldBad = (21L until 40L by 2).map(out)
+    assert(heldGood.min > heldBad.max,
+      s"good min ${heldGood.min} <= bad max ${heldBad.max}")
+    // deterministic re-fit on identical data
+    val again = TrainingData.qualityClassifier(d, labels).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
   test("decontaminateBloom equals exact decontaminate at any fpp") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
