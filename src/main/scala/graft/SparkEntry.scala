@@ -569,6 +569,12 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // BPE merge-table induction (Sennrich et al. 2016): tokenizer
+    // training from corpus word-type counts — distributed type agg,
+    // vocabulary-bounded merge loop (rows-only; TextAnalysisSpec pins
+    // the classic low/lower hand trace)
+    "q110_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(documents(s, d), 15)),
     // model-based quality filtering (Brown et al. 2020 App. A): LR
     // trained on gopherQuality's verdict over docs < 250 as weak
     // labels, every doc scored with a soft probability (rows-only —

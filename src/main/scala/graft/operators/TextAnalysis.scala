@@ -323,4 +323,57 @@ object TextAnalysis {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
     } finally tf.unpersist(blocking = false)
   }
+
+  /** BPE merge-table induction (Sennrich et al. 2016) — tokenizer
+    * training as a pipeline stage: learn the first `nMerges` byte-pair
+    * merges from corpus word-type frequencies. The DISTRIBUTED stage is
+    * the corpus-wide type count (one hash agg over every token of a
+    * 100 TB corpus — the part that scales with data); the merge loop
+    * then runs over the TYPE table, which is vocabulary-bounded
+    * (`maxVocabTypes` caps it explicitly — the ivfTopK bounded-collect
+    * contract: the type table is the MODEL, not the data; HF/
+    * sentencepiece train the same loop single-node from exactly this
+    * aggregate). Ties break (count desc, then lexical pair), so the
+    * merge table is deterministic. Output one row per learned merge:
+    * (rank, left, right, merged, pair_count). */
+  def bpeMerges(docs: DataFrame, nMerges: Int,
+                maxVocabTypes: Int = 1000000): DataFrame = {
+    val types = docs.select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocabTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Vector[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+    val merges = Vector.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) =
+          pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, l + r, cnt))
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        rank += 1
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
 }

@@ -15,7 +15,8 @@ class EntrySpec extends SparkSpec {
       "q50_multimodal_features", "q55_winnow_fp", "q56_ivf_topk",
       "q61_lsh_near_dup", "q65_simhash_pairs", "q73_winnow_pairs",
       "q85_semdedup", "q95_dedup_corpus", "q97_dedup_incremental",
-      "q101_sq8_topk", "q106_diversity_sample", "q109_quality_classifier")
+      "q101_sq8_topk", "q106_diversity_sample", "q109_quality_classifier",
+      "q110_bpe_merges")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

@@ -114,6 +114,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("bpeMerges: classic low/lower trace, deterministic ties") {
+    // types: low ×2, lower ×1 → pairs (l,o)=3 (o,w)=3 (w,</w>)=2
+    // (w,e)=1 (e,r)=1 (r,</w>)=1; tie at 3 broken lexically: (l,o)
+    val d = docs((1L, "low low lower", "en"))
+    val out = TextAnalysis.bpeMerges(d, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, "l", "o", "lo", 3L),
+      (1, "lo", "w", "low", 3L),
+      (2, "low", "</w>", "low</w>", 2L)))
+    // merge budget past exhaustion stops cleanly: 3 more merges fold
+    // "lower" (ties at count 1 resolve lexically: er, er</w>, lower</w>)
+    val all = TextAnalysis.bpeMerges(d, 100).collect()
+    assert(all.length == 6)
+  }
+
   test("bm25TopK: fixed-point ppm scores match the hand computation") {
     // N=3 docs, A=9 tokens, dl=3 each; term 'a' df=2, term 'c' df=1.
     // per-term ppm = ((2N-2df+1)·22·tf·A · 1e6) div ((2df+1)·(10·A·tf + 3·A + 9·dl·N))
