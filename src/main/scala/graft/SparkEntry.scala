@@ -569,6 +569,15 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // cross-source k-gram containment matrix: the dataset-mixing audit
+    // (which sources duplicate each other) — distinct gram sets,
+    // equi-join on the gram key, fixed-point ppm containment
+    "q111_source_overlap" -> ((s, d) =>
+      TrainingData.sourceOverlap(documents(s, d), 5)),
+    // Zipf rank-frequency profile: top tokens with exact corpus share
+    // + cumulative share in ppm — the corpus-health report
+    "q112_token_zipf" -> ((s, d) =>
+      TextAnalysis.tokenZipf(documents(s, d), 100)),
     // BPE merge-table induction (Sennrich et al. 2016): tokenizer
     // training from corpus word-type counts — distributed type agg,
     // vocabulary-bounded merge loop (rows-only; TextAnalysisSpec pins
@@ -1707,6 +1716,44 @@ object SparkEntry {
       GROUP BY r.doc_id
       ORDER BY weight DESC, doc_id
       LIMIT 100""",
+    "q111_source_overlap" -> """
+      WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      sg AS (SELECT DISTINCT source, sh FROM grams WHERE sh IS NOT NULL),
+      tot AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+      sh2 AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        FROM sg a JOIN sg b USING (sh)
+        WHERE a.source <> b.source GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(t.n_grams AS BIGINT) AS grams_a,
+             CAST(shared AS BIGINT) AS shared,
+             CAST((shared * 1000000) // t.n_grams AS BIGINT) AS containment_ppm
+      FROM sh2 JOIN tot t ON t.source = src_a
+      ORDER BY src_a, src_b""",
+    "q112_token_zipf" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+      c AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+      t AS (SELECT SUM(c) AS total FROM c),
+      top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 100),
+      r AS (SELECT w, c,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INT) AS rank,
+                   SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+            FROM top)
+      SELECT rank, w, CAST(c AS BIGINT) AS c,
+             CAST((c * 1000000) // total AS BIGINT) AS share_ppm,
+             CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm
+      FROM r CROSS JOIN t ORDER BY rank""",
     "q104_heavy_hitters" -> """
       WITH tok AS (
         SELECT doc_id,

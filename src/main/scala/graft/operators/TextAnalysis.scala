@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Cols._
 
@@ -322,6 +323,39 @@ object TextAnalysis {
       val spark = docs.sparkSession
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
     } finally tf.unpersist(blocking = false)
+  }
+
+  /** Zipf rank–frequency profile — the corpus-health report a curation
+    * run eyeballs before and after cleaning: the top-`topN` tokens by
+    * count with rank, corpus share, and cumulative share (fixed-point
+    * ppm — exact). A healthy natural corpus tracks rank·freq ≈ const;
+    * a boilerplate-polluted one shows a flattened head, and the
+    * cumulative column says how much of the corpus the top-N covers.
+    * One hash agg + TakeOrdered; the cumulative window runs over the
+    * bounded topN rows only. */
+  def tokenZipf(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val counts = docs.select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      counts.count()
+      val total = counts.agg(sum(col("c")).as("total"))
+      val top = counts.orderBy(col("c").desc, col("w")).limit(topN)
+      val res = top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("c").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("rank").cast("int").as("rank"), col("w"), col("c"),
+          expr("(c * 1000000L) div total").as("share_ppm"),
+          expr("(cum * 1000000L) div total").as("cum_ppm"))
+        .orderBy("rank")
+      // bounded at topN rows: localize, release the persist
+      val rows = res.collect().toIndexedSeq
+      val spark = docs.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally counts.unpersist(blocking = false)
   }
 
   /** BPE merge-table induction (Sennrich et al. 2016) — tokenizer

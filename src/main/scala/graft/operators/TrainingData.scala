@@ -538,6 +538,50 @@ object TrainingData {
     (res, () => trainB.unpersist(blocking = false))
   }
 
+  /** Cross-source k-gram containment matrix — the dataset-mixing audit
+    * run before combining corpora: for every ordered source pair
+    * (a, b), how much of a's distinct k-gram set also appears in b
+    * (`containment_ppm = |A∩B| / |A|`, fixed-point ppm). High
+    * containment flags sources that duplicate each other (mirrors,
+    * scrapes of the same site) BEFORE near-dup dedup pays to find the
+    * pairs doc by doc; the same statistic at corpus granularity is the
+    * Lee et al. cross-split contamination check.
+    *
+    * Shape for scale: distinct (source, gram) rows (one agg), totals
+    * (one agg), and an equi-join on the gram key — shuffle-partitioned
+    * on `sh`, so universal boilerplate grams are the skew keys and AQE
+    * splits them; nothing is ever pairwise in docs. */
+  def sourceOverlap(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
+    }
+    val sg = withNext.where(col(s"w${k - 1}").isNotNull)
+      .select(col("source"),
+        concat_ws(" ", (col("w") +: (1 until k).map(i => col(s"w$i"))): _*).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sg.count()
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = sg.select(col("source").as("src_a"), col("sh"))
+      .join(sg.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+      .where(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    val res = shared
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_grams").as("grams_a"))), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("shared"),
+        expr("(shared * 1000000L) div grams_a").as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+    // bounded at |sources|² rows: localize and release (ivfTopK pattern)
+    val rows = res.collect().toIndexedSeq
+    sg.unpersist(blocking = false)
+    val spark = docs.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
   /** Model-based quality filtering — the GPT-3/LLaMA "quality
     * classifier" stage (Brown et al. 2020, App. A): train a logistic
     * regression on WEAK LABELS (a rule verdict or a reference-corpus

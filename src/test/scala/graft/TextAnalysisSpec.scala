@@ -114,6 +114,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("tokenZipf: ranks, exact ppm shares, cumulative closes at 1e6") {
+    val d = docs((1L, "b b b a a c", "en"))
+    val out = TextAnalysis.tokenZipf(d, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "b", 3L, 500000L, 500000L),
+      (2, "a", 2L, 333333L, 833333L),
+      (3, "c", 1L, 166666L, 1000000L)))
+  }
+
   test("bpeMerges: classic low/lower trace, deterministic ties") {
     // types: low ×2, lower ×1 → pairs (l,o)=3 (o,w)=3 (w,</w>)=2
     // (w,e)=1 (e,r)=1 (r,</w>)=1; tie at 3 broken lexically: (l,o)

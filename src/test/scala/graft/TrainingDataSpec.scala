@@ -246,6 +246,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("sourceOverlap: containment ppm per ordered source pair") {
+    val d = Seq(
+      (1L, "a b c d e f", "en", "srcA", 11L),
+      (2L, "a b c d e x", "en", "srcB", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // srcA grams {abcde, bcdef}, srcB grams {abcde, bcdex} -> shared 1
+    val out = TrainingData.sourceOverlap(d, 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("srcA", "srcB", 2L, 1L, 500000L),
+      ("srcB", "srcA", 2L, 1L, 500000L)))
+  }
+
   test("qualityClassifier: learns the rule, ranks held-out docs correctly") {
     import org.apache.spark.sql.functions.col
     // good docs: long, varied vocabulary with stopwords; bad docs: one
