@@ -569,6 +569,25 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // snapshot diff between two corpus versions by content hash:
+    // docs 0-9 removed, 400+ added, every 50th changed (mutated text)
+    "q113_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val old = docs.where(col("doc_id") < 400)
+      val nu = docs.where(col("doc_id") >= 10)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      TrainingData.corpusDiff(old, nu)
+    }),
+    // per-eval-item contamination report: the audit face of q84 —
+    // how many corpus docs share >= 2 distinct 3-shingles per eval doc
+    "q114_eval_leak_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.evalLeakReport(docs.where(col("doc_id") >= 20),
+        docs.where(col("doc_id") < 20), 3, 2)
+    }),
     // cross-source k-gram containment matrix: the dataset-mixing audit
     // (which sources duplicate each other) — distinct gram sets,
     // equi-join on the gram key, fixed-point ppm containment
@@ -1716,6 +1735,42 @@ object SparkEntry {
       GROUP BY r.doc_id
       ORDER BY weight DESC, doc_id
       LIMIT 100""",
+    "q113_corpus_diff" -> """
+      WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      n AS (SELECT doc_id,
+                   CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id >= 10)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.text IS NULL THEN 'added'
+                  WHEN n.text IS NULL THEN 'removed'
+                  WHEN o.text <> n.text THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY doc_id""",
+    "q114_eval_leak_report" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      cs AS (SELECT DISTINCT doc_id, sh FROM g WHERE sh IS NOT NULL AND doc_id >= 20),
+      es AS (SELECT DISTINCT doc_id AS eval_id, sh FROM g WHERE sh IS NOT NULL AND doc_id < 20),
+      p AS (SELECT eval_id, cs.doc_id, COUNT(*) AS shared
+            FROM cs JOIN es USING (sh) GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      r AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_leaky_docs,
+                   CAST(MAX(shared) AS BIGINT) AS max_shared
+            FROM p GROUP BY 1)
+      SELECT e.doc_id AS eval_id,
+             COALESCE(r.n_leaky_docs, 0) AS n_leaky_docs,
+             COALESCE(r.max_shared, 0) AS max_shared
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 20) e
+      LEFT JOIN r ON r.eval_id = e.doc_id
+      ORDER BY eval_id""",
     "q111_source_overlap" -> """
       WITH tok AS (
         SELECT doc_id, source,

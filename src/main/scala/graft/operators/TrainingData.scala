@@ -538,6 +538,51 @@ object TrainingData {
     (res, () => trainB.unpersist(blocking = false))
   }
 
+  /** Snapshot diff between two corpus versions by content hash — the
+    * dataset-versioning audit (the reference's incremental-merge/
+    * conditional-fetch reuse ladder, lifted to whole corpora): every
+    * doc_id in either snapshot gets a status — `added` (new only),
+    * `removed` (old only), `changed` (both, hash differs), `unchanged`.
+    * md5 content hashes (not xxhash) so the verdict is engine-portable;
+    * one full outer join on the id, no text ever compared byte-wise
+    * twice. */
+  def corpusDiff(old: DataFrame, nu: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+    val n = nu.select(col("doc_id"), md5(col("text").cast("binary")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-eval-item contamination report — the AUDIT face of
+    * `decontaminate`: instead of dropping leaky corpus docs, report for
+    * every eval doc how widely it leaked (how many corpus docs share at
+    * least `minShared` distinct k-shingles, and the largest single-doc
+    * overlap). Eval sets are small → the shingle join broadcasts the
+    * eval side; corpus shingles stream past it, one agg each side. */
+  def evalLeakReport(corpus: DataFrame, eval: DataFrame, k: Int,
+                     minShared: Long): DataFrame = {
+    val cs = shingleRows(corpus, k).select(col("doc_id"), col("sh")).distinct()
+    val es = shingleRows(eval, k)
+      .select(col("doc_id").as("eval_id"), col("sh")).distinct()
+    val pairs = cs.join(broadcast(es), Seq("sh"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_leaky_docs"), max(col("shared")).as("max_shared"))
+    eval.select(col("doc_id").as("eval_id"))
+      .join(pairs, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy("eval_id")
+  }
+
   /** Cross-source k-gram containment matrix — the dataset-mixing audit
     * run before combining corpora: for every ordered source pair
     * (a, b), how much of a's distinct k-gram set also appears in b

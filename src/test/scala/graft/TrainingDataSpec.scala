@@ -246,6 +246,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged by content") {
+    val old = docs(1L -> "same text", 2L -> "will change", 3L -> "will vanish")
+    val nu = docs(1L -> "same text", 2L -> "has changed", 4L -> "brand new")
+    val out = TrainingData.corpusDiff(old, nu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(out == Seq(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("evalLeakReport: leak counts per eval doc, zero for clean items") {
+    val corpus = docs(
+      10L -> "one two three four five",   // shares 3-shingles with eval 1
+      11L -> "one two three nine ten",    // shares exactly one 3-shingle
+      12L -> "totally different words entirely")
+    val eval = docs(
+      1L -> "one two three four six",     // leaks into 10 (2 shingles) and 11 (1)
+      2L -> "clean benchmark item text")
+    val out = TrainingData.evalLeakReport(corpus, eval, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 10 shares {one two three, two three four} = 2 >= 2; doc 11 only 1
+    assert(out == Seq((1L, 1L, 2L), (2L, 0L, 0L)))
+  }
+
   test("sourceOverlap: containment ppm per ordered source pair") {
     val d = Seq(
       (1L, "a b c d e f", "en", "srcA", 11L),
