@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.operators.Similarity
+import graft.streaming.IngestVectors
+
+/** Streaming vector ingest into a persisted IVF index: batches append
+  * against frozen centroids while searches keep working from reloads,
+  * and the streamed store equals the batch `ivfAppendSave` fold. */
+class IngestVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("streamed batches land in the store; search finds them after reload") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("ingv_idx")
+    val base = Similarity.ivfBuild(all.where($"vec_id" >= 20 && $"vec_id" < 400), 4)
+    Similarity.ivfSave(base, dir)
+    base.release()
+    val baseCount = spark.read.parquet(s"$dir/assigned").count()
+
+    // two micro-batches of re-keyed duplicates of corpus vectors
+    val batch1 = all.where($"vec_id" >= 20 && $"vec_id" < 23)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batch2 = all.where($"vec_id" >= 23 && $"vec_id" < 25)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IngestVectors.start(
+      input.toDF().toDF("vec_id", "embedding"), dir, tmp("ingv_ckpt"))
+    input.addData(batch1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(batch2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.read.parquet(s"$dir/assigned").count() == baseCount + 5)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    try {
+      // every streamed twin sits in its duplicate's list
+      val lists = loaded.assigned.select("vid", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (v <- 20L until 25L)
+        assert(lists(v + 10000L) == lists(v), s"twin of $v misplaced")
+      // and a search with the original's embedding surfaces the twin
+      val hits = Similarity.ivfSearch(loaded, all.where($"vec_id" === 24), 3, 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(hits.head == ((1, 24L)) && hits.map(_._2).contains(10024L), s"$hits")
+    } finally loaded.release()
+  }
+}
