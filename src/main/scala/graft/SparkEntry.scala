@@ -569,6 +569,11 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // one-call end-to-end curation (the q95 counterpart for the
+    // curation family): gopher gate -> exact dedup -> split -> pack;
+    // hash-green because every stage composes its own green oracle
+    "q115_curate_corpus" -> ((s, d) =>
+      TrainingData.curateCorpus(documents(s, d), 500)),
     // snapshot diff between two corpus versions by content hash:
     // docs 0-9 removed, 400+ added, every 50th changed (mutated text)
     "q113_corpus_diff" -> ((s, d) => {
@@ -1735,6 +1740,45 @@ object SparkEntry {
       GROUP BY r.doc_id
       ORDER BY weight DESC, doc_id
       LIMIT 100""",
+    "q115_curate_corpus" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      keepq AS (
+        SELECT doc_id FROM agg
+        WHERE n_words BETWEEN 30 AND 100000
+          AND sum_len / n_words BETWEEN 3.0 AND 10.0
+          AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+          AND n_alpha / n_words >= 0.8
+          AND n_stop >= 2),
+      canon AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN keepq USING (doc_id)
+        GROUP BY md5(d.text)),
+      base AS (
+        SELECT d.doc_id,
+               CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(lower(trim(d.text)), ' ')) AS INT) AS n_tok
+        FROM documents d JOIN canon USING (doc_id)),
+      tr AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM base WHERE split = 'train')
+      SELECT b.doc_id, b.split, b.n_tok, tr.cb // 500 AS shard
+      FROM base b LEFT JOIN tr ON b.doc_id = tr.doc_id
+      ORDER BY b.doc_id""",
     "q113_corpus_diff" -> """
       WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
       n AS (SELECT doc_id,

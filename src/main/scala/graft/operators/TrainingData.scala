@@ -538,6 +538,37 @@ object TrainingData {
     (res, () => trainB.unpersist(blocking = false))
   }
 
+  /** One-call end-to-end curation — the curation counterpart of
+    * `Dedup.dedupCorpus` (q95): raw docs → Gopher quality gate → exact
+    * dedup (keep min doc_id per content hash) → deterministic
+    * train/val/test split → token packing of the train split. The
+    * output IS the training manifest: one row per surviving doc with
+    * its split, token count, and (train only) shard id.
+    *
+    * Every stage is an already-green operator (q88/q35/q79/q83), so
+    * the whole pipeline hash-checks against the composition of their
+    * oracles; every stage is one agg or one broadcast-joined window —
+    * the pipeline adds no shape beyond its parts. */
+  def curateCorpus(docs: DataFrame, budget: Long,
+                   minWords: Long = 30): DataFrame = {
+    val kept = gopherQuality(docs, minWords = minWords)
+      .where(col("keep")).select("doc_id")
+    val survivors = docs.join(kept, Seq("doc_id"))
+    val canonical = survivors
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val canon = docs.join(canonical, Seq("doc_id"))
+    val withSplit = canon.join(hashSplit(canon.select("doc_id", "text")),
+      Seq("doc_id"))
+    val packed = tokenPack(withSplit.where(col("split") === "train"), budget)
+      .select(col("doc_id"), col("shard"))
+    withSplit
+      .select(col("doc_id"), col("split"), size(toks(col("text"))).as("n_tok"))
+      .join(packed, Seq("doc_id"), "left")
+      .select("doc_id", "split", "n_tok", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Snapshot diff between two corpus versions by content hash — the
     * dataset-versioning audit (the reference's incremental-merge/
     * conditional-fetch reuse ladder, lifted to whole corpora): every

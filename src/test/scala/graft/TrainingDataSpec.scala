@@ -246,6 +246,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("curateCorpus: gate, dedup, split, and pack compose end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val goodText = (0 until 40).map(i =>
+      Seq("the", "quick", "brown", "fox", s"word$i")(i % 5)).mkString(" ")
+    val d = docs(
+      1L -> goodText,                 // survives; canonical of the pair
+      2L -> goodText,                 // exact dup of 1 -> dropped
+      3L -> "too short",              // fails gopher n_words >= 30
+      4L -> (goodText + " extra"))    // distinct content, survives
+    val out = TrainingData.curateCorpus(d, budget = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val ids = out.map(_._1)
+    assert(ids == Seq(1L, 4L), s"survivors: $out")
+    // split is the q79 hash rule; only train rows carry a shard id
+    for ((_, split, _, shard) <- out)
+      assert((split == "train") == (shard >= 0L), s"$out")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged by content") {
     val old = docs(1L -> "same text", 2L -> "will change", 3L -> "will vanish")
     val nu = docs(1L -> "same text", 2L -> "has changed", 4L -> "brand new")
