@@ -736,4 +736,42 @@ object Dedup {
     val res = cutDocs(tok, coverage(starts, k))
     (res, () => grams.unpersist(blocking = false))
   }
+
+  /** Per-document memorization-risk audit (Carlini et al., "Quantifying
+    * Memorization Across Neural Language Models", 2022: sequence
+    * memorization probability rises with corpus duplication count).
+    * For each document: how many of its k-gram positions start a
+    * sequence that repeats corpus-wide ≥ `minFreq` times, the worst
+    * repeat count seen, and the risky fraction — the per-doc triage
+    * face of `heavyHitterGrams` (corpus-wide) and `exactSubstrSpans`
+    * (span extraction). Docs shorter than k tokens report 0 grams.
+    *
+    * Shape for scale: gram frequencies aggregate BEFORE the join back
+    * (map-side combine; the freq side is distinct-gram-bounded), the
+    * join shuffles both sides on the gram key — linear, never
+    * quadratic — and the final per-doc agg is one hash agg. */
+  def memorizationRisk(docs: DataFrame, k: Int = 5,
+                       minFreq: Int = 2): DataFrame =
+    memorizationRiskScoped(docs, k, minFreq)._1
+
+  def memorizationRiskScoped(docs: DataFrame, k: Int = 5,
+                             minFreq: Int = 2): (DataFrame, () => Unit) = {
+    val grams = gramRows(tokenRows(docs), k) // persisted: freq agg + join-back
+    val freq = grams.groupBy("sh").agg(count(lit(1)).as("n_occ"))
+    val perDoc = grams.join(freq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        max(col("n_occ")).as("max_freq"),
+        sum(when(col("n_occ") >= minFreq, 1L).otherwise(0L)).as("n_risky"))
+    val res = docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_freq"), lit(0L)).as("max_freq"),
+        coalesce(col("n_risky"), lit(0L)).as("n_risky"),
+        when(col("n_grams").isNull || col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_risky").cast("double") / col("n_grams"))
+          .as("risk_frac"))
+      .orderBy("doc_id")
+    (res, () => grams.unpersist(blocking = false))
+  }
 }

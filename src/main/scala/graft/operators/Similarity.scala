@@ -432,6 +432,116 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Product-quantization top-k — the FAISS `PQ{m}` flat index with
+    * asymmetric distance computation (ADC), completing the quantizer
+    * ladder Flat → SQ8 → PQ (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011). The vector splits into `m`
+    * subspaces; each subspace gets its own `kSub`-centroid codebook
+    * (seeded KMeans over the candidate set), so a 64-dim float vector
+    * compresses to `m` small ints (m=8, kSub=16 → 8 codes ≈ 4 bytes vs
+    * 256: a 64× compression, far past SQ8's 4×).
+    *
+    * Search is ADC: each QUERY (tiny side) precomputes one flat lookup
+    * table `lut[j·kSub + c] = q_j · centroid_{j,c}` — m·kSub doubles —
+    * and a candidate's approximate dot product is `Σ_j lut[j·kSub +
+    * code_j]`: m array lookups + adds per (query, candidate), no float
+    * vector ever touched on the big side. The candidate norm uses the
+    * reconstruction `√(Σ_j |centroid_{j,code_j}|²)` (cross-subspace
+    * terms vanish in expectation for mean-centered codebooks).
+    *
+    * 100 TB shape: codebooks are m·kSub centroids — driver-fit on a
+    * sample, broadcast as literals into codegen; encoding is one
+    * linear projection pass; the scored side carries only codes, so
+    * the scan is ~64× less IO than the float baseline. Queries ride a
+    * single broadcast with their LUTs inlined. Recall is pinned
+    * honestly in `PqSpec`; `refine` re-ranks k·refine ADC candidates
+    * against the float store exactly like `ivfSearchSq8Refine`. */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
+             m: Int = 8, kSub: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dim = base.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cand = base.where(col("vec_id") >= nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    try {
+      // one codebook per subspace, fit on the candidate corpus
+      val books: Array[Array[Seq[Double]]] = (0 until m).map { j =>
+        val vecs = cand.select(slice(col("e"), j * sub + 1, sub).as("h"))
+          .withColumn("features", array_to_vector(col("h")))
+        new KMeans().setK(kSub).setSeed(42L + j).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("cl").fit(vecs)
+          .clusterCenters.map(_.toArray.toSeq)
+      }.toArray
+      val cNorm2: Array[Seq[Double]] = // |centroid|² tables, per subspace
+        books.map(_.map(c => c.map(x => x * x).sum).toSeq)
+      // encode: code_j = argmin_c |x_j − c|² (rank by −2·x·c + |c|²;
+      // the |x_j|² term is constant per row — same trick as pqCells)
+      def codeCol(j: Int): Column = {
+        val h = slice(col("e"), j * sub + 1, sub)
+        val structs = books(j).zipWithIndex.map { case (c, i) =>
+          struct((lit(cNorm2(j)(i)) - lit(2.0) * dot(h, typedLit(c))).as("d2"),
+            lit(i).as("cl"))
+        }
+        element_at(array_sort(array(structs.toIndexedSeq: _*)), 1).getField("cl")
+      }
+      val coded = cand.select(
+        (col("vec_id").as("vid") +:
+          (0 until m).map(j => codeCol(j).as(s"c$j"))): _*)
+        .withColumn("cn", sqrt(
+          (0 until m).map(j =>
+            element_at(typedLit(cNorm2(j)), col(s"c$j") + 1))
+            .reduce(_ + _)))
+      // query side: flat ADC lookup table inlined per query row
+      val lutCol = array(
+        (for (j <- 0 until m; c <- 0 until kSub) yield
+          dot(slice(col("e"), j * sub + 1, sub), typedLit(books(j)(c)))): _*)
+      val q = base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), lutCol.as("lut"),
+          sqrt(dot(col("e"), col("e"))).as("qn"))
+      val adc = (0 until m).map(j =>
+        element_at(col("lut"), col(s"c$j") + lit(j * kSub) + 1)).reduce(_ + _)
+      val res = coded.crossJoin(broadcast(q))
+        .select(col("qid"), col("vid"), (adc / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+        .where(col("rnk") <= k)
+        .select("qid", "rnk", "vid")
+        .orderBy("qid", "rnk")
+      // materialize the bounded nQueries·k result, then release the
+      // persisted corpus (the ivfTopK release pattern — no leaked cache)
+      val rows = res.collect().toIndexedSeq
+      val spark = emb.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally cand.unpersist(blocking = false)
+  }
+
+  /** PQ + exact re-rank: ADC retrieves `k × refine` candidates, the
+    * float store re-scores only those (the `PQ8,RefineFlat` composite).
+    * Same repair economics as `ivfSearchSq8Refine` — the refine join
+    * touches k·refine rows per query. */
+  def pqTopKRefine(emb: DataFrame, nQueries: Int, k: Int,
+                   m: Int = 8, kSub: Int = 16, refine: Int = 4): DataFrame = {
+    val cand = pqTopK(emb, nQueries, k * refine, m, kSub).select("qid", "vid")
+    val flo = emb.select(col("vec_id").as("vid"), asDouble(col("embedding")).as("ve"))
+      .withColumn("vn", sqrt(dot(col("ve"), col("ve"))))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    cand.join(flo, Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the scale path for
     * `cosineNearDupPairs`: pairs form only within sign-LSH buckets
     * (shuffle on bucket key), then the exact cosine threshold verifies.
