@@ -93,7 +93,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver tail-captures ~2 KB of stdout; the full 115-query map
+    // overflows it and truncates the line head, so the parse fails
+    // (round-5 BENCH had "parsed": null). Mitigation: persist the full
+    // map to a committed artifact, then emit a SHORT summary line LAST
+    // — total + worst-10 — that always survives the tail capture.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val worst = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ object ScaleReport {
         .foreach(_.unpersist(blocking = false))
     }
     // optional section allowlist (minhash,simhash,cc,ann,text,curation,
-    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest) for
+    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -246,6 +246,50 @@ object ScaleReport {
     // without a KMeans fit, prove the reloaded search is the built
     // search (rows compared by the caller's spec; here the timing story:
     // load ≪ build)
+    // PQ tier (q116/q119): the densest ANN storage — the scale claims
+    // are (a) fit+encode is one linear pass, (b) ADC search cost is
+    // m lookups/row over codes only, (c) IVF,PQ probe-scan cost is
+    // nProbe/nList of that, (d) save/load/append parity with the IVF
+    // store. Recall rides along next to the seconds like the ann
+    // section's, vs the same brute baseline.
+    if (section("pq")) {
+      var pqBrute = Set.empty[(Long, Long)]
+      pqBrute = Similarity.cosineTopK(emb, 5, 10)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      release()
+      def pqRecall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("qid", "vid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(pqBrute).size.toDouble / pqBrute.size
+      }
+      val pqR = pqRecall(Similarity.pqTopK(emb, 5, 10)); release()
+      val pqRR = pqRecall(Similarity.pqTopKRefine(emb, 5, 10)); release()
+      val ipqR = pqRecall(Similarity.ivfPqTopK(emb, 5, 10, 16, 4)); release()
+      println(f"""{"op":"pq_recall_at_10","pq_adc":$pqR%.2f,"pq_refine":$pqRR%.2f,"ivfpq_nprobe4":$ipqR%.2f}""")
+      timed("pq_topk")(Similarity.pqTopK(emb, 5, 10).count()); release()
+      timed("pq_topk_refine")(Similarity.pqTopKRefine(emb, 5, 10).count()); release()
+      timed("ivfpq_topk")(Similarity.ivfPqTopK(emb, 5, 10, 16, 4).count()); release()
+      val tmpPq = java.nio.file.Files.createTempDirectory("pq_idx").toString
+      timed("pq_build_and_save") {
+        val idx = Similarity.pqBuild(emb)
+        Similarity.pqSave(idx, tmpPq)
+        idx.release(); 8L
+      }
+      timed("pq_load_and_search") {
+        val idx = Similarity.pqLoad(spark, tmpPq)
+        val n = Similarity.pqSearch(idx, emb.where(col("vec_id") < 5), 10).count()
+        idx.release(); n
+      }
+      timed("pq_append_batch") {
+        val batch = emb.where(col("vec_id") < math.max(1L, nVecs / 100))
+          .select((col("vec_id") +
+            org.apache.spark.sql.functions.lit(10000000L)).as("vec_id"),
+            col("embedding"))
+        Similarity.pqAppendSave(spark, tmpPq, batch)
+        spark.read.parquet(s"$tmpPq/codes").count()
+      }
+    }
+
     if (section("ivfio")) {
       val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
       timed("ivf_build_and_save") {

@@ -338,6 +338,17 @@ object SparkEntry {
     // the float path near ties; Sq8Spec pins recall@10 >= 0.9 vs q39
     // plus codec exactness and the IVF,SQ8 save/load round trip.
     "q101_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d), 5, 10)),
+    // product-quantized ADC top-k + exact refine (FAISS PQ8,RefineFlat;
+    // 32x compression — the densest tier of the Flat→SQ8→IVF→PQ
+    // ladder). Rows-only: ADC ranks are approximate by design; PqSpec
+    // pins ADC recall@10 >= 0.6 and refined recall >= 0.9 vs q39.
+    "q116_pq_topk" -> ((s, d) => Similarity.pqTopKRefine(embeddings(s, d), 5, 10)),
+    // IVF,PQ composite (FAISS's billion-vector workhorse): coarse
+    // list pruning x PQ compression — the scan touches nProbe/nList
+    // of the corpus at 8 bytes/row. Rows-only: both stages are
+    // approximate; PqSpec pins recall and the save/load round trip.
+    "q119_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(embeddings(s, d), 5, 10, 16, 4)),
     "q56_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 3)),
     // cluster-balanced diversity sample: k-means quota over embedding
     // space (rows-only — seeded KMeans; SimilaritySpec pins cap/
@@ -574,6 +585,12 @@ object SparkEntry {
     // hash-green because every stage composes its own green oracle
     "q115_curate_corpus" -> ((s, d) =>
       TrainingData.curateCorpus(documents(s, d), 500)),
+    // q115 with the q95 MinHash near-dup stage composed between exact
+    // dedup and the split (the real-pipeline order). Rows-only: the
+    // LSH band stage has no DuckDB equivalent; TrainingDataSpec pins
+    // the keep-set against hand-composing gopher -> exact -> q95
+    "q118_curate_neardup" -> ((s, d) =>
+      TrainingData.curateCorpus(documents(s, d), 500, nearDup = true)),
     // snapshot diff between two corpus versions by content hash:
     // docs 0-9 removed, 400+ added, every 50th changed (mutated text)
     "q113_corpus_diff" -> ((s, d) => {
@@ -637,6 +654,14 @@ object SparkEntry {
     // from every doc, q102's reassembly contract (one row per doc)
     "q105_boilerplate_cut" -> ((s, d) =>
       Dedup.boilerplateCut(documents(s, d), 5, 25)),
+    // per-doc memorization-risk triage (Carlini 2022): of each doc's
+    // 5-gram positions, how many start a sequence repeating >=2 times
+    // corpus-wide, the worst repeat count, and the risky fraction
+    "q117_memorization_risk" -> ((s, d) => {
+      val (res, release) = Dedup.memorizationRiskScoped(documents(s, d), 5, 2)
+      val out = res.cache(); out.count(); release()
+      out
+    }),
     // P2 oracle-expressible slice (bdqueimadas_incremental.py:795-824):
     // drifted per-file headers (case/separator/alias variants keyed off
     // the source number, q66 pattern) resolved to canonical roles by
@@ -1900,6 +1925,34 @@ object SparkEntry {
              COALESCE(string_agg(CASE WHEN NOT cv THEN w END, ' ' ORDER BY pos), '')
                AS cut_text
       FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    "q117_memorization_risk" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tok),
+      g AS (SELECT doc_id, sh FROM grams WHERE sh IS NOT NULL),
+      freq AS (SELECT sh, COUNT(*) AS n_occ FROM g GROUP BY 1),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_grams, MAX(n_occ) AS max_freq,
+               SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_risky
+        FROM g JOIN freq USING (sh) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(p.max_freq, 0) AS BIGINT) AS max_freq,
+             CAST(COALESCE(p.n_risky, 0) AS BIGINT) AS n_risky,
+             CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(p.n_risky AS DOUBLE) / p.n_grams END AS risk_frac
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY doc_id""",
     "q100_lm_quality" -> """
       WITH tok AS (
         SELECT doc_id,

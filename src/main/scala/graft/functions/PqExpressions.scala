@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization encoder as ONE native codegen expression — the
+  * FAISS `PQ{m}` encode step (Jégou et al., TPAMI 2011). The input
+  * vector is L2-normalized in place (cosine-PQ), split into `m`
+  * subspaces of `sub` dims, and each subspace is assigned its nearest
+  * codebook centroid by Euclidean argmin — emitted as an
+  * `array<int>` of `m` local codes.
+  *
+  * The codebook rides into generated code via `addReferenceObj` (a
+  * flat `double[]`), NOT as an expression tree — so kSub=256 costs the
+  * same generated-code size as kSub=16, where the struct-array-sort
+  * formulation would hit codegen method limits. The argmin uses
+  * `|c|² − 2·x̂·c` (the `|x̂_j|²` term is constant per row) with
+  * strict `<`, so ties break to the lowest code deterministically; the
+  * interpreted eval mirrors the generated loop order bit-for-bit.
+  *
+  * 100 TB shape: the encode pass is the only full scan the PQ family
+  * makes over float vectors; after it, searches touch `m` bytes per
+  * row. One expression instance = one broadcast codebook per plan.
+  */
+case class PqEncode(child: Expression, flatBooks: Array[Double],
+                    ks: Array[Int], sub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  private val m = ks.length
+  // flat double offset of subspace j's first centroid
+  private val centOff: Array[Int] =
+    ks.scanLeft(0)((acc, k) => acc + k * sub).dropRight(1)
+  // |centroid|² aligned with (subspace, local code)
+  private val cN2: Array[Array[Double]] = Array.tabulate(m) { j =>
+    Array.tabulate(ks(j)) { c =>
+      var s = 0.0; var t = 0
+      while (t < sub) {
+        val v = flatBooks(centOff(j) + c * sub + t); s += v * v; t += 1
+      }
+      s
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    var n2 = 0.0
+    var i = 0
+    val dim = e.numElements()
+    while (i < dim) { val v = e.getDouble(i); n2 += v * v; i += 1 }
+    val nrm = if (n2 > 0.0) math.sqrt(n2) else 1.0
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ks(j)) {
+        var dot = 0.0
+        var t = 0
+        while (t < sub) {
+          dot += e.getDouble(j * sub + t) * flatBooks(centOff(j) + c * sub + t)
+          t += 1
+        }
+        val d = cN2(j)(c) - 2.0 * dot / nrm
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val booksRef = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
+      val ksRef = ctx.addReferenceObj("ks", ks, "int[]")
+      val centOffRef = ctx.addReferenceObj("centOff", centOff, "int[]")
+      val cN2Ref = ctx.addReferenceObj("cN2", cN2, "double[][]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val n2 = ctx.freshName("n2")
+      val nrm = ctx.freshName("nrm")
+      val codes = ctx.freshName("codes")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      s"""
+        final int ${i}Dim = $e.numElements();
+        double $n2 = 0.0;
+        for (int $i = 0; $i < ${i}Dim; $i++) {
+          final double v = $e.getDouble($i);
+          $n2 += v * v;
+        }
+        final double $nrm = ($n2 > 0.0) ? java.lang.Math.sqrt($n2) : 1.0;
+        final int[] $codes = new int[${m}];
+        for (int $j = 0; $j < ${m}; $j++) {
+          int $best = 0;
+          double $bestD = Double.POSITIVE_INFINITY;
+          for (int $c = 0; $c < $ksRef[$j]; $c++) {
+            double $dot = 0.0;
+            for (int $t = 0; $t < ${sub}; $t++) {
+              $dot += $e.getDouble($j * ${sub} + $t)
+                * $booksRef[$centOffRef[$j] + $c * ${sub} + $t];
+            }
+            final double $d = $cN2Ref[$j][$c] - 2.0 * $dot / $nrm;
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $codes[$j] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+object Pq {
+  def encode(e: Column, flatBooks: Array[Double], ks: Array[Int],
+             sub: Int): Column =
+    GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(e), flatBooks, ks, sub))
+}

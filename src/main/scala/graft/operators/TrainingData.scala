@@ -540,24 +540,33 @@ object TrainingData {
 
   /** One-call end-to-end curation — the curation counterpart of
     * `Dedup.dedupCorpus` (q95): raw docs → Gopher quality gate → exact
-    * dedup (keep min doc_id per content hash) → deterministic
-    * train/val/test split → token packing of the train split. The
-    * output IS the training manifest: one row per surviving doc with
-    * its split, token count, and (train only) shard id.
+    * dedup (keep min doc_id per content hash) → optional MinHash
+    * NEAR-dup dedup → deterministic train/val/test split → token
+    * packing of the train split. The output IS the training manifest:
+    * one row per surviving doc with its split, token count, and
+    * (train only) shard id.
     *
-    * Every stage is an already-green operator (q88/q35/q79/q83), so
-    * the whole pipeline hash-checks against the composition of their
-    * oracles; every stage is one agg or one broadcast-joined window —
-    * the pipeline adds no shape beyond its parts. */
+    * Every stage is an already-green operator (q88/q35/[q95]/q79/q83),
+    * so the exact-only pipeline hash-checks against the composition of
+    * their oracles; with `nearDup = true` the q95 stage (LSH bands →
+    * Jaccard verify → connected components → keep-min) runs between
+    * exact dedup and the split — the order real pipelines use: the
+    * cheap hash agg halves the corpus before signatures are computed.
+    * `TrainingDataSpec` pins the nearDup keep-set against composing
+    * `Dedup.dedupCorpus` by hand. */
   def curateCorpus(docs: DataFrame, budget: Long,
-                   minWords: Long = 30): DataFrame = {
+                   minWords: Long = 30, nearDup: Boolean = false,
+                   nearDupThreshold: Double = 0.5): DataFrame = {
     val kept = gopherQuality(docs, minWords = minWords)
       .where(col("keep")).select("doc_id")
     val survivors = docs.join(kept, Seq("doc_id"))
     val canonical = survivors
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val canon = docs.join(canonical, Seq("doc_id"))
+    val exactCanon = docs.join(canonical, Seq("doc_id"))
+    val canon =
+      if (!nearDup) exactCanon
+      else graft.operators.Dedup.dedupCorpus(exactCanon, nearDupThreshold)
     val withSplit = canon.join(hashSplit(canon.select("doc_id", "text")),
       Seq("doc_id"))
     val packed = tokenPack(withSplit.where(col("split") === "train"), budget)

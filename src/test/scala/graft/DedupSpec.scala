@@ -202,6 +202,22 @@ class DedupSpec extends SparkSpec {
       (3L, 10, 5, "x3 y3 z3 w3 v3")))
   }
 
+  test("memorizationRisk: hand-computed risky fractions, short docs zero") {
+    val d = docs(
+      1L -> "a b c d e x1 y1 z1 w1 v1", // 6 gram starts; only "a b c d e" repeats
+      2L -> "a b c d e x2 y2 z2 w2 v2",
+      3L -> "a b c d e x3 y3 z3 w3 v3",
+      4L -> "too short")                // < k tokens: zero grams by contract
+    val out = Dedup.memorizationRisk(d, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 6L, 3L, 1L, 1.0 / 6.0),
+      (2L, 6L, 3L, 1L, 1.0 / 6.0),
+      (3L, 6L, 3L, 1L, 1.0 / 6.0),
+      (4L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("keyMerge: langs merged sorted-distinct") {
     val d = Seq(
       (1L, "t", "en", " SrcA ", 1L), (2L, "t", "de", "srca", 1L))

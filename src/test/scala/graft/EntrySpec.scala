@@ -16,7 +16,8 @@ class EntrySpec extends SparkSpec {
       "q61_lsh_near_dup", "q65_simhash_pairs", "q73_winnow_pairs",
       "q85_semdedup", "q95_dedup_corpus", "q97_dedup_incremental",
       "q101_sq8_topk", "q106_diversity_sample", "q109_quality_classifier",
-      "q110_bpe_merges")
+      "q110_bpe_merges", "q116_pq_topk", "q118_curate_neardup",
+      "q119_ivfpq_topk")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

@@ -147,6 +147,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q97 incremental dedup: store-side band join never statically broadcasts band rows") {
+    // sketchDrops joins the batch's exploded band rows against the
+    // store's on (band, bkey). Both sides are ×bands posexplodes of
+    // signature frames — the same blinded-estimate trap as the
+    // minhash self-join: a static BROADCAST would move the whole
+    // band-row table through the driver at corpus scale.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val storeSigs = Dedup.minhashSignatures(docs.where(col("doc_id") < 250))
+    val newSigs = Dedup.minhashSignatures(docs.where(col("doc_id") >= 250))
+      .persist()
+    try {
+      val drops = Dedup.sketchDrops(newSigs, storeSigs, 0.5)
+      val joins = drops.queryExecution.sparkPlan.collectWithSubqueries {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(joins.isEmpty,
+        "incremental-dedup band join statically broadcasts a band-row side")
+      drops.unpersist(blocking = false)
+    } finally newSigs.unpersist(blocking = false)
+  }
+
+  test("q103 DSIR: model joins stay broadcast against the per-doc feature frame") {
+    // The importance-weight joins touch every per-doc feature row; the
+    // MODEL side (vocabulary-bounded by design, hashBuckets-bounded in
+    // hashed mode) must ride a broadcast — a shuffle here would move
+    // the corpus-sized feature frame twice.
+    val p = plan("q103_dsir_select")
+    val broadcasts = p.collectWithSubqueries { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.length >= 2,
+      s"expected the tgt+raw model joins broadcast, got ${broadcasts.length}")
+  }
+
   test("minhash/simhash band self-joins never plan as static broadcasts") {
     // The ×bands posexplode is invisible to static size estimation: the
     // planner sees the small signature table and would BROADCAST tens of

@@ -18,7 +18,7 @@ class PqSpec extends SparkSpec {
     val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
     val pq = pairs(Similarity.pqTopK(testEmb, 20, 10))
     val recall = (gold & pq).size.toDouble / gold.size
-    info(s"pq (m=8, kSub=16) recall@10 = $recall")
+    info(s"pq (m=8, kSub=256) recall@10 = $recall")
     assert(recall >= 0.6, s"recall $recall") // 64x compression: honest floor
   }
 
@@ -35,5 +35,82 @@ class PqSpec extends SparkSpec {
     val b = Similarity.pqTopK(testEmb, 10, 5).collect().toSeq
     assert(a == b)
     assert(a.nonEmpty && a.size == 50)
+  }
+
+  test("pqSave/pqLoad round-trip: search-after-reload equals search-after-build") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val corpus = testEmb.where(col("vec_id") >= 10)
+    val queries = testEmb.where(col("vec_id") < 10)
+    val built = Similarity.pqBuild(corpus)
+    try {
+      val before = Similarity.pqSearch(built, queries, 5).collect().toSeq
+      Similarity.pqSave(built, dir)
+      val loaded = Similarity.pqLoad(spark, dir)
+      try {
+        val after = Similarity.pqSearch(loaded, queries, 5).collect().toSeq
+        assert(before == after)
+        assert(before.size == 50)
+      } finally loaded.release()
+    } finally built.release()
+  }
+
+  test("ivfPqTopK: list pruning x ADC reaches the recall floor; refine repairs it") {
+    import org.apache.spark.sql.functions.col
+    val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
+    val ivfpq = pairs(Similarity.ivfPqTopK(testEmb, 20, 10, 8, 3))
+    val recall = (gold & ivfpq).size.toDouble / gold.size
+    info(s"ivfpq (nList=8, nProbe=3, m=8, kSub=256) recall@10 = $recall")
+    assert(recall >= 0.5, s"recall $recall") // list misses stack on ADC error
+    val index = Similarity.ivfPqBuild(testEmb.where(col("vec_id") >= 20), 8)
+    try {
+      val re = Similarity.ivfPqSearchRefine(index,
+        testEmb.where(col("vec_id") < 20), testEmb, 10, nProbe = 3)
+      val reRecall = (gold & pairs(re)).size.toDouble / gold.size
+      info(s"ivfpq+refine recall@10 = $reRecall")
+      // refine repairs ADC rank error but cannot recover list misses:
+      // floor sits between the ADC floor and pq+refine's 0.9
+      assert(reRecall >= recall && reRecall >= 0.6, s"refined $reRecall vs adc $recall")
+    } finally index.release()
+  }
+
+  test("ivfPqSave/ivfPqLoad round-trip: search-after-reload equals search-after-build") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val corpus = testEmb.where(col("vec_id") >= 10)
+    val queries = testEmb.where(col("vec_id") < 10)
+    val built = Similarity.ivfPqBuild(corpus, 8)
+    try {
+      val before = Similarity.ivfPqSearch(built, queries, 5, 3).collect().toSeq
+      Similarity.ivfPqSave(built, dir)
+      val loaded = Similarity.ivfPqLoad(spark, dir)
+      try {
+        val after = Similarity.ivfPqSearch(loaded, queries, 5, 3).collect().toSeq
+        assert(before == after)
+        assert(before.size == 50)
+      } finally loaded.release()
+    } finally built.release()
+  }
+
+  test("pqAppendSave: appended vectors are searchable, O(batch) encode against frozen books") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    // build+save WITHOUT the last 50 vectors, then append them
+    val initial = testEmb.where(col("vec_id") >= 10 && col("vec_id") < 450)
+    val batch = testEmb.where(col("vec_id") >= 450)
+    val queries = testEmb.where(col("vec_id") < 10)
+    val built = Similarity.pqBuild(initial)
+    try Similarity.pqSave(built, dir) finally built.release()
+    Similarity.pqAppendSave(spark, dir, batch)
+    val loaded = Similarity.pqLoad(spark, dir)
+    try {
+      assert(loaded.coded.count() == 490)
+      // an appended vector queried against itself must rank first:
+      // its code reconstruction is its own nearest ADC match among
+      // near-orthogonal data
+      val self = Similarity.pqSearch(loaded, testEmb.where(col("vec_id") === 460), 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(self == Seq((460L, 460L)), s"self-match: $self")
+    } finally loaded.release()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TrainingData
+import graft.operators.{Dedup, TrainingData}
 
 class TrainingDataSpec extends SparkSpec {
   import spark.implicits._
@@ -263,6 +263,32 @@ class TrainingDataSpec extends SparkSpec {
     // split is the q79 hash rule; only train rows carry a shard id
     for ((_, split, _, shard) <- out)
       assert((split == "train") == (shard >= 0L), s"$out")
+  }
+
+  test("curateCorpus nearDup: keep-set matches hand-composed gopher -> exact -> q95") {
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val goodText = (0 until 40).map(i =>
+      Seq("the", "quick", "brown", "fox", s"word$i")(i % 5)).mkString(" ")
+    val d = docs(
+      1L -> goodText,                  // canonical of the exact pair AND its near-dup cluster
+      2L -> goodText,                  // exact dup of 1 -> dropped at the hash stage
+      3L -> "too short",               // fails gopher n_words >= 30
+      4L -> (goodText + " extra"),     // near-dup of 1 (Jaccard ~1 on shingles) -> dropped by q95 stage
+      5L -> (0 until 40).map(i =>
+        Seq("the", "zebra", "and", "mango", s"tok$i")(i % 5))
+        .mkString(" "))                // distinct shingles, stopword-bearing -> survives
+    val out = TrainingData.curateCorpus(d, budget = 10, nearDup = true)
+      .collect().map(_.getLong(0)).toSeq
+    // hand-compose the stages the one-call path claims to run
+    val kept = TrainingData.gopherQuality(d, minWords = 30)
+      .where(col("keep")).select("doc_id")
+    val exact = d.join(kept, Seq("doc_id"))
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val expected = Dedup.dedupCorpus(d.join(exact, Seq("doc_id")), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == expected, s"one-call $out vs composed $expected")
+    assert(out == Seq(1L, 5L), s"survivors: $out") // 4 dropped ONLY by the near-dup stage
   }
 
   test("corpusDiff: added/removed/changed/unchanged by content") {
