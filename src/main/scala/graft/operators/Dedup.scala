@@ -350,10 +350,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shuffle_hash for the same reason as minhashCandidatePlan: the
     // ×tables explode is invisible to static size estimation, and a
-    // planner-chosen broadcast of 10⁸ band rows kills the driver
-    val bands = sims.select(col("doc_id"), col("simhash"),
+    // planner-chosen broadcast of 10⁸ band rows kills the driver.
+    //
+    // Blocks materialize as a projection BEFORE the combination array:
+    // inlining block(b) into every subset slot re-derives numBlocks·
+    // C(n,B)/n shift/mask subtrees per slot (252 at B=3, k=6), and the
+    // resulting tree costs ~3 s of Catalyst+Janino per FRESH plan —
+    // 6× the 0.5 s the join itself executes in (measured round 6; the
+    // bench builds a fresh plan per rep, so plan cost IS query cost).
+    val withBlocks = sims.select(col("doc_id") +: col("simhash") +:
+      (0 until numBlocks).map(b => block(b).as(s"blk$b")): _*)
+    val bands = withBlocks.select(col("doc_id"), col("simhash"),
       posexplode(array(tables.map(s =>
-        xxhash64(s.map(block): _*): Column): _*))
+        xxhash64(s.map(b => col(s"blk$b")): _*): Column): _*))
         .as(Seq("band", "bkey")))
       .hint("shuffle_hash")
     val candidates = bands.as("x").join(bands.as("y"),
