@@ -339,7 +339,7 @@ object SparkEntry {
     // plus codec exactness and the IVF,SQ8 save/load round trip.
     "q101_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d), 5, 10)),
     // product-quantized ADC top-k + exact refine (FAISS PQ8,RefineFlat;
-    // 32x compression — the densest tier of the Flat→SQ8→IVF→PQ
+    // 16x compression (m=16) — the densest tier of the Flat→SQ8→IVF→PQ
     // ladder). Rows-only: ADC ranks are approximate by design; PqSpec
     // pins ADC recall@10 >= 0.6 and refined recall >= 0.9 vs q39.
     "q116_pq_topk" -> ((s, d) => Similarity.pqTopKRefine(embeddings(s, d), 5, 10)),

@@ -438,8 +438,10 @@ object Similarity {
     * Nearest Neighbor Search", TPAMI 2011). The vector splits into `m`
     * subspaces; each subspace gets its own `kSub`-centroid codebook
     * (seeded KMeans over the candidate set), so a 64-dim float vector
-    * compresses to `m` small ints (m=8, kSub=256 → 8 bytes vs 256: a
-    * 32× compression, far past SQ8's 4× — FAISS's standard `PQ8`).
+    * compresses to `m` byte codes (default m=16, kSub=256 → 16 bytes
+    * vs 256: 16× compression, far past SQ8's 4× — FAISS `PQ16`; m=8
+    * halves storage again but needs a ~4× refine pool for the same
+    * refined recall — measured at 20 k vectors, SCALE.md round 6).
     *
     * Cosine via L2-normalization (standard FAISS practice for inner-
     * product PQ): both sides are scaled to unit length BEFORE codebook
@@ -467,7 +469,7 @@ object Similarity {
     * honestly in `PqSpec`; `refine` re-ranks k·refine ADC candidates
     * against the float store exactly like `ivfSearchSq8Refine`. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
-             m: Int = 8, kSub: Int = 256): DataFrame = {
+             m: Int = 16, kSub: Int = 256): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -641,7 +643,7 @@ object Similarity {
   /** Fit + encode a corpus `(vec_id, embedding)` into a `PqIndex` —
     * the trainable half of `pqTopK` split out for the save/load/append
     * lifecycle (FAISS `train` + `add`). */
-  def pqBuild(vecs: DataFrame, m: Int = 8, kSub: Int = 256): PqIndex = {
+  def pqBuild(vecs: DataFrame, m: Int = 16, kSub: Int = 256): PqIndex = {
     val base = vecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -711,6 +713,14 @@ object Similarity {
       queries.select(col("vec_id"), asDouble(col("embedding")).as("e")),
       index.books, index.sub, k)
 
+  /** Serving-path `PQ,RefineFlat`: ADC retrieval over the index, exact
+    * float re-rank against a corpus frame — the long-lived-index
+    * counterpart of `pqTopKRefine` (which refits per call). */
+  def pqSearchRefine(index: PqIndex, queries: DataFrame, corpus: DataFrame,
+                     k: Int, refine: Int = 8): DataFrame =
+    exactRerank(pqSearch(index, queries, k * refine).select("qid", "vid"),
+      corpus, queries, k)
+
   /** IVF,PQ composite — FAISS's workhorse index for billion-vector
     * corpora (`IVF{n},PQ{m}`, Jégou 2011 §IV): a coarse KMeans
     * quantizer routes each vector to an inverted list, and the vector
@@ -731,7 +741,7 @@ object Similarity {
     def release(): Unit = coded.unpersist(blocking = false)
   }
 
-  def ivfPqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 8,
+  def ivfPqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 16,
                  kSub: Int = 256): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -809,7 +819,7 @@ object Similarity {
     * contract): build on the candidate corpus, search the query
     * slice, release. */
   def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nList: Int = 8,
-                nProbe: Int = 2, m: Int = 8, kSub: Int = 256): DataFrame = {
+                nProbe: Int = 2, m: Int = 16, kSub: Int = 256): DataFrame = {
     val index = ivfPqBuild(emb.where(col("vec_id") >= nQueries), nList, m, kSub)
     try {
       val res = ivfPqSearch(index, emb.where(col("vec_id") < nQueries), k, nProbe)
@@ -838,8 +848,11 @@ object Similarity {
       .partitionBy("list_id").parquet(s"$path/codes")
   }
 
-  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
-                path: String): IvfPqIndex = {
+  /** Metadata halves of a saved IVF,PQ index (coarse centroids + PQ
+    * codebooks) WITHOUT touching the codes store — what append needs:
+    * both reads are bounded (nList + m·kSub rows). */
+  private def ivfPqMeta(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select("list_id", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -851,6 +864,12 @@ object Similarity {
       bookRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
+    (cents, books)
+  }
+
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val (cents, books) = ivfPqMeta(spark, path)
     val coded = spark.read.parquet(s"$path/codes")
       .select(col("vid"), col("codes"), col("list_id").cast("int").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -858,12 +877,37 @@ object Similarity {
     IvfPqIndex(cents, books, books(0)(0).length, coded, cents.length)
   }
 
+  /** Append NEW vectors to an `ivfPqSave`d store: assign against the
+    * saved coarse centroids (argmin |c|² − 2·e·c, the quantizer's own
+    * metric — |e|² is rank-constant) and encode with the saved frozen
+    * codebooks, then append to the partitioned codes store. O(batch)
+    * like `ivfAppendSave`/`pqAppendSave`; only metadata is read. */
+  def ivfPqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newVecs: DataFrame): Unit = {
+    val (cents, books) = ivfPqMeta(spark, path)
+    val sub = books(0)(0).length
+    val flat = books.flatMap(_.flatMap(_.toSeq))
+    val ks = books.map(_.length)
+    val structs = cents.map { case (lid, cent) =>
+      struct((lit(cent.map(x => x * x).sum) -
+        lit(2.0) * dot(col("e"), typedLit(cent.toSeq))).as("d2"),
+        lit(lid).as("lid"))
+    }
+    val listCol =
+      element_at(array_sort(array(structs.toIndexedSeq: _*)), 1).getField("lid")
+    newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id").as("vid"),
+        graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"),
+        listCol.as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+  }
+
   /** PQ + exact re-rank: ADC retrieves `k × refine` candidates, the
     * float store re-scores only those (the `PQ8,RefineFlat` composite).
     * Same repair economics as `ivfSearchSq8Refine` — the refine join
     * touches k·refine rows per query. */
   def pqTopKRefine(emb: DataFrame, nQueries: Int, k: Int,
-                   m: Int = 8, kSub: Int = 256, refine: Int = 4): DataFrame =
+                   m: Int = 16, kSub: Int = 256, refine: Int = 8): DataFrame =
     exactRerank(pqTopK(emb, nQueries, k * refine, m, kSub).select("qid", "vid"),
       emb, emb.where(col("vec_id") < nQueries), k)
 

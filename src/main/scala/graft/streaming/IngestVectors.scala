@@ -32,14 +32,30 @@ import graft.operators.Similarity
   */
 object IngestVectors {
 
-  /** Run one micro-batch: assign against the saved centroids at
-    * `indexPath` and append to its lists. Returns the batch row count.
-    * Factored out of the foreachBatch closure so batch specs can drive
-    * it without a streaming query. */
+  /** Run one micro-batch: append the batch to whichever saved index
+    * layout lives at `indexPath` — detected from the store's own
+    * directory shape, so one ingest loop serves every tier:
+    * `assigned/` = IVF (float or SQ8, `ivfAppendSave` re-encodes from
+    * the store schema); `books/` + `centroids/` = IVF,PQ; `books/`
+    * alone = flat PQ. Returns the batch row count. Factored out of the
+    * foreachBatch closure so batch specs can drive it without a
+    * streaming query. */
   def processBatch(batch: DataFrame, indexPath: String): Long = {
     val spark = batch.sparkSession
     val n = batch.count()
-    if (n > 0) Similarity.ivfAppendSave(spark, indexPath, batch)
+    if (n > 0) {
+      // Hadoop FS, not java.io: index stores live on the cluster
+      // filesystem (HDFS/object store) in production
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
+      if (has("assigned")) Similarity.ivfAppendSave(spark, indexPath, batch)
+      else if (has("books") && has("centroids"))
+        Similarity.ivfPqAppendSave(spark, indexPath, batch)
+      else if (has("books")) Similarity.pqAppendSave(spark, indexPath, batch)
+      else throw new IllegalArgumentException(
+        s"$indexPath is not an ivfSave/ivfPqSave/pqSave store")
+    }
     n
   }
 

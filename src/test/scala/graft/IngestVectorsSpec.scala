@@ -53,4 +53,38 @@ class IngestVectorsSpec extends SparkSpec {
       assert(hits.head == ((1, 24L)) && hits.map(_._2).contains(10024L), s"$hits")
     } finally loaded.release()
   }
+
+  test("processBatch dispatches on store layout: PQ and IVF,PQ stores grow too") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = all.where($"vec_id" >= 20 && $"vec_id" < 25)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+
+    val pqDir = tmp("ingv_pq")
+    val pqIdx = Similarity.pqBuild(all.where($"vec_id" >= 25 && $"vec_id" < 400))
+    try Similarity.pqSave(pqIdx, pqDir) finally pqIdx.release()
+    val pqBase = spark.read.parquet(s"$pqDir/codes").count()
+    assert(IngestVectors.processBatch(batch, pqDir) == 5)
+    assert(spark.read.parquet(s"$pqDir/codes").count() == pqBase + 5)
+    // a streamed twin is its original's nearest ADC neighbor
+    val pqLoaded = Similarity.pqLoad(spark, pqDir)
+    try {
+      val self = Similarity.pqSearch(pqLoaded, all.where($"vec_id" === 22), 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
+    } finally pqLoaded.release()
+
+    val ivfpqDir = tmp("ingv_ivfpq")
+    val ipqIdx = Similarity.ivfPqBuild(all.where($"vec_id" >= 25 && $"vec_id" < 400), 4)
+    try Similarity.ivfPqSave(ipqIdx, ivfpqDir) finally ipqIdx.release()
+    val ipqBase = spark.read.parquet(s"$ivfpqDir/codes").count()
+    assert(IngestVectors.processBatch(batch, ivfpqDir) == 5)
+    assert(spark.read.parquet(s"$ivfpqDir/codes").count() == ipqBase + 5)
+    val ipqLoaded = Similarity.ivfPqLoad(spark, ivfpqDir)
+    try {
+      val self = Similarity.ivfPqSearch(ipqLoaded,
+        all.where($"vec_id" === 22), 1, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
+    } finally ipqLoaded.release()
+  }
 }

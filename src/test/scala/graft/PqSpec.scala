@@ -18,8 +18,8 @@ class PqSpec extends SparkSpec {
     val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
     val pq = pairs(Similarity.pqTopK(testEmb, 20, 10))
     val recall = (gold & pq).size.toDouble / gold.size
-    info(s"pq (m=8, kSub=256) recall@10 = $recall")
-    assert(recall >= 0.6, s"recall $recall") // 64x compression: honest floor
+    info(s"pq (m=16, kSub=256) recall@10 = $recall")
+    assert(recall >= 0.6, s"recall $recall") // 16x compression: honest floor
   }
 
   test("pqTopKRefine repairs ADC rank error to >= 0.9 recall") {
@@ -60,7 +60,7 @@ class PqSpec extends SparkSpec {
     val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
     val ivfpq = pairs(Similarity.ivfPqTopK(testEmb, 20, 10, 8, 3))
     val recall = (gold & ivfpq).size.toDouble / gold.size
-    info(s"ivfpq (nList=8, nProbe=3, m=8, kSub=256) recall@10 = $recall")
+    info(s"ivfpq (nList=8, nProbe=3, m=16, kSub=256) recall@10 = $recall")
     assert(recall >= 0.5, s"recall $recall") // list misses stack on ADC error
     val index = Similarity.ivfPqBuild(testEmb.where(col("vec_id") >= 20), 8)
     try {
