@@ -625,6 +625,12 @@ object SparkEntry {
     // the classic low/lower hand trace)
     "q110_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMerges(documents(s, d), 15)),
+    // q110's consumer half: re-encode the corpus under its own learned
+    // merges (Sennrich apply_bpe, native BpeEncode expression) and
+    // count subword usage. Rows-only: the apply loop has no SQL analog;
+    // TextAnalysisSpec pins a hand-traced encode + training round trip
+    "q120_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncodeCounts(documents(s, d), 15, 100)),
     // model-based quality filtering (Brown et al. 2020 App. A): LR
     // trained on gopherQuality's verdict over docs < 250 as weak
     // labels, every doc scored with a soft probability (rows-only —

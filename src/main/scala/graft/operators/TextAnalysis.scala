@@ -410,4 +410,30 @@ object TextAnalysis {
     merges.result().toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
   }
+
+  /** Apply a learned merge table to a corpus: (doc_id, tokens) where
+    * tokens are the subword sequence under the frozen vocabulary —
+    * `bpeMerges`' consumer half (Sennrich 2016 apply_bpe: greedy
+    * minimum-rank merging per word). The merge frame collects to the
+    * driver (it is the MODEL — vocabulary-bounded by construction)
+    * and rides the native `functions.BpeEncode` expression; the only
+    * distributed work is one projection pass over the corpus. */
+  def bpeApply(docs: DataFrame, mergesDf: DataFrame): DataFrame = {
+    val merges = mergesDf.select("rank", "left", "right")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    docs.select(col("doc_id"),
+      graft.functions.Bpe.encode(col("text"), merges).as("tokens"))
+  }
+
+  /** One-call induce-then-encode corpus audit (q120): train `nMerges`
+    * BPE merges on the corpus itself, re-encode the corpus under them,
+    * and emit the top-`topN` subword counts — the vocabulary a
+    * tokenizer trained on this corpus would actually spend its budget
+    * on. Deterministic (count desc, token lexical). */
+  def bpeEncodeCounts(docs: DataFrame, nMerges: Int, topN: Int): DataFrame =
+    bpeApply(docs, bpeMerges(docs, nMerges))
+      .select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topN)
 }

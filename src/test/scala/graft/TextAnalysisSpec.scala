@@ -140,6 +140,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.length == 6)
   }
 
+  test("bpeApply: hand-traced encode under the low/lower merges; unseen words stay chars") {
+    val train = docs((1L, "low low lower", "en"))
+    val merges = TextAnalysis.bpeMerges(train, 3) // lo, low, low</w>
+    // "low" -> [low</w>]; "lower" -> low + e r </w> (no er merge in top-3);
+    // "lox" -> lo + x </w> (prefix merges apply, no (lo,x) rule);
+    // "zz" unseen entirely -> z z </w>
+    val out = TextAnalysis.bpeApply(
+        docs((9L, "low lower lox zz", "en")), merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(out == Seq((9L, List(
+      "low</w>",
+      "low", "e", "r", "</w>",
+      "lo", "x", "</w>",
+      "z", "z", "</w>"))))
+    // full budget folds the training corpus back to whole-word tokens
+    val full = TextAnalysis.bpeApply(train, TextAnalysis.bpeMerges(train, 100))
+      .collect().head.getSeq[String](1).toList
+    assert(full == List("low</w>", "low</w>", "lower</w>"))
+    // corpus subword usage: the induce-then-encode audit is deterministic
+    val counts = TextAnalysis.bpeEncodeCounts(train, 3, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts == Seq(("low</w>", 2L), ("</w>", 1L), ("e", 1L),
+      ("low", 1L), ("r", 1L)))
+  }
+
   test("bm25TopK: fixed-point ppm scores match the hand computation") {
     // N=3 docs, A=9 tokens, dl=3 each; term 'a' df=2, term 'c' df=1.
     // per-term ppm = ((2N-2df+1)·22·tf·A · 1e6) div ((2df+1)·(10·A·tf + 3·A + 9·dl·N))
