@@ -589,8 +589,12 @@ object SparkEntry {
     // dedup and the split (the real-pipeline order). Rows-only: the
     // LSH band stage has no DuckDB equivalent; TrainingDataSpec pins
     // the keep-set against hand-composing gopher -> exact -> q95
-    "q118_curate_neardup" -> ((s, d) =>
-      TrainingData.curateCorpus(documents(s, d), 500, nearDup = true)),
+    "q118_curate_neardup" -> ((s, d) => {
+      val (res, release) =
+        TrainingData.curateCorpusScoped(documents(s, d), 500, nearDup = true)
+      val out = res.cache(); out.count(); release()
+      out
+    }),
     // snapshot diff between two corpus versions by content hash:
     // docs 0-9 removed, 400+ added, every 50th changed (mutated text)
     "q113_corpus_diff" -> ((s, d) => {

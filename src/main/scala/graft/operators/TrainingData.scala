@@ -556,7 +556,12 @@ object TrainingData {
     * `Dedup.dedupCorpus` by hand. */
   def curateCorpus(docs: DataFrame, budget: Long,
                    minWords: Long = 30, nearDup: Boolean = false,
-                   nearDupThreshold: Double = 0.5): DataFrame = {
+                   nearDupThreshold: Double = 0.5): DataFrame =
+    curateCorpusScoped(docs, budget, minWords, nearDup, nearDupThreshold)._1
+
+  def curateCorpusScoped(docs: DataFrame, budget: Long,
+                         minWords: Long = 30, nearDup: Boolean = false,
+                         nearDupThreshold: Double = 0.5): (DataFrame, () => Unit) = {
     val kept = gopherQuality(docs, minWords = minWords)
       .where(col("keep")).select("doc_id")
     val survivors = docs.join(kept, Seq("doc_id"))
@@ -564,18 +569,30 @@ object TrainingData {
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val exactCanon = docs.join(canonical, Seq("doc_id"))
+    // `canon` has two consumers (the split-key projection and the
+    // join-back) and `withSplit` two more (pack + final manifest): an
+    // unpersisted near-dup stage would re-run the whole LSH→verify→CC
+    // pipeline up to 4×. Persist the deduped corpus when that stage is
+    // on — real pipelines materialize the post-dedup corpus anyway;
+    // the exact-only path's canon is one cheap hash agg, not worth a
+    // cache write. Caller releases via the returned hook.
     val canon =
       if (!nearDup) exactCanon
       else graft.operators.Dedup.dedupCorpus(exactCanon, nearDupThreshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release: () => Unit =
+      if (!nearDup) () => ()
+      else () => { canon.unpersist(blocking = false); () }
     val withSplit = canon.join(hashSplit(canon.select("doc_id", "text")),
       Seq("doc_id"))
     val packed = tokenPack(withSplit.where(col("split") === "train"), budget)
       .select(col("doc_id"), col("shard"))
-    withSplit
+    val res = withSplit
       .select(col("doc_id"), col("split"), size(toks(col("text"))).as("n_tok"))
       .join(packed, Seq("doc_id"), "left")
       .select("doc_id", "split", "n_tok", "shard")
       .orderBy("doc_id")
+    (res, release)
   }
 
   /** Snapshot diff between two corpus versions by content hash — the
