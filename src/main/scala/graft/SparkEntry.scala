@@ -124,6 +124,9 @@ object SparkEntry {
       a.join(b, Seq("event_type")).orderBy("event_type")
     }),
     "q35_exact_dedup" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
+    // soft dedup (SoftDedup): every doc kept, duplicated text
+    // downweighted to 1/n — one window shuffle over the content hash
+    "q121_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(documents(s, d))),
     "q36_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(documents(s, d), 0.5)),
     "q37_simhash" -> ((s, d) => Dedup.simhash(documents(s, d), 200L)),
     "q65_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(documents(s, d), 2000L, 6)),
@@ -343,6 +346,12 @@ object SparkEntry {
     // ladder). Rows-only: ADC ranks are approximate by design; PqSpec
     // pins ADC recall@10 >= 0.6 and refined recall >= 0.9 vs q39.
     "q116_pq_topk" -> ((s, d) => Similarity.pqTopKRefine(embeddings(s, d), 5, 10)),
+    // OPQ pretransform (Ge 2013; FAISS OPQ16,PQ16,RefineFlat): a
+    // driver-fit orthonormal rotation decorrelates subspaces before PQ
+    // encoding — same storage as q116, strictly better ADC geometry.
+    // Rows-only: approximate by design; OpqSpec pins rotation
+    // orthonormality, recall floors vs q39, and >= plain-PQ recall.
+    "q122_opq_topk" -> ((s, d) => Similarity.opqTopKRefine(embeddings(s, d), 5, 10)),
     // IVF,PQ composite (FAISS's billion-vector workhorse): coarse
     // list pruning x PQ compression — the scan touches nProbe/nList
     // of the corpus at 8 bytes/row. Rows-only: both stages are
@@ -963,6 +972,12 @@ object SparkEntry {
     "q35_exact_dedup" -> """
       SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q121_soft_dedup" -> """
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS dup_cnt,
+             CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY md5(text)) AS weight,
+             COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+      FROM documents ORDER BY doc_id""",
     "q38_ngram_jaccard" -> """
       WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
                  FROM documents WHERE doc_id < 300),

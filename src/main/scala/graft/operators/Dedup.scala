@@ -88,6 +88,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .orderBy("keep_id")
 
+  /** Soft deduplication (He et al. 2024, SoftDedup): keep EVERY
+    * document and downweight duplicated content instead of dropping it
+    * — a text appearing n times gets sampling weight 1/n, so the
+    * corpus-level contribution of each distinct text stays 1.0 while
+    * rare content keeps full weight (hard dedup would starve sources
+    * whose value lies in their unique tail). Complements `exactDedup`
+    * (which emits one keeper per group): this emits one row per doc.
+    *
+    * 100 TB shape: a single shuffle — rows reduced to (doc_id, md5)
+    * before the exchange, then one partition-frame window count over
+    * the hash; no self-join, no second scan, and no text bytes cross
+    * the wire. weight = one double division of exact BIGINT operands
+    * (oracle-exact). */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .withColumn("dup_cnt", count(lit(1)).over(w))
+      .select(col("doc_id"), col("dup_cnt"),
+        (lit(1.0) / col("dup_cnt")).as("weight"),
+        (col("dup_cnt") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Lowercased whitespace tokens. Documents are single-space separated
     * (verified against the testdata); split on ' ' keeps the oracle exact. */
   private def tokens(text: Column): Column = split(lower(trim(text)), " ")

@@ -502,20 +502,37 @@ object Similarity {
     * parallel threads; ties and empty clusters resolve to
     * lowest-index/previous-center, so the result is reproducible
     * bit-for-bit. */
-  private[graft] def pqFitBooks(cand: DataFrame, m: Int, kSub: Int,
-                                sub: Int, sampleCap: Int = 16384,
-                                maxIter: Int = 20): Array[Array[Array[Double]]] = {
+  /** Hash-sampled, L2-normalized driver-side slice of a candidate
+    * frame — the bounded training set every statistics-sized model
+    * (PQ codebooks, OPQ rotation) fits on. Deterministic: the slice is
+    * keyed on `xxhash64(vec_id)`, not partition order. */
+  private[graft] def pqSamplePoints(cand: DataFrame,
+                                    sampleCap: Int = 16384): Array[Array[Double]] = {
     val n = cand.count()
     val every = math.max(1L, n / sampleCap)
     val slice = if (every == 1L) cand
       else cand.where(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
-    val pts: Array[Array[Double]] = slice.select(col("e")).collect()
+    slice.select(col("e")).collect()
       .map { r =>
         val e = r.getSeq[Double](0).toArray
         val n0 = math.sqrt(e.map(x => x * x).sum)
         val nrm = if (n0 > 0) n0 else 1.0
         e.map(_ / nrm)
       }
+  }
+
+  private[graft] def pqFitBooks(cand: DataFrame, m: Int, kSub: Int,
+                                sub: Int, sampleCap: Int = 16384,
+                                maxIter: Int = 20): Array[Array[Array[Double]]] =
+    pqFitBooksLocal(pqSamplePoints(cand, sampleCap), m, kSub, sub, maxIter)
+
+  /** Seeded per-subspace Lloyd fit over an in-memory (already
+    * normalized) point set — split from `pqFitBooks` so the OPQ
+    * alternation can refit codebooks against re-rotated points without
+    * re-collecting the sample. */
+  private[graft] def pqFitBooksLocal(pts: Array[Array[Double]], m: Int,
+                                     kSub: Int, sub: Int,
+                                     maxIter: Int = 20): Array[Array[Array[Double]]] = {
     def fitSub(j: Int): Array[Array[Double]] = {
       val xs = pts.map(p => java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub))
       val k = math.min(kSub, xs.length)
@@ -720,6 +737,186 @@ object Similarity {
                      k: Int, refine: Int = 8): DataFrame =
     exactRerank(pqSearch(index, queries, k * refine).select("qid", "vid"),
       corpus, queries, k)
+
+  // ---------------------------------------------------------------- OPQ
+
+  /** OPQ rotation fit (Ge et al., CVPR 2013, the non-parametric
+    * alternation; FAISS `OPQ{m}` pretransform): alternate (a) PQ
+    * codebook fit on the rotated sample with (b) an orthogonal
+    * Procrustes solve aligning the rotated points to their PQ
+    * reconstructions. Column convention: the returned row-major `A`
+    * is the transform actually applied, `y = A·x`; the Procrustes
+    * step maximizes `tr(A·B)` with `B = Σ x·x̂ᵀ`, so `A = V·Uᵀ` from
+    * `B = U·S·Vᵀ` (breeze SVD on a dim×dim matrix — driver-trivial).
+    * Everything is seeded/deterministic like `pqFitBooksLocal`.
+    *
+    * Returns the rotation and the codebooks fitted against the FINAL
+    * rotation, ready for `PqEncode` over `MatVec`-rotated vectors. */
+  private[graft] def opqFitLocal(pts: Array[Array[Double]], m: Int,
+                                 kSub: Int, sub: Int, iters: Int = 8,
+                                 maxIter: Int = 20)
+      : (Array[Double], Array[Array[Array[Double]]]) = {
+    val dim = m * sub
+    var a: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def applyA(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += a(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    // nearest-centroid reconstruction of one rotated point (the
+    // driver-side mirror of PqEncode + decode)
+    def recon(books: Array[Array[Array[Double]]], x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < books(j).length) {
+          val cent = books(j)(c)
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val dv = x(j * sub + t) - cent(t); d += dv * dv; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        System.arraycopy(books(j)(best), 0, y, j * sub, sub)
+        j += 1
+      }
+      y
+    }
+    var books: Array[Array[Array[Double]]] = null
+    var it = 0
+    while (it < iters) {
+      val rot = pts.map(applyA)
+      books = pqFitBooksLocal(rot, m, kSub, sub, maxIter)
+      if (it < iters - 1) {
+        val b = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        var n = 0
+        while (n < pts.length) {
+          val x = pts(n)
+          val xh = recon(books, rot(n))
+          var i = 0
+          while (i < dim) {
+            val xi = x(i)
+            if (xi != 0.0) {
+              var j = 0
+              while (j < dim) { b(i, j) += xi * xh(j); j += 1 }
+            }
+            i += 1
+          }
+          n += 1
+        }
+        val svd = breeze.linalg.svd(b)
+        val aNew = svd.Vt.t * svd.U.t // A = V·Uᵀ maximizes tr(A·B)
+        a = Array.tabulate(dim, dim)((i, j) => aNew(i, j))
+      }
+      it += 1
+    }
+    (a.flatten, books)
+  }
+
+  /** A built OPQ index: the applied rotation (row-major dim×dim) plus
+    * the PQ index over rotated vectors. Search rotates the query with
+    * the same `MatVec` and runs plain ADC — rotation is orthonormal,
+    * so norms and cosines are preserved and the refine stage stays the
+    * UNROTATED float store (exact, transform-free). */
+  final case class OpqIndex(rot: Array[Double], pq: PqIndex) {
+    def dim: Int = pq.books.length * pq.sub
+    def release(): Unit = pq.release()
+  }
+
+  /** Fit rotation + codebooks on the driver sample, then rotate-encode
+    * the corpus in ONE codegen'd scan (`MatVec` fused under
+    * `PqEncode`) — FAISS `OPQ{m},PQ{m}` train + add. */
+  def opqBuild(vecs: DataFrame, m: Int = 16, kSub: Int = 256,
+               iters: Int = 8): OpqIndex = {
+    val base = vecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dim = base.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val (rot, books) = opqFitLocal(pqSamplePoints(base), m, kSub, sub, iters)
+    val rotated = base.select(col("vec_id"),
+      graft.functions.MatVecF(col("e"), rot, dim).as("e"))
+    val coded = pqEncodeFrame(rotated, books, sub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count()
+    OpqIndex(rot, PqIndex(books, sub, coded))
+  }
+
+  /** ADC top-k over an OPQ index: queries ride through the same
+    * rotation, then the plain PQ ADC path scores the rotated-space
+    * cosine (= the original cosine, A orthonormal). */
+  def opqSearch(index: OpqIndex, queries: DataFrame, k: Int): DataFrame =
+    pqAdcSearch(index.pq.coded,
+      queries.select(col("vec_id"),
+        graft.functions.MatVecF(asDouble(col("embedding")), index.rot, index.dim).as("e")),
+      index.pq.books, index.pq.sub, k)
+
+  /** `OPQ{m},PQ{m},RefineFlat`: ADC over the rotated codes, exact float
+    * re-rank against the unrotated corpus. */
+  def opqSearchRefine(index: OpqIndex, queries: DataFrame, corpus: DataFrame,
+                      k: Int, refine: Int = 8): DataFrame =
+    exactRerank(opqSearch(index, queries, k * refine).select("qid", "vid"),
+      corpus, queries, k)
+
+  /** One-call OPQ top-k on an `(vec_id, embedding)` frame — the OPQ
+    * counterpart of `pqTopK` (queries = ids below `nQueries`). */
+  def opqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 16,
+              kSub: Int = 256, iters: Int = 8): DataFrame = {
+    val index = opqBuild(emb.where(col("vec_id") >= nQueries), m, kSub, iters)
+    try {
+      val out = opqSearch(index, emb.where(col("vec_id") < nQueries), k)
+        .cache()
+      out.count()
+      out
+    } finally index.release()
+  }
+
+  def opqTopKRefine(emb: DataFrame, nQueries: Int, k: Int, m: Int = 16,
+                    kSub: Int = 256, refine: Int = 8,
+                    iters: Int = 8): DataFrame =
+    exactRerank(opqTopK(emb, nQueries, k * refine, m, kSub, iters)
+      .select("qid", "vid"), emb, emb.where(col("vec_id") < nQueries), k)
+
+  /** Persist: `pqSave` layout plus a `rot/` table (dim rows — the
+    * pretransform matrix is metadata-sized). */
+  def opqSave(index: OpqIndex, path: String): Unit = {
+    val spark = index.pq.coded.sparkSession
+    import spark.implicits._
+    pqSave(index.pq, path)
+    val d = index.dim
+    (0 until d).map(i =>
+        (i, index.rot.slice(i * d, (i + 1) * d).toSeq)).toDF("i", "row")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/rot")
+  }
+
+  def opqLoad(spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex = {
+    val pq = pqLoad(spark, path)
+    val rows = spark.read.parquet(s"$path/rot").select("i", "row").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    OpqIndex(rows.flatten, pq)
+  }
+
+  /** FROZEN-transform append: rotate + encode new vectors under the
+    * saved rotation/codebooks, append to `codes/` — O(batch). */
+  def opqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit = {
+    val index = opqLoad(spark, path)
+    try {
+      val base = newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val rotated = base.select(col("vec_id"),
+        graft.functions.MatVecF(col("e"), index.rot, index.dim).as("e"))
+      pqEncodeFrame(rotated, index.pq.books, index.pq.sub)
+        .write.mode("append").parquet(s"$path/codes")
+    } finally index.release()
+  }
 
   /** IVF,PQ composite — FAISS's workhorse index for billion-vector
     * corpora (`IVF{n},PQ{m}`, Jégou 2011 §IV): a coarse KMeans

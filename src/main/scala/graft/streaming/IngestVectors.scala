@@ -36,7 +36,8 @@ object IngestVectors {
     * layout lives at `indexPath` — detected from the store's own
     * directory shape, so one ingest loop serves every tier:
     * `assigned/` = IVF (float or SQ8, `ivfAppendSave` re-encodes from
-    * the store schema); `books/` + `centroids/` = IVF,PQ; `books/`
+    * the store schema); `books/` + `centroids/` = IVF,PQ; `books/` +
+    * `rot/` = OPQ (batch rides the frozen rotation); `books/`
     * alone = flat PQ. Returns the batch row count. Factored out of the
     * foreachBatch closure so batch specs can drive it without a
     * streaming query. */
@@ -52,9 +53,11 @@ object IngestVectors {
       if (has("assigned")) Similarity.ivfAppendSave(spark, indexPath, batch)
       else if (has("books") && has("centroids"))
         Similarity.ivfPqAppendSave(spark, indexPath, batch)
+      else if (has("books") && has("rot"))
+        Similarity.opqAppendSave(spark, indexPath, batch)
       else if (has("books")) Similarity.pqAppendSave(spark, indexPath, batch)
       else throw new IllegalArgumentException(
-        s"$indexPath is not an ivfSave/ivfPqSave/pqSave store")
+        s"$indexPath is not an ivfSave/ivfPqSave/opqSave/pqSave store")
     }
     n
   }

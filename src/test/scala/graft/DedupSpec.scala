@@ -51,6 +51,20 @@ class DedupSpec extends SparkSpec {
     assert(out("https://h.com/b").getAs[String]("primary_slug") == "mercado")
   }
 
+  test("softDedupWeights: every doc kept, weight 1/n per duplicate group") {
+    val out = Dedup.softDedupWeights(docs(
+      (1L, "same text here"), (5L, "same text here"), (3L, "other"),
+      (7L, "same text here"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L))          // nothing dropped
+    assert(out(1L) == ((3L, 1.0 / 3, true)))
+    assert(out(5L) == ((3L, 1.0 / 3, true)))
+    assert(out(7L) == ((3L, 1.0 / 3, true)))
+    assert(out(3L) == ((1L, 1.0, false)))              // unique keeps full weight
+    // corpus-level mass of each distinct text sums to 1.0
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-12)
+  }
+
   test("exactDedup: identical texts collapse to min id") {
     val out = Dedup.exactDedup(docs(
       (1L, "same text here"), (5L, "same text here"), (3L, "other"))).collect()

@@ -73,6 +73,20 @@ class IngestVectorsSpec extends SparkSpec {
       assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
     } finally pqLoaded.release()
 
+    val opqDir = tmp("ingv_opq")
+    val opqIdx = Similarity.opqBuild(all.where($"vec_id" >= 25 && $"vec_id" < 400))
+    try Similarity.opqSave(opqIdx, opqDir) finally opqIdx.release()
+    val opqBase = spark.read.parquet(s"$opqDir/codes").count()
+    assert(IngestVectors.processBatch(batch, opqDir) == 5)
+    assert(spark.read.parquet(s"$opqDir/codes").count() == opqBase + 5)
+    // the appended twin rode the FROZEN rotation: ADC self-match holds
+    val opqLoaded = Similarity.opqLoad(spark, opqDir)
+    try {
+      val self = Similarity.opqSearch(opqLoaded, all.where($"vec_id" === 22), 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
+    } finally opqLoaded.release()
+
     val ivfpqDir = tmp("ingv_ivfpq")
     val ipqIdx = Similarity.ivfPqBuild(all.where($"vec_id" >= 25 && $"vec_id" < 400), 4)
     try Similarity.ivfPqSave(ipqIdx, ivfpqDir) finally ipqIdx.release()

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.Similarity
+
+/** OPQ (Similarity.opqTopK / opqBuild lifecycle): the learned
+  * pretransform must be orthonormal (cosines preserved exactly), the
+  * rotated-space ADC search must reach at least plain PQ's recall on
+  * the same testdata, and the save/load/append lifecycle must mirror
+  * PqSpec's parity contracts. */
+class OpqSpec extends SparkSpec {
+
+  private val testEmb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  test("opqFitLocal rotation is orthonormal") {
+    import org.apache.spark.sql.functions.col
+    val base = testEmb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val pts = Similarity.pqSamplePoints(base, 256)
+    val dim = pts(0).length
+    val (rot, books) = Similarity.opqFitLocal(pts, 8, 16, dim / 8, iters = 4)
+    assert(books.length == 8)
+    // A·Aᵀ = I within float tolerance
+    var maxErr = 0.0
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var s = 0.0
+      var t = 0
+      while (t < dim) { s += rot(i * dim + t) * rot(j * dim + t); t += 1 }
+      val expect = if (i == j) 1.0 else 0.0
+      maxErr = math.max(maxErr, math.abs(s - expect))
+    }
+    assert(maxErr < 1e-9, s"A·Aᵀ deviates from I by $maxErr")
+  }
+
+  test("opqTopK recall@10 vs float cosineTopK meets the PQ floor") {
+    val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
+    val opq = pairs(Similarity.opqTopK(testEmb, 20, 10))
+    val recall = (gold & opq).size.toDouble / gold.size
+    info(s"opq (m=16, kSub=256) recall@10 = $recall")
+    assert(recall >= 0.7, s"recall $recall") // measured 0.855 (pq: 0.815)
+  }
+
+  test("opq at m=8 recovers at least plain PQ's ADC recall (the anisotropy case)") {
+    val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
+    val pq = pairs(Similarity.pqTopK(testEmb, 20, 10, m = 8))
+    val opq = pairs(Similarity.opqTopK(testEmb, 20, 10, m = 8))
+    val rPq = (gold & pq).size.toDouble / gold.size
+    val rOpq = (gold & opq).size.toDouble / gold.size
+    info(s"m=8 ADC recall@10: pq=$rPq opq=$rOpq")
+    // the rotation must not LOSE recall; equality is possible on
+    // near-isotropic data, so the floor is pq's measured value minus
+    // one result out of 200
+    assert(rOpq >= rPq - 0.005, s"opq $rOpq vs pq $rPq")
+  }
+
+  test("opqTopKRefine repairs ADC rank error to >= 0.9 recall") {
+    val gold = pairs(Similarity.cosineTopK(testEmb, 20, 10))
+    val re = pairs(Similarity.opqTopKRefine(testEmb, 20, 10))
+    val recall = (gold & re).size.toDouble / gold.size
+    info(s"opq+refine recall@10 = $recall")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("opqTopK is deterministic across runs") {
+    val a = Similarity.opqTopK(testEmb, 10, 5).collect().toSeq
+    val b = Similarity.opqTopK(testEmb, 10, 5).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.size == 50)
+  }
+
+  test("opqSave/opqLoad round-trip + frozen-transform append") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("opqidx").toString
+    val corpus = testEmb.where(col("vec_id") >= 10 && col("vec_id") < 400)
+    val queries = testEmb.where(col("vec_id") < 10)
+    val built = Similarity.opqBuild(corpus)
+    try {
+      val before = Similarity.opqSearch(built, queries, 5).collect().toSeq
+      Similarity.opqSave(built, dir)
+      val loaded = Similarity.opqLoad(spark, dir)
+      try {
+        assert(java.util.Arrays.equals(loaded.rot, built.rot))
+        val after = Similarity.opqSearch(loaded, queries, 5).collect().toSeq
+        assert(before == after)
+        assert(before.size == 50)
+      } finally loaded.release()
+      // append the held-out tail; appended vectors must be findable
+      Similarity.opqAppendSave(spark, dir,
+        testEmb.where(col("vec_id") >= 400))
+      val grown = Similarity.opqLoad(spark, dir)
+      try {
+        val n = grown.pq.coded.count()
+        assert(n == testEmb.where(col("vec_id") >= 10).count())
+        // a vector searches for itself: its own id must rank first
+        val self = Similarity.opqSearch(grown,
+          testEmb.where(col("vec_id") === 450).select(
+            col("vec_id"), col("embedding")), 1).collect()
+        assert(self.head.getLong(2) == 450L)
+      } finally grown.release()
+    } finally built.release()
+  }
+}
