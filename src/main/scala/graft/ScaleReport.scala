@@ -288,6 +288,34 @@ object ScaleReport {
         Similarity.pqAppendSave(spark, tmpPq, batch)
         spark.read.parquet(s"$tmpPq/codes").count()
       }
+      // OPQ tier: does the learned rotation's recall lift survive
+      // corpus growth, and what does the extra fit cost at scale?
+      val opqR = pqRecall(Similarity.opqTopK(emb, 5, 10)); release()
+      val opqRR = pqRecall(Similarity.opqTopKRefine(emb, 5, 10)); release()
+      val opqR8 = pqRecall(Similarity.opqTopK(emb, 5, 10, m = 8)); release()
+      val pqR8 = pqRecall(Similarity.pqTopK(emb, 5, 10, m = 8)); release()
+      println(f"""{"op":"opq_recall_at_10","opq_adc":$opqR%.2f,"opq_refine":$opqRR%.2f,"opq_adc_m8":$opqR8%.2f,"pq_adc_m8":$pqR8%.2f}""")
+      timed("opq_topk")(Similarity.opqTopK(emb, 5, 10).count()); release()
+      timed("opq_topk_refine")(Similarity.opqTopKRefine(emb, 5, 10).count()); release()
+      val tmpOpq = java.nio.file.Files.createTempDirectory("opq_idx").toString
+      timed("opq_build_and_save") {
+        val idx = Similarity.opqBuild(emb)
+        Similarity.opqSave(idx, tmpOpq)
+        idx.release(); 8L
+      }
+      timed("opq_load_and_search") {
+        val idx = Similarity.opqLoad(spark, tmpOpq)
+        val n = Similarity.opqSearch(idx, emb.where(col("vec_id") < 5), 10).count()
+        idx.release(); n
+      }
+      timed("opq_append_batch") {
+        val batch = emb.where(col("vec_id") < math.max(1L, nVecs / 100))
+          .select((col("vec_id") +
+            org.apache.spark.sql.functions.lit(10000000L)).as("vec_id"),
+            col("embedding"))
+        Similarity.opqAppendSave(spark, tmpOpq, batch)
+        spark.read.parquet(s"$tmpOpq/codes").count()
+      }
     }
 
     if (section("ivfio")) {

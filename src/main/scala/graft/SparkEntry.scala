@@ -632,6 +632,17 @@ object SparkEntry {
     // + cumulative share in ppm — the corpus-health report
     "q112_token_zipf" -> ((s, d) =>
       TextAnalysis.tokenZipf(documents(s, d), 100)),
+    // token-distribution drift between snapshots (even vs odd doc_id
+    // halves as the demo split): per-token ppm shares + signed delta,
+    // ranked by absolute drift — the distribution-shift monitor beside
+    // q113's doc-level snapshot diff. BIGINT fixed-point throughout.
+    "q123_token_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TextAnalysis.tokenDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), 50)
+    }),
     // BPE merge-table induction (Sennrich et al. 2016): tokenizer
     // training from corpus word-type counts — distributed type agg,
     // vocabulary-bounded merge loop (rows-only; TextAnalysisSpec pins
@@ -1903,6 +1914,30 @@ object SparkEntry {
              CAST((c * 1000000) // total AS BIGINT) AS share_ppm,
              CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm
       FROM r CROSS JOIN t ORDER BY rank""",
+    "q123_token_drift" -> """
+      WITH a AS (
+        SELECT t.w, COUNT(*) AS cnt_old
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE doc_id % 2 = 0 AND t.w <> '' GROUP BY 1),
+      b AS (
+        SELECT t.w, COUNT(*) AS cnt_new
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE doc_id % 2 = 1 AND t.w <> '' GROUP BY 1),
+      ta AS (SELECT SUM(cnt_old) AS total_old FROM a),
+      tb AS (SELECT SUM(cnt_new) AS total_new FROM b),
+      j AS (
+        SELECT COALESCE(a.w, b.w) AS w,
+               COALESCE(cnt_old, 0) AS cnt_old,
+               COALESCE(cnt_new, 0) AS cnt_new
+        FROM a FULL OUTER JOIN b ON a.w = b.w)
+      SELECT w, CAST(cnt_old AS BIGINT) AS cnt_old,
+             CAST(cnt_new AS BIGINT) AS cnt_new,
+             CAST((cnt_old * 1000000) // total_old AS BIGINT) AS ppm_old,
+             CAST((cnt_new * 1000000) // total_new AS BIGINT) AS ppm_new,
+             CAST((cnt_new * 1000000) // total_new
+                  - (cnt_old * 1000000) // total_old AS BIGINT) AS ppm_delta
+      FROM j CROSS JOIN ta CROSS JOIN tb
+      ORDER BY abs(ppm_delta) DESC, w LIMIT 50""",
     "q104_heavy_hitters" -> """
       WITH tok AS (
         SELECT doc_id,

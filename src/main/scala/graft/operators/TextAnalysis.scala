@@ -358,6 +358,39 @@ object TextAnalysis {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * distribution-shift monitor a recurring crawl runs beside the
+    * doc-level `TrainingData.corpusDiff`: for every token, its ppm
+    * share in each snapshot and the signed ppm delta, ranked by
+    * absolute drift. All integer fixed-point (`q112`'s `div`
+    * convention), so the oracle compares bit-for-bit; the per-token
+    * |ppm_new − ppm_old| also makes the total-variation distance
+    * readable as `sum(abs_delta)/2e6` without a float anywhere.
+    *
+    * 100 TB shape: two map-side-combined token aggs, one shuffle join
+    * on the token key, totals broadcast as 1-row frames, and a
+    * TakeOrdered top-N — no window over the full vocabulary, no
+    * driver-side token table. */
+  def tokenDrift(old: DataFrame, nu: DataFrame, topN: Int = 50): DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      df.select(explode(toks(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as(as))
+    val a = cnts(old, "cnt_old")
+    val b = cnts(nu, "cnt_new")
+    val ta = a.agg(sum(col("cnt_old")).as("total_old"))
+    val tb = b.agg(sum(col("cnt_new")).as("total_new"))
+    a.join(b, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("cnt_old", "cnt_new"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("w"), col("cnt_old"), col("cnt_new"),
+        expr("(cnt_old * 1000000L) div total_old").as("ppm_old"),
+        expr("(cnt_new * 1000000L) div total_new").as("ppm_new"))
+      .withColumn("ppm_delta", col("ppm_new") - col("ppm_old"))
+      .orderBy(abs(col("ppm_delta")).desc, col("w"))
+      .limit(topN)
+  }
+
   /** BPE merge-table induction (Sennrich et al. 2016) — tokenizer
     * training as a pipeline stage: learn the first `nMerges` byte-pair
     * merges from corpus word-type frequencies. The DISTRIBUTED stage is

@@ -48,6 +48,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(plan("q35_exact_dedup")).length == 1)
   }
 
+  test("q121 soft dedup: one scan, no join, hash+sort shuffles only") {
+    val p = plan("q121_soft_dedup")
+    assert(scans(p).length == 1) // window form, not groupBy-count + join-back
+    assert(p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty)
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one shuffle on the content hash + the final deterministic sort
+    assert(exchanges.length <= 2, p.toString.take(500))
+  }
+
   test("q74: url-key merge is one scan and one aggregate shuffle") {
     val p = plan("q74_url_key_merge")
     assert(scans(p).length == 1)

@@ -124,6 +124,19 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "c", 1L, 166666L, 1000000L)))
   }
 
+  test("tokenDrift: hand-computed ppm deltas, ranked by absolute drift") {
+    val old = docs((1L, "a a b", "en"))
+    val nu = docs((2L, "a b b c", "en"))
+    val out = TextAnalysis.tokenDrift(old, nu, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // totals: old 3, new 4; ppm = cnt*1e6 div total
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 666666L, 250000L, -416666L),
+      ("c", 0L, 1L, 0L, 250000L, 250000L),
+      ("b", 1L, 2L, 333333L, 500000L, 166667L)))
+  }
+
   test("bpeMerges: classic low/lower trace, deterministic ties") {
     // types: low ×2, lower ×1 → pairs (l,o)=3 (o,w)=3 (w,</w>)=2
     // (w,e)=1 (e,r)=1 (r,</w>)=1; tie at 3 broken lexically: (l,o)
