@@ -589,6 +589,22 @@ object SparkEntry {
       val docs = documents(s, d)
       TrainingData.lmQualityScore(docs, docs.where(col("doc_id") < 250))
     }),
+    // scorer evaluation: ROC-AUC (exact Mann-Whitney rank-sum, ties at
+    // average rank) + R-precision of q100's LM score against q88's
+    // Gopher keep verdict as labels — the one-number report a pipeline
+    // reads before swapping quality scorers. Every operand is an exact
+    // long; auc/prec are single double divisions (hash-green).
+    "q124_score_auc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val (scored, relS) =
+        TrainingData.lmQualityScoreScoped(docs, docs.where(col("doc_id") < 250))
+      val labels = TrainingData.gopherQuality(docs, minWords = 30)
+        .select(col("doc_id"), col("keep").cast("long").as("label"))
+      val (res, relJ) = TrainingData.scoreAucScoped(scored, labels)
+      val out = res.cache(); out.count(); relS(); relJ()
+      out
+    }),
     // one-call end-to-end curation (the q95 counterpart for the
     // curation family): gopher gate -> exact dedup -> split -> pack;
     // hash-green because every stage composes its own green oracle
@@ -680,6 +696,13 @@ object SparkEntry {
     // agg + TakeOrdered, the C4 line-frequency analog
     "q104_heavy_hitters" -> ((s, d) =>
       Dedup.heavyHitterGrams(documents(s, d), 5, 25)),
+    // q104's bounded-memory form: Count-Min sketch (depth 4 x 8 k
+    // counters) + doc-sampled candidates — the shape that replaces the
+    // full distinct-gram shuffle at 100 TB. Rows-only: sketch
+    // collisions aren't SQL-expressible; DedupSpec pins the CMS
+    // never-undercount invariant and exact-top-N agreement
+    "q125_cms_hitters" -> ((s, d) =>
+      Dedup.cmsHeavyHitters(documents(s, d), 5, 25)),
     // the purge half of q104: every occurrence of the top-25 grams cut
     // from every doc, q102's reassembly contract (one row per doc)
     "q105_boilerplate_cut" -> ((s, d) =>
@@ -2041,6 +2064,74 @@ object SparkEntry {
       CROSS JOIN voc
       GROUP BY d.doc_id, voc.v
       ORDER BY doc_id""",
+    "q124_score_auc" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      lagg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      lab AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND sum_len / n_words BETWEEN 3.0 AND 10.0
+                     AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+                     AND n_alpha / n_words >= 0.8
+                     AND n_stop >= 2 THEN 1 ELSE 0 END AS label
+        FROM lagg),
+      bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      db AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c
+        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      trainb AS (
+        SELECT w1, w2, SUM(c) AS c12 FROM db WHERE doc_id < 250 GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(c12) AS c1 FROM trainb GROUP BY 1),
+      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM trainb),
+      score AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.c * (((COALESCE(t.c12, 0) + 1) * 1000000)
+                               // (COALESCE(x.c1, 0) + voc.v))) AS BIGINT)
+                 / (CAST(SUM(d.c) AS BIGINT) * 1000000) AS score
+        FROM db d
+        LEFT JOIN trainb t USING (w1, w2)
+        LEFT JOIN ctx x USING (w1)
+        CROSS JOIN voc
+        GROUP BY d.doc_id, voc.v),
+      j AS (SELECT s.doc_id, s.score, l.label FROM score s JOIN lab l USING (doc_id)),
+      bys AS (
+        SELECT score, CAST(SUM(label) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn
+        FROM j GROUP BY 1),
+      cum AS (
+        SELECT score, np, nn,
+               COALESCE(CAST(SUM(nn) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+        FROM bys),
+      tot AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) AS s2
+        FROM cum),
+      ranked AS (
+        SELECT doc_id, label,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM j)
+      SELECT t.n_pos, t.n_neg,
+             CAST(t.s2 AS DOUBLE) / (2.0 * t.n_pos * t.n_neg) AS auc,
+             CAST(SUM(r.label) AS DOUBLE) / t.n_pos AS prec_at_pos
+      FROM ranked r CROSS JOIN tot t
+      WHERE r.rn <= t.n_pos
+      GROUP BY t.n_pos, t.n_neg, t.s2""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

@@ -745,6 +745,57 @@ object Dedup {
       .orderBy(col("n_occ").desc, col("sh"))
       .limit(topN)
 
+  /** Approximate heavy-hitter k-grams via a Count-Min sketch (Cormode
+    * & Muthukrishnan 2005) — the bounded-memory form of
+    * `heavyHitterGrams` for corpora where the exact gram aggregation's
+    * shuffle IS the bottleneck: the sketch state is `depth × width`
+    * counters REGARDLESS of gram cardinality (32 k rows here vs one
+    * row per distinct gram — at 100 TB that's MBs vs TBs of shuffle),
+    * built in one pass with map-side combine.
+    *
+    * Candidates come from the distinct grams of a deterministic
+    * 1/`sampleMod` hash-sample of docs — boilerplate by definition
+    * recurs across docs, so a doc sample contains every true heavy
+    * hitter with overwhelming probability (missing requires the gram
+    * to dodge all sampled docs). Each candidate's estimate is the MIN
+    * over the `depth` counter rows (CMS never under-counts:
+    * `n_occ_est >= true n_occ` always, pinned by `DedupSpec` together
+    * with planted-boilerplate recovery). Top-N is meaningful when true
+    * hitters exceed the collision noise floor (≈ total gram
+    * occurrences / width per counter row) — the regime real boilerplate
+    * lives in; on a flat count distribution the head is tie-noise.
+    *
+    * Shape for scale: gram pass → depth×width agg (bounded, broadcast
+    * back) → candidate distinct (sample-sized) → broadcast join on
+    * (row, bucket) → per-gram min. No full-cardinality shuffle
+    * anywhere; the exact variant remains the right call when the
+    * distinct-gram table fits (it also yields `n_docs`). */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 5, topN: Int = 25,
+                      depth: Int = 4, width: Int = 8192,
+                      sampleMod: Int = 8): DataFrame = {
+    val grams = gramRows(tokenRows(docs), k)
+    val rows = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("r"),
+        pmod(xxhash64(col("sh"), lit(j)), lit(width.toLong)).as("bucket"))): _*))
+    val cms = grams.select(rows.as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cand = grams
+      .where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+      .select("sh").distinct()
+    val res = cand.select(col("sh"), rows.as("rb"))
+      .join(broadcast(cms),
+        col("rb.r") === cms("r") && col("rb.bucket") === cms("bucket"))
+      .groupBy("sh")
+      .agg(min(col("cnt")).as("n_occ_est"))
+      .orderBy(col("n_occ_est").desc, col("sh"))
+      .limit(topN)
+    val out = res.cache()
+    out.count()
+    grams.unpersist(blocking = false)
+    out
+  }
+
   /** The purge half of the heavy-hitter table: cut every occurrence of
     * the corpus's top-`topN` k-grams out of every document (the C4
     * "remove boilerplate lines" analog at k-gram granularity). Same

@@ -812,4 +812,56 @@ object TrainingData {
       .limit(n)
     (res, () => rawF.unpersist(blocking = false))
   }
+
+  /** Threshold-free evaluation of a per-document quality score against
+    * binary keep labels: ROC-AUC via the exact Mann–Whitney rank-sum
+    * (ties at average rank) plus R-precision (label fraction of the
+    * top-P scored docs, P = positive count). The metric a curation
+    * pipeline reports when it swaps scorers (LM perplexity vs Gopher
+    * rules vs a trained classifier) — one number, no threshold sweep.
+    *
+    * Exactness: AUC = Σ_g np_g·(2·neg_below_g + nn_g) / (2·P·N) over
+    * DISTINCT-score groups g in ascending score order — every operand
+    * is an exact long count, so the result is one double division of
+    * exact operands (the oracle rule). No per-pair join: grouping by
+    * score first is MLlib BinaryClassificationMetrics' shape, and the
+    * cumulative window runs over the distinct-score frame, not the
+    * corpus. The R-precision row_number IS a global sort of the scored
+    * frame — fine for an eval metric computed over an eval sample
+    * (standard practice at 100 TB; MLlib downsamples to bins for the
+    * same reason).
+    *
+    * `scored`: (doc_id, score); `labels`: (doc_id, label ∈ {0,1}).
+    * Output: one row (n_pos, n_neg, auc, prec_at_pos). */
+  def scoreAuc(scored: DataFrame, labels: DataFrame): DataFrame =
+    scoreAucScoped(scored, labels)._1
+
+  def scoreAucScoped(scored: DataFrame,
+                     labels: DataFrame): (DataFrame, () => Unit) = {
+    val j = scored.select(col("doc_id"), col("score"))
+      .join(labels.select(col("doc_id"),
+        col("label").cast("long").as("label")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    j.count()
+    val byScore = j.groupBy("score")
+      .agg(sum(col("label")).as("np"),
+        (count(lit(1)) - sum(col("label"))).as("nn"))
+    val wLess = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = byScore
+      .withColumn("neg_below", coalesce(sum(col("nn")).over(wLess), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("s2"))
+    val ranked = j.withColumn("rn",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+    val res = ranked.crossJoin(broadcast(tot))
+      .where(col("rn") <= col("n_pos"))
+      .groupBy(col("n_pos"), col("n_neg"), col("s2"))
+      .agg(sum(col("label")).as("hits"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("s2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+        (col("hits").cast("double") / col("n_pos")).as("prec_at_pos"))
+    (res, () => j.unpersist(blocking = false))
+  }
 }

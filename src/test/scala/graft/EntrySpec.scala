@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
       "q85_semdedup", "q95_dedup_corpus", "q97_dedup_incremental",
       "q101_sq8_topk", "q106_diversity_sample", "q109_quality_classifier",
       "q110_bpe_merges", "q116_pq_topk", "q118_curate_neardup",
-      "q119_ivfpq_topk", "q120_bpe_encode")
+      "q119_ivfpq_topk", "q120_bpe_encode", "q122_opq_topk",
+      "q125_cms_hitters")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

@@ -352,6 +352,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("scoreAuc: hand-computed Mann-Whitney AUC with ties, R-precision") {
+    // pos: (1, 3.0), (2, 2.0); neg: (3, 2.0), (4, 1.0)
+    // pairs: 3>1 =1, 3>2 =1, 2>1 =1, 2=2 =0.5 → AUC = 3.5/4 = 0.875
+    // top-P=2 by (score desc, doc_id): id1 (pos), id2 (pos) → prec 1.0
+    val scored = Seq((1L, 3.0), (2L, 2.0), (3L, 2.0), (4L, 1.0))
+      .toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))
+      .toDF("doc_id", "label")
+    val r = TrainingData.scoreAuc(scored, labels).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L && r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) == 0.875, s"auc ${r(0).getDouble(2)}")
+    assert(r(0).getDouble(3) == 1.0, s"prec ${r(0).getDouble(3)}")
+    // reversed scorer: AUC complements to 1 - 0.875
+    import org.apache.spark.sql.functions.col
+    val rev = scored.select(col("doc_id"), (-col("score")).as("score"))
+    val r2 = TrainingData.scoreAuc(rev, labels).collect()
+    assert(r2(0).getDouble(2) == 0.125, s"rev auc ${r2(0).getDouble(2)}")
+  }
+
   test("decontaminateBloom equals exact decontaminate at any fpp") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
