@@ -605,6 +605,40 @@ object SparkEntry {
       val out = res.cache(); out.count(); relS(); relJ()
       out
     }),
+    // q124's calibration companion: decile bins of the LM score vs the
+    // Gopher verdict — monotone pos_rate means the score ranks quality
+    // even where its absolute values are uncalibrated
+    "q126_score_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val (scored, relS) =
+        TrainingData.lmQualityScoreScoped(docs, docs.where(col("doc_id") < 250))
+      val labels = TrainingData.gopherQuality(docs, minWords = 30)
+        .select(col("doc_id"), col("keep").cast("long").as("label"))
+      val res = TrainingData.scoreCalibration(scored, labels, 10)
+      val out = res.cache(); out.count(); relS()
+      out
+    }),
+    // Cohen's kappa between the two rule-based gates (Gopher word
+    // rules vs bigram repetition) — chance-corrected agreement, the
+    // number read before swapping one quality filter for another
+    "q127_filter_kappa" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      TrainingData.filterKappa(
+        TrainingData.gopherQuality(docs, minWords = 30)
+          .select(col("doc_id"), col("keep")),
+        TrainingData.repetitionFilter(docs, 0.2)
+          .select(col("doc_id"), col("keep")))
+    }),
+    // mixture feasibility: per-source token supply vs the budget share
+    // its target weight demands; weights = (srcnum mod 4 + 1)/50 so
+    // they sum to 1 over the 20 sources, budget 50k tokens so both
+    // oversubscription verdicts appear at sf0.01
+    "q128_mixture_plan" -> ((s, d) =>
+      TrainingData.mixturePlan(documents(s, d),
+        (0 until 20).map(i => s"src$i" -> ((i % 4 + 1) * 20000L)).toMap,
+        50000L)),
     // one-call end-to-end curation (the q95 counterpart for the
     // curation family): gopher gate -> exact dedup -> split -> pack;
     // hash-green because every stage composes its own green oracle
@@ -700,9 +734,15 @@ object SparkEntry {
     // counters) + doc-sampled candidates — the shape that replaces the
     // full distinct-gram shuffle at 100 TB. Rows-only: sketch
     // collisions aren't SQL-expressible; DedupSpec pins the CMS
-    // never-undercount invariant and exact-top-N agreement
+    // never-undercount invariant and planted-boilerplate recovery
     "q125_cms_hitters" -> ((s, d) =>
       Dedup.cmsHeavyHitters(documents(s, d), 5, 25)),
+    // per-source vocabulary cardinality: exact distinct vs the HLL++
+    // sketch (the fixed-memory form at 100 TB) + relative error.
+    // Rows-only: DuckDB's approx_distinct is a different HLL; the
+    // error bound and determinism are pinned by TextAnalysisSpec
+    "q129_cardinality_audit" -> ((s, d) =>
+      TextAnalysis.cardinalityAudit(documents(s, d))),
     // the purge half of q104: every occurrence of the top-25 grams cut
     // from every doc, q102's reassembly contract (one row per doc)
     "q105_boilerplate_cut" -> ((s, d) =>
@@ -2132,6 +2172,127 @@ object SparkEntry {
       FROM ranked r CROSS JOIN tot t
       WHERE r.rn <= t.n_pos
       GROUP BY t.n_pos, t.n_neg, t.s2""",
+    "q126_score_calibration" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      lagg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      lab AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND sum_len / n_words BETWEEN 3.0 AND 10.0
+                     AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+                     AND n_alpha / n_words >= 0.8
+                     AND n_stop >= 2 THEN 1 ELSE 0 END AS label
+        FROM lagg),
+      bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      db AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c
+        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      trainb AS (
+        SELECT w1, w2, SUM(c) AS c12 FROM db WHERE doc_id < 250 GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(c12) AS c1 FROM trainb GROUP BY 1),
+      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM trainb),
+      score AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.c * (((COALESCE(t.c12, 0) + 1) * 1000000)
+                               // (COALESCE(x.c1, 0) + voc.v))) AS BIGINT)
+                 / (CAST(SUM(d.c) AS BIGINT) * 1000000) AS score
+        FROM db d
+        LEFT JOIN trainb t USING (w1, w2)
+        LEFT JOIN ctx x USING (w1)
+        CROSS JOIN voc
+        GROUP BY d.doc_id, voc.v),
+      j AS (SELECT s.doc_id, s.score, l.label FROM score s JOIN lab l USING (doc_id)),
+      binned AS (
+        SELECT score, label,
+               CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS INT) AS bin
+        FROM j)
+      SELECT bin, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate,
+             MIN(score) AS score_lo, MAX(score) AS score_hi
+      FROM binned GROUP BY 1 ORDER BY bin""",
+    "q127_filter_kappa" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      gagg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      glab AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND sum_len / n_words BETWEEN 3.0 AND 10.0
+                     AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+                     AND n_alpha / n_words >= 0.8
+                     AND n_stop >= 2 THEN 1 ELSE 0 END AS ka
+        FROM gagg),
+      bi AS (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        FROM tok),
+      bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bi WHERE bg IS NOT NULL GROUP BY 1, 2),
+      ragg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               COUNT(*) AS n_distinct
+        FROM bc GROUP BY 1),
+      rlab AS (
+        SELECT doc_id,
+               CASE WHEN (n_bigrams - n_distinct) / n_bigrams < 0.2
+                    THEN 1 ELSE 0 END AS kb
+        FROM ragg),
+      cells AS (
+        SELECT CAST(SUM(ka * kb) AS BIGINT) AS n11,
+               CAST(SUM(ka * (1 - kb)) AS BIGINT) AS n10,
+               CAST(SUM((1 - ka) * kb) AS BIGINT) AS n01,
+               CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS n00
+        FROM glab JOIN rlab USING (doc_id))
+      SELECT n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS agree_frac,
+             CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                       - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) != 0
+                  THEN CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+                       / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+             END AS kappa
+      FROM cells""",
+    "q128_mixture_plan" -> """
+      WITH t AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT source,
+               CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 20000 AS BIGINT) AS w_ppm
+        FROM (SELECT DISTINCT source FROM documents))
+      SELECT t.source, n_docs, n_tokens, w_ppm,
+             (50000 * w_ppm) // 1000000 AS required_tokens,
+             CAST((50000 * w_ppm) // 1000000 AS DOUBLE) / n_tokens AS epochs,
+             (50000 * w_ppm) // 1000000 > n_tokens AS oversubscribed
+      FROM t JOIN w USING (source) ORDER BY source""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

@@ -469,4 +469,28 @@ object TextAnalysis {
       .select(explode(col("tokens")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(topN)
+
+  /** Per-source vocabulary cardinality audit: exact distinct token
+    * count vs the HyperLogLog++ estimate (`approx_count_distinct`,
+    * relative sd `rsd`) and their relative error. At 100 TB the exact
+    * count is the problem — COUNT(DISTINCT) shuffles every distinct
+    * (source, token) pair, TBs of exchange for a cardinality nobody
+    * needs exactly — while the HLL sketch is a fixed ~1.5 KB of state
+    * per group merged map-side, so one row per source crosses the
+    * wire. This audit is the small-SF validation run that licenses
+    * dropping the exact column at scale: it pins the sketch's error
+    * against truth on data shaped like the corpus. Deterministic
+    * (HLL++ is hash-based, no RNG) and rows-only — DuckDB's
+    * approx_distinct is a different HLL implementation, so the
+    * estimates differ by design; `TextAnalysisSpec` pins the error
+    * bound and re-run determinism instead. */
+  def cardinalityAudit(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(countDistinct(col("w")).as("n_exact"),
+        approx_count_distinct(col("w"), rsd).as("n_hll"))
+      .select(col("source"), col("n_exact"), col("n_hll"),
+        (abs(col("n_hll") - col("n_exact")).cast("double") / col("n_exact"))
+          .as("rel_err"))
+      .orderBy("source")
 }

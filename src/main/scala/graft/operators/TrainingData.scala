@@ -836,6 +836,92 @@ object TrainingData {
   def scoreAuc(scored: DataFrame, labels: DataFrame): DataFrame =
     scoreAucScoped(scored, labels)._1
 
+  /** Calibration companion to `scoreAuc`: bucket the scored corpus
+    * into `bins` equal-count quantile bins (ntile over (score,
+    * doc_id) — deterministic under ties) and report each bin's size,
+    * positive count, positive rate, and score range. A monotone
+    * pos_rate ladder means the score ranks quality even where its
+    * absolute values are uncalibrated — the check run before using a
+    * score as a sampling weight (soft dedup / DSIR style) rather than
+    * a threshold. All counts are exact longs; pos_rate is one double
+    * division; the bin edges are min/max of carried doubles (no
+    * averaging, so the row hash-checks exactly). The global ntile sort
+    * is single-partition by construction — fine for the eval-sample
+    * sizes this report targets (same stance as `scoreAuc`). */
+  def scoreCalibration(scored: DataFrame, labels: DataFrame,
+                       bins: Int = 10): DataFrame = {
+    val j = scored.select(col("doc_id"), col("score"))
+      .join(labels.select(col("doc_id"),
+        col("label").cast("long").as("label")), Seq("doc_id"))
+    j.withColumn("bin",
+        ntile(bins).over(Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        col("score_lo"), col("score_hi"))
+      .orderBy("bin")
+  }
+
+  /** Cohen's kappa agreement between two binary keep/drop filters —
+    * the report a pipeline reads before swapping one quality gate for
+    * another (rule-based vs model-based): raw agreement overstates
+    * consensus when both filters keep almost everything, kappa
+    * subtracts the chance-agreement floor. One equi-join on doc_id +
+    * one 4-cell contingency agg (map-side combined, single row out);
+    * kappa = (N·(n11+n00) − pe) / (N² − pe) with
+    * pe = r1·c1 + r0·c0 — every operand an exact long, one double
+    * division (null when the marginals are degenerate, N² = pe).
+    * Inputs: (doc_id, keep) frames, e.g. `gopherQuality` vs
+    * `repetitionFilter`. */
+  def filterKappa(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("doc_id"), col("keep").cast("long").as("ka"))
+      .join(b.select(col("doc_id"), col("keep").cast("long").as("kb")),
+        Seq("doc_id"))
+    val cells = j.agg(
+      sum(col("ka") * col("kb")).as("n11"),
+      sum(col("ka") * (lit(1L) - col("kb"))).as("n10"),
+      sum((lit(1L) - col("ka")) * col("kb")).as("n01"),
+      sum((lit(1L) - col("ka")) * (lit(1L) - col("kb"))).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      ((col("n11") + col("n00")).cast("double") / n).as("agree_frac"),
+      when(n * n - pe =!= 0L,
+        (n * (col("n11") + col("n00")) - pe).cast("double") / (n * n - pe))
+        .as("kappa"))
+  }
+
+  /** Token-budget mixture planner: given per-source target weights (in
+    * ppm, exact integers) and a total token budget, report what each
+    * source must supply and how many epochs (repeats) of its available
+    * tokens that implies — the DoReMi/LLaMA-style mixture feasibility
+    * check run before launching a training job. One token-count agg
+    * per source + a broadcast join against the (tiny) weight table;
+    * required tokens use integer `div` so the plan stays exact past
+    * 2^53 corpus tokens; epochs is the single double division.
+    * `oversubscribed` flags sources whose requirement exceeds supply
+    * (repeating data — the signal to re-weight or ingest more). */
+  def mixturePlan(docs: DataFrame, weightsPpm: Map[String, Long],
+                  budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.sortBy(_._1).toDF("source", "w_ppm")
+    docs.select(col("source"), size(toks(col("text"))).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("required_tokens",
+        expr(s"($budget * w_ppm) div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_ppm"),
+        col("required_tokens"),
+        (col("required_tokens").cast("double") / col("n_tokens")).as("epochs"),
+        (col("required_tokens") > col("n_tokens")).as("oversubscribed"))
+      .orderBy("source")
+  }
+
   def scoreAucScoped(scored: DataFrame,
                      labels: DataFrame): (DataFrame, () => Unit) = {
     val j = scored.select(col("doc_id"), col("score"))

@@ -192,4 +192,19 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((2L, 600000L + 2291666L), (1L, 825000L)))
   }
+
+  test("cardinalityAudit: HLL within bound of exact, deterministic") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = TextAnalysis.cardinalityAudit(d, rsd = 0.05).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length == 20)                 // one row per source
+    r.foreach { case (src, exact, hll, err) =>
+      assert(exact > 0)
+      assert(err <= 0.15, s"$src: HLL $hll vs exact $exact, err $err")
+      assert(err == math.abs(hll - exact).toDouble / exact)
+    }
+    val again = TextAnalysis.cardinalityAudit(d, rsd = 0.05).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(again.toSeq == r.toSeq)
+  }
 }

@@ -372,6 +372,54 @@ class TrainingDataSpec extends SparkSpec {
     assert(r2(0).getDouble(2) == 0.125, s"rev auc ${r2(0).getDouble(2)}")
   }
 
+  test("scoreCalibration: deterministic equal-count bins, exact rates") {
+    // 6 docs, 3 bins of 2; ties broken by doc_id inside ntile
+    val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0),
+      (4L, 2.0), (5L, 3.0), (6L, 4.0)).toDF("doc_id", "score")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L),
+      (4L, 0L), (5L, 1L), (6L, 1L)).toDF("doc_id", "label")
+    val r = TrainingData.scoreCalibration(scored, labels, 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      (1, 2L, 0L, 0.0, 1.0, 1.0),    // docs 1,2
+      (2, 2L, 1L, 0.5, 2.0, 2.0),    // docs 3,4
+      (3, 2L, 2L, 1.0, 3.0, 4.0)))   // docs 5,6
+  }
+
+  test("filterKappa: hand-computed kappa with chance correction") {
+    // n11=2 n10=1 n01=0 n00=1: agree 3/4; pe_num = 3*2 + 1*2 = 8
+    // kappa = (4*3 - 8) / (16 - 8) = 0.5
+    val a = Seq((1L, true), (2L, true), (3L, true), (4L, false))
+      .toDF("doc_id", "keep")
+    val b = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "keep")
+    val r = TrainingData.filterKappa(a, b).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 0L, 1L)))
+    assert(r.getDouble(4) == 0.75)
+    assert(r.getDouble(5) == 0.5)
+    // degenerate marginals (both keep everything): kappa null, agree 1
+    val allA = Seq((1L, true), (2L, true)).toDF("doc_id", "keep")
+    val r2 = TrainingData.filterKappa(allA, allA).collect()(0)
+    assert(r2.getDouble(4) == 1.0 && r2.isNullAt(5))
+  }
+
+  test("mixturePlan: integer-exact requirements, epochs, oversubscription") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b", "s1"),       // s1: 6 tokens
+      (3L, "x y z", "s2"))                            // s2: 3 tokens
+      .toDF("doc_id", "text", "source")
+    // budget 10, s1 weight 0.8 (8 tokens needed > 6), s2 0.2 (2 <= 3)
+    val r = TrainingData.mixturePlan(d,
+      Map("s1" -> 800000L, "s2" -> 200000L), 10L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getBoolean(6)))
+    assert(r.toSeq == Seq(
+      ("s1", 2L, 6L, 800000L, 8L, 8.0 / 6.0, true),
+      ("s2", 1L, 3L, 200000L, 2L, 2.0 / 3.0, false)))
+  }
+
   test("decontaminateBloom equals exact decontaminate at any fpp") {
     import org.apache.spark.sql.functions.col
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
