@@ -743,6 +743,19 @@ object SparkEntry {
     // error bound and determinism are pinned by TextAnalysisSpec
     "q129_cardinality_audit" -> ((s, d) =>
       TextAnalysis.cardinalityAudit(documents(s, d))),
+    // incremental heavy hitters: two half-corpus CMS sketches merged
+    // (counter addition — exact), then top-k against the merged state.
+    // Equals q125's one-shot output bit-for-bit; the merge==recompute
+    // law and the on-disk store lifecycle are pinned by
+    // IngestHittersSpec. Rows-only (sketch collisions, as q125)
+    "q130_cms_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val merged = Dedup.cmsMerge(
+        Dedup.cmsSketch(docs.where(col("doc_id") < 250)),
+        Dedup.cmsSketch(docs.where(col("doc_id") >= 250)))
+      Dedup.cmsTopK(docs, merged, sampleMod = 8)
+    }),
     // the purge half of q104: every occurrence of the top-25 grams cut
     // from every doc, q102's reassembly contract (one row per doc)
     "q105_boilerplate_cut" -> ((s, d) =>

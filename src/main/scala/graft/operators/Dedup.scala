@@ -774,26 +774,134 @@ object Dedup {
                       depth: Int = 4, width: Int = 8192,
                       sampleMod: Int = 8): DataFrame = {
     val grams = gramRows(tokenRows(docs), k)
-    val rows = explode(array((0 until depth).map(j =>
-      struct(lit(j).as("r"),
-        pmod(xxhash64(col("sh"), lit(j)), lit(width.toLong)).as("bucket"))): _*))
-    val cms = grams.select(rows.as("rb"))
+    val cms = grams.select(cmsRows(depth, width).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val cand = grams
       .where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
       .select("sh").distinct()
-    val res = cand.select(col("sh"), rows.as("rb"))
-      .join(broadcast(cms),
-        col("rb.r") === cms("r") && col("rb.bucket") === cms("bucket"))
-      .groupBy("sh")
-      .agg(min(col("cnt")).as("n_occ_est"))
+    val res = cmsEstimate(cand, cms, depth, width)
       .orderBy(col("n_occ_est").desc, col("sh"))
       .limit(topN)
     val out = res.cache()
     out.count()
     grams.unpersist(blocking = false)
     out
+  }
+
+  /** The (r, bucket) coordinate rows a gram `sh` touches — one per
+    * sketch row, hashed with the row index as the salt. */
+  private def cmsRows(depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(j =>
+      struct(lit(j).as("r"),
+        pmod(xxhash64(col("sh"), lit(j)), lit(width.toLong)).as("bucket"))): _*))
+
+  /** Per-gram CMS estimate: min over the `depth` counter rows. The
+    * sketch side is depth×width rows at most — always broadcast. */
+  private def cmsEstimate(cand: DataFrame, sketch: DataFrame,
+                          depth: Int, width: Int): DataFrame = {
+    val s = sketch.select(col("r"), col("bucket"), col("cnt"))
+    cand.select(col("sh"), cmsRows(depth, width).as("rb"))
+      .join(broadcast(s),
+        col("rb.r") === s("r") && col("rb.bucket") === s("bucket"))
+      .groupBy("sh")
+      .agg(min(col("cnt")).as("n_occ_est"))
+  }
+
+  /** The CMS counter state of a corpus's k-grams: (r, bucket, cnt),
+    * at most depth×width rows. Counters are ADDITIVE, which is the
+    * whole point of the sketch as pipeline state: bucket-summing two
+    * corpora's sketches (`cmsMerge`) equals sketching their union
+    * BIT-FOR-BIT — so heavy-hitter tracking over an unbounded ingest
+    * stream carries ≤ depth·width longs forward, never the text, and
+    * incremental maintenance loses nothing vs a full recompute
+    * (pinned by `DedupSpec`). */
+  def cmsSketch(docs: DataFrame, k: Int = 5,
+                depth: Int = 4, width: Int = 8192): DataFrame =
+    gramRows(tokenRows(docs), k, doPersist = false)
+      .select(cmsRows(depth, width).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two CMS sketches of identical (k, depth, width) geometry:
+    * bucket-wise counter sum. Exactly equals the sketch of the
+    * concatenated corpora. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt"))
+      .unionByName(b.select(col("r"), col("bucket"), col("cnt")))
+      .groupBy("r", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Top-`topN` heavy hitters among `candDocs`' k-grams, estimated
+    * against an EXTERNAL sketch (a `cmsSketch` of a much larger
+    * corpus, or a `cmsStoreLoad`ed running store): the query half of
+    * incremental heavy-hitter tracking. `sampleMod` > 1 hash-samples
+    * the candidate docs as in `cmsHeavyHitters`. */
+  def cmsTopK(candDocs: DataFrame, sketch: DataFrame, k: Int = 5,
+              topN: Int = 25, depth: Int = 4, width: Int = 8192,
+              sampleMod: Int = 1): DataFrame = {
+    val grams = gramRows(tokenRows(candDocs), k, doPersist = false)
+    val cand = (if (sampleMod > 1)
+      grams.where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+    else grams).select("sh").distinct()
+    cmsEstimate(cand, sketch, depth, width)
+      .orderBy(col("n_occ_est").desc, col("sh"))
+      .limit(topN)
+  }
+
+  /** On-disk CMS store with generation directories (`g0`, `g1`, …):
+    * a merge is read-latest → bucket-sum → write-next → prune, so a
+    * crash between write and prune just leaves an extra generation
+    * behind (next load reads the newest). Replaying a batch after a
+    * restart over-counts — which keeps the CMS one-sided guarantee
+    * (estimates only ever overshoot), the same at-least-once stance
+    * as `IngestDedup`/`IngestVectors`. */
+  def cmsStoreSave(sketch: DataFrame, path: String): Unit =
+    sketch.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, "g0").toString)
+
+  private def cmsStoreGens(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("g\\d+") => s.drop(1).toInt }
+      .sorted
+  }
+
+  /** True iff `path` holds at least one generation of a CMS store
+    * (an empty or missing directory is "no store" — first ingest
+    * batch initializes it). */
+  def cmsStoreExists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean =
+    cmsStoreGens(spark, path).nonEmpty
+
+  def cmsStoreLoad(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val gens = cmsStoreGens(spark, path)
+    require(gens.nonEmpty, s"$path is not a cmsStoreSave store")
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(path, s"g${gens.last}").toString)
+  }
+
+  /** Fold a batch's sketch into the store: one bounded merge write,
+    * O(depth·width) regardless of how much text the store has seen. */
+  def cmsStoreMerge(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, k: Int = 5,
+                    depth: Int = 4, width: Int = 8192): Unit = {
+    val gens = cmsStoreGens(spark, path)
+    require(gens.nonEmpty, s"$path is not a cmsStoreSave store")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = cmsMerge(
+      spark.read.parquet(new org.apache.hadoop.fs.Path(root, s"g${gens.last}").toString),
+      cmsSketch(batch, k, depth, width))
+    merged.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, s"g${gens.last + 1}").toString)
+    gens.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"g$g"), true)
+    }
   }
 
   /** The purge half of the heavy-hitter table: cut every occurrence of

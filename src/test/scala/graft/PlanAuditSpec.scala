@@ -183,6 +183,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally newSigs.unpersist(blocking = false)
   }
 
+  test("q125 CMS hitters: the bounded sketch side rides a broadcast join") {
+    // The whole point of the sketch is that it's depth×width rows no
+    // matter the corpus — if the candidate-estimate join ever shuffles
+    // the candidate grams against it instead of broadcasting the
+    // sketch, the bounded-memory claim is gone. (q125 itself returns
+    // an eagerly-cached frame, so pin the underlying cmsTopK shape.)
+    // width 4096 ≠ any other test's geometry, so the CacheManager can
+    // never swap this subplan for a leftover cached q125 result (which
+    // would erase the join from the plan under audit)
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = Dedup.cmsTopK(docs, Dedup.cmsSketch(docs, width = 4096),
+      width = 4096, sampleMod = 8)
+    val broadcasts = q.queryExecution.sparkPlan.collectWithSubqueries {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(broadcasts.nonEmpty, "CMS estimate join lost its broadcast")
+  }
+
   test("q103 DSIR: model joins stay broadcast against the per-doc feature frame") {
     // The importance-weight joins touch every per-doc feature row; the
     // MODEL side (vocabulary-bounded by design, hashBuckets-bounded in
