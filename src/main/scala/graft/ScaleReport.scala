@@ -37,7 +37,7 @@ object ScaleReport {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // optional section allowlist (minhash,simhash,cc,ann,text,curation,
+    // optional section allowlist (minhash,simhash,cc,ann,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
@@ -364,6 +364,55 @@ object ScaleReport {
       // coverage bounded by topN gram occurrences, not corpus dup rate
       timed("heavy_hitters") { Dedup.heavyHitterGrams(docs, 5, 50).count() }
       timed("boilerplate_cut") { Dedup.boilerplateCut(docs, 5, 50).count() }
+    }
+
+    // Count-Min heavy hitters (q125/q130): the bounded-memory form vs
+    // the exact distinct-gram agg. Log the distinct-gram cardinality
+    // (the exact form's shuffle/memory driver) next to the fixed
+    // depth×width sketch state, and the store-merge cost — which must
+    // stay O(depth·width) however big the corpus half is
+    if (section("cms")) {
+      val distinctGrams = timed("gram_cardinality") {
+        Dedup.heavyHitterGrams(docs, 5, Int.MaxValue).count()
+      }
+      println(s"""{"op":"cms_state","sketch_rows":${4 * 8192},"distinct_grams":$distinctGrams}""")
+      timed("heavy_hitters_exact") { Dedup.heavyHitterGrams(docs, 5, 50).count() }
+      timed("heavy_hitters_cms") { Dedup.cmsHeavyHitters(docs, 5, 50).count() }
+      val dir = java.nio.file.Files.createTempDirectory("cms_scale").toString
+      timed("cms_store_init_half") {
+        Dedup.cmsStoreSave(Dedup.cmsSketch(docs.where(col("doc_id") % 2 === 0)), dir)
+        4L * 8192
+      }
+      timed("cms_store_merge_half") {
+        Dedup.cmsStoreMerge(spark, dir, docs.where(col("doc_id") % 2 === 1))
+        Dedup.cmsStoreLoad(spark, dir).count()
+      }
+    }
+
+    // HLL cardinality audit (q129): the exact COUNT(DISTINCT) the
+    // audit exists to retire vs the fixed-sketch estimate, plus the
+    // worst per-source relative error at this corpus size
+    if (section("hll")) {
+      import org.apache.spark.sql.functions.{explode, split, lower, trim}
+      var worst = 0.0
+      timed("cardinality_audit") {
+        val rows = TextAnalysis.cardinalityAudit(docs).collect()
+        worst = rows.map(_.getDouble(3)).max
+        rows.length.toLong
+      }
+      println(f"""{"op":"hll_worst_rel_err","err":$worst%.4f}""")
+      timed("distinct_exact_only") {
+        docs.select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+          .groupBy("source")
+          .agg(org.apache.spark.sql.functions.countDistinct(col("w")).as("n"))
+          .count()
+      }
+      timed("distinct_hll_only") {
+        docs.select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+          .groupBy("source")
+          .agg(org.apache.spark.sql.functions.approx_count_distinct(col("w"), 0.05).as("n"))
+          .count()
+      }
     }
 
     // DSIR importance resampling (q103): two bag-of-feature aggs + a

@@ -772,22 +772,9 @@ object Dedup {
     * distinct-gram table fits (it also yields `n_docs`). */
   def cmsHeavyHitters(docs: DataFrame, k: Int = 5, topN: Int = 25,
                       depth: Int = 4, width: Int = 8192,
-                      sampleMod: Int = 8): DataFrame = {
-    val grams = gramRows(tokenRows(docs), k)
-    val cms = grams.select(cmsRows(depth, width).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val cand = grams
-      .where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
-      .select("sh").distinct()
-    val res = cmsEstimate(cand, cms, depth, width)
-      .orderBy(col("n_occ_est").desc, col("sh"))
-      .limit(topN)
-    val out = res.cache()
-    out.count()
-    grams.unpersist(blocking = false)
-    out
-  }
+                      sampleMod: Int = 8): DataFrame =
+    cmsTopK(docs, cmsSketch(docs, k, depth, width),
+      k, topN, depth, width, sampleMod)
 
   /** The (r, bucket) coordinate rows a gram `sh` touches — one per
     * sketch row, hashed with the row index as the salt. */
@@ -840,10 +827,17 @@ object Dedup {
   def cmsTopK(candDocs: DataFrame, sketch: DataFrame, k: Int = 5,
               topN: Int = 25, depth: Int = 4, width: Int = 8192,
               sampleMod: Int = 1): DataFrame = {
-    val grams = gramRows(tokenRows(candDocs), k, doPersist = false)
-    val cand = (if (sampleMod > 1)
-      grams.where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
-    else grams).select("sh").distinct()
+    // sample DOCS before tokenizing (not gram rows after): the filter
+    // lands at the scan, so the tokenize/window/distinct chain only
+    // ever sees the 1/sampleMod slice — and nothing here needs a
+    // persist, so no corpus-sized gram table is ever materialized
+    // (measured 1.7× total speedup at 500 k docs vs the shared-persist
+    // form, SCALE.md round 6)
+    val sampled = if (sampleMod > 1)
+      candDocs.where(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+    else candDocs
+    val cand = gramRows(tokenRows(sampled), k, doPersist = false)
+      .select("sh").distinct()
     cmsEstimate(cand, sketch, depth, width)
       .orderBy(col("n_occ_est").desc, col("sh"))
       .limit(topN)

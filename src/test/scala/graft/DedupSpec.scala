@@ -213,12 +213,10 @@ class DedupSpec extends SparkSpec {
     // CMS invariant: estimate >= true count for every reported gram
     cms.foreach { case (sh, est) =>
       assert(est >= exact(sh), s"undercount for '$sh': $est < ${exact(sh)}") }
-    // deterministic re-run (then drop the eager caches so later plan
-    // audits don't see these results via CacheManager substitution)
-    val again = Dedup.cmsHeavyHitters(d, 5, 25)
-    val againRows = again.collect().map(r => (r.getString(0), r.getLong(1)))
+    // deterministic re-run
+    val againRows = Dedup.cmsHeavyHitters(d, 5, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     assert(againRows.toSeq == cms.toSeq)
-    again.unpersist(blocking = false)
     // NOTE: no top-N set agreement on this corpus — its gram counts are
     // a flat tie plateau (max true count 4) BELOW the sketch's collision
     // noise floor (~total_grams/width ≈ 3), where CMS top-N is

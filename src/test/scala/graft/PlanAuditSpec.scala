@@ -190,8 +190,8 @@ class PlanAuditSpec extends SparkSpec {
     // sketch, the bounded-memory claim is gone. (q125 itself returns
     // an eagerly-cached frame, so pin the underlying cmsTopK shape.)
     // width 4096 ≠ any other test's geometry, so the CacheManager can
-    // never swap this subplan for a leftover cached q125 result (which
-    // would erase the join from the plan under audit)
+    // never swap this subplan for a leftover cached result from another
+    // suite (which would erase the join from the plan under audit)
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val q = Dedup.cmsTopK(docs, Dedup.cmsSketch(docs, width = 4096),
