@@ -743,6 +743,15 @@ object SparkEntry {
     // error bound and determinism are pinned by TextAnalysisSpec
     "q129_cardinality_audit" -> ((s, d) =>
       TextAnalysis.cardinalityAudit(documents(s, d))),
+    // per-source discrete length quantiles (value at rank ceil(p*n) —
+    // exact longs, no interpolation) — sizes chunking/packing/Gopher
+    // bounds against the corpus as it actually is
+    "q131_length_profile" -> ((s, d) =>
+      TextAnalysis.lengthProfile(documents(s, d))),
+    // domain-disjoint split: the unit of assignment is the source
+    // hash, so within-domain near-dups can never straddle train/eval
+    "q132_disjoint_split" -> ((s, d) =>
+      TrainingData.disjointSplit(documents(s, d))),
     // incremental heavy hitters: two half-corpus CMS sketches merged
     // (counter addition — exact), then top-k against the merged state.
     // Equals q125's one-shot output bit-for-bit; the merge==recompute
@@ -2306,6 +2315,29 @@ object SparkEntry {
              CAST((50000 * w_ppm) // 1000000 AS DOUBLE) / n_tokens AS epochs,
              (50000 * w_ppm) // 1000000 > n_tokens AS oversubscribed
       FROM t JOIN w USING (source) ORDER BY source""",
+    "q131_length_profile" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      r AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM t)
+      SELECT source, COUNT(*) AS n,
+             MAX(CASE WHEN rn = CEIL(0.25 * cnt) THEN n_tok END) AS p25,
+             MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN n_tok END) AS p50,
+             MAX(CASE WHEN rn = CEIL(0.75 * cnt) THEN n_tok END) AS p75,
+             MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN n_tok END) AS p90,
+             MAX(n_tok) AS max_tok
+      FROM r GROUP BY source ORDER BY source""",
+    "q132_disjoint_split" -> """
+      SELECT doc_id, source,
+             CASE WHEN substring(md5(source), 1, 2) < 'cd' THEN 'train'
+                  WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

@@ -470,6 +470,31 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(topN)
 
+  /** Per-source document-length profile: discrete quantiles (the value
+    * at rank ⌈p·n⌉ — percentile_disc semantics, so every output is an
+    * actual corpus length and an exact long, no interpolated doubles)
+    * of the token count, per source. The report that sizes chunking
+    * (`chunkSplit` maxLen), packing budgets (`tokenPack`), and Gopher
+    * word bounds against the corpus as it actually is. One keyed
+    * window (rank within source) + one agg; the per-source sort is the
+    * cost and it parallelizes across sources — at 100 TB with few
+    * giant sources, switch to `approx_percentile` (the same trade as
+    * q129's HLL column, with rank error εn instead of a full sort). */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("long").as("n_tok"))
+    val r = t.withColumn("rn",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    def q(p: Double, name: String) =
+      max(when(col("rn") === ceil(lit(p) * col("cnt")), col("n_tok"))).as(name)
+    r.groupBy("source")
+      .agg(count(lit(1)).as("n"), q(0.25, "p25"), q(0.5, "p50"),
+        q(0.75, "p75"), q(0.9, "p90"), max(col("n_tok")).as("max_tok"))
+      .orderBy("source")
+  }
+
   /** Per-source vocabulary cardinality audit: exact distinct token
     * count vs the HyperLogLog++ estimate (`approx_count_distinct`,
     * relative sd `rsd`) and their relative error. At 100 TB the exact

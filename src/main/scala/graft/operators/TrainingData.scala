@@ -48,6 +48,23 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Domain-disjoint split: every document from a source lands in the
+    * SAME split, so near-duplicates that cluster within a domain (the
+    * common case — boilerplate, templated pages, mirrored articles)
+    * can never straddle the train/eval boundary. This is the leakage
+    * mode a doc-level hash split permits even after dedup, and the
+    * reason eval benchmarks hold out whole domains. Same properties
+    * as `hashSplit` (pure projection, no RNG, stable under appends);
+    * the unit of assignment is the `by`-column hash, so split sizes
+    * track the source-size distribution rather than landing exactly
+    * 80/10/10 — the price of the disjointness guarantee. */
+  def disjointSplit(docs: DataFrame, by: String = "source"): DataFrame = {
+    val k = hashKey(col(by))
+    docs.select(col("doc_id"), col(by),
+        when(k < "cd", "train").when(k < "e6", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified downsampling: keep at most `n` docs per
     * stratum (`by` column), chosen by hash order — a reproducible
     * "reservoir" that needs no RNG and picks the same docs on every

@@ -193,6 +193,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 600000L + 2291666L), (1L, 825000L)))
   }
 
+  test("lengthProfile: discrete rank quantiles, hand-computed") {
+    // src0 lengths 1,2,3,4 → ranks ceil(1)=1, ceil(2)=2, ceil(3)=3,
+    // ceil(3.6)=4 → p25=1 p50=2 p75=3 p90=4
+    val d = docs(
+      (1L, "a", "en"), (2L, "a b", "en"),
+      (3L, "a b c", "en"), (4L, "a b c d", "en"))
+    val r = TextAnalysis.lengthProfile(d).collect()
+    assert(r.length == 1)
+    val x = r(0)
+    assert((x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4), x.getLong(5), x.getLong(6)) ==
+      (("src0", 4L, 1L, 2L, 3L, 4L, 4L)))
+  }
+
   test("cardinalityAudit: HLL within bound of exact, deterministic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val r = TextAnalysis.cardinalityAudit(d, rsd = 0.05).collect()

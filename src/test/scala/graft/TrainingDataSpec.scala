@@ -372,6 +372,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(r2(0).getDouble(2) == 0.125, s"rev auc ${r2(0).getDouble(2)}")
   }
 
+  test("disjointSplit: whole sources land in one split, stable under append") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = TrainingData.disjointSplit(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    // every source maps to exactly one split
+    val perSource = r.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    perSource.foreach { case (src, splits) =>
+      assert(splits.size == 1, s"$src straddles $splits") }
+    assert(r.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // append stability: a half-corpus run assigns identical splits
+    val half = TrainingData.disjointSplit(d.where(col("doc_id") < 250))
+      .collect().map(x => (x.getLong(0), x.getString(2))).toMap
+    val full = r.map(x => (x._1, x._3)).toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
   test("scoreCalibration: deterministic equal-count bins, exact rates") {
     // 6 docs, 3 bins of 2; ties broken by doc_id inside ntile
     val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0),
