@@ -639,6 +639,13 @@ object SparkEntry {
       TrainingData.mixturePlan(documents(s, d),
         (0 until 20).map(i => s"src$i" -> ((i % 4 + 1) * 20000L)).toMap,
         50000L)),
+    // q128's consumer: the materialized repeated corpus — whole epochs
+    // as integer repeats, the fractional epoch as one extra copy of a
+    // hash-ordered token-prefix per source
+    "q133_mixture_materialize" -> ((s, d) =>
+      TrainingData.mixtureMaterialize(documents(s, d),
+        (0 until 20).map(i => s"src$i" -> ((i % 4 + 1) * 20000L)).toMap,
+        50000L)),
     // one-call end-to-end curation (the q95 counterpart for the
     // curation family): gopher gate -> exact dedup -> split -> pack;
     // hash-green because every stage composes its own green oracle
@@ -2338,6 +2345,30 @@ object SparkEntry {
                   WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+    "q133_mixture_materialize" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      tot AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 20000 AS BIGINT) AS w_ppm
+        FROM t GROUP BY source),
+      plan AS (
+        SELECT source,
+               ((50000 * w_ppm) // 1000000) // n_tokens AS base,
+               ((50000 * w_ppm) // 1000000) % n_tokens AS rem
+        FROM tot),
+      c AS (
+        SELECT t.doc_id, t.source,
+               p.base + CASE WHEN SUM(t.n_tok) OVER (PARTITION BY t.source
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) - t.n_tok < p.rem
+                 THEN 1 ELSE 0 END AS copies
+        FROM t JOIN plan p USING (source))
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+      FROM c WHERE copies >= 1
+      ORDER BY doc_id, copy""",
     "q96_resolve_columns" -> """
       WITH f AS (SELECT DISTINCT source AS file,
                         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS sn

@@ -65,6 +65,44 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Materialize a token-budget mixture (the consumer of
+    * `mixturePlan`): emit each document `copies` times so every source
+    * supplies ~its target share of the budget — whole epochs as
+    * integer repeats (`required div n_tokens`), the fractional epoch
+    * as ONE extra copy of a deterministic hash-ordered prefix of the
+    * source's docs (first docs whose cumulative token count hasn't
+    * reached the remainder). All integer arithmetic; achieved tokens
+    * overshoot the target by less than one document's length. Output
+    * (doc_id, source, copy 1..c) — the repeated corpus a packing/
+    * shuffling stage consumes. Shapes: one token agg + broadcast
+    * plan join + one keyed window (hash-ordered prefix sum per
+    * source) + a sequence explode; rows out = materialized corpus
+    * size, nothing corpus-sized collects. */
+  def mixtureMaterialize(docs: DataFrame, weightsPpm: Map[String, Long],
+                         budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.sortBy(_._1).toDF("source", "w_ppm")
+    val t = docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("long").as("n_tok"))
+    val totals = t.groupBy("source").agg(sum(col("n_tok")).as("n_tokens"))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("required", expr(s"($budget * w_ppm) div 1000000"))
+      .select(col("source"), expr("required div n_tokens").as("base"),
+        expr("required % n_tokens").as("rem"))
+    val wSrc = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t.withColumn("cum", sum(col("n_tok")).over(wSrc))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("copies",
+        col("base") + when(col("cum") - col("n_tok") < col("rem"), 1L)
+          .otherwise(0L))
+      .where(col("copies") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Deterministic stratified downsampling: keep at most `n` docs per
     * stratum (`by` column), chosen by hash order — a reproducible
     * "reservoir" that needs no RNG and picks the same docs on every

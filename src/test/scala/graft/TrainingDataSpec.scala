@@ -422,6 +422,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(r2.getDouble(4) == 1.0 && r2.isNullAt(5))
   }
 
+  test("mixtureMaterialize: whole epochs + hash-prefix remainder, hand-traced") {
+    // s1: doc1 4 tok, doc2 2 tok (n=6), w=0.8, budget 10 → required 8:
+    //   base 1, rem 2; md5("1") < md5("2") so doc1 leads the hash
+    //   order; cum-n_tok: doc1 0 < 2 (extra), doc2 4 ≥ 2 (no)
+    // s2: doc3 3 tok, w=0.2 → required 2: base 0, rem 2; doc3 extra
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b", "s1"), (3L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TrainingData.mixtureMaterialize(d,
+      Map("s1" -> 800000L, "s2" -> 200000L), 10L).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, "s1", 1L), (1L, "s1", 2L), (2L, "s1", 1L), (3L, "s2", 1L)))
+  }
+
   test("mixturePlan: integer-exact requirements, epochs, oversubscription") {
     val d = Seq(
       (1L, "a b c d", "s1"), (2L, "a b", "s1"),       // s1: 6 tokens
