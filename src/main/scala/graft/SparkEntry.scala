@@ -646,6 +646,11 @@ object SparkEntry {
       TrainingData.mixtureMaterialize(documents(s, d),
         (0 until 20).map(i => s"src$i" -> ((i % 4 + 1) * 20000L)).toMap,
         50000L)),
+    // corpus-wide kNN JOIN: every vector's top-5 neighbors, IVF-blocked
+    // (N·nProbe·clusterRows pair volume, never N²). Rows-only: KMeans
+    // lists; recall vs brute force pinned by SimilaritySpec
+    "q134_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(embeddings(s, d), 5)),
     // one-call end-to-end curation (the q95 counterpart for the
     // curation family): gopher gate -> exact dedup -> split -> pack;
     // hash-green because every stage composes its own green oracle

@@ -332,6 +332,56 @@ object Similarity {
     } finally index.release()
   }
 
+  /** Corpus-wide k-nearest-neighbor JOIN: every vector's top-`k`
+    * neighbors (self excluded) — the RAG pair-mining / hard-negative /
+    * duplicate-triage primitive, and the generalization of `ivfSearch`
+    * to a corpus-sized query side. IVF-blocked: probes are one
+    * broadcast of the (tiny) centroid table against the distributed
+    * query side, candidates one equi-join on list_id, so the pair
+    * volume is N·nProbe·targetClusterRows — never N², and the list
+    * count scales with the corpus (`autoK`) exactly like SemDeDup's.
+    * Result is N·k rows and STAYS DISTRIBUTED (nothing collects);
+    * callers release the index via the scoped pair once the result is
+    * consumed or materialized. Approximate by construction (probed
+    * lists only): on clustered embeddings — the regime real encoders
+    * produce — recall@5 ≥ 0.9 (`SimilaritySpec` planted-cluster pin);
+    * on uniform-random vectors it degrades toward the scan fraction
+    * (0.39 measured at 2/8 lists on the random driver testdata, the
+    * q61 caveat), where no list structure exists to exploit. */
+  def knnJoin(emb: DataFrame, k: Int, nProbe: Int = 2,
+              targetClusterRows: Long = 256): DataFrame = {
+    val (res, release) = knnJoinScoped(emb, k, nProbe, targetClusterRows)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def knnJoinScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
+                    targetClusterRows: Long = 256,
+                    knownCount: Option[Long] = None): (DataFrame, () => Unit) = {
+    val nList = autoK(emb, targetClusterRows, knownCount)
+    val index = ivfBuild(emb, nList)
+    val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dist", -dot(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    val res = probes.join(index.assigned, Seq("list_id"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+    (res, () => index.release())
+  }
+
   /** Scalar-quantized (int8) brute-force cosine top-k — `cosineTopK`
     * over `Sq8Encode` codes (functions/Sq8Expressions.scala): 72 B per
     * 64-dim vector instead of 512 B of promoted doubles, the memory

@@ -18,7 +18,8 @@ class EntrySpec extends SparkSpec {
       "q101_sq8_topk", "q106_diversity_sample", "q109_quality_classifier",
       "q110_bpe_merges", "q116_pq_topk", "q118_curate_neardup",
       "q119_ivfpq_topk", "q120_bpe_encode", "q122_opq_topk",
-      "q125_cms_hitters", "q129_cardinality_audit", "q130_cms_incremental")
+      "q125_cms_hitters", "q129_cardinality_audit", "q130_cms_incremental",
+      "q134_knn_join")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

@@ -178,4 +178,44 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("knnJoin: recall on clustered data, self excluded, deterministic") {
+    // IVF's intended regime is CLUSTERED embeddings (real text/image
+    // models produce them); on uniform-random vectors probed-list
+    // recall degrades by design (measured 0.39 at 2/8 lists on the
+    // random driver testdata — same caveat as q61's documented 0.28).
+    // Plant 10 tight clusters of 20, where neighbors = cluster mates.
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    val vecs = rows.map { case (i, e) => (i, e.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / math.sqrt(na * nb)
+    }
+    val gold = vecs.map { case (q, qe) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (v, ve) => (v, cos(qe, ve)) }
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Similarity.knnJoin(d, 5, nProbe = 2, targetClusterRows = 25)
+    val out = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got.unpersist(blocking = false)
+    out.foreach { case (q, _, v) => assert(q != v, s"self match $q") }
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byQ.size == vecs.length)          // every vector got neighbors
+    val recall = vecs.map { case (q, _) =>
+      gold(q).intersect(byQ(q)).size.toDouble / gold(q).size
+    }.sum / vecs.length
+    assert(recall >= 0.9, s"mean recall@5 $recall < 0.9")
+    val again = Similarity.knnJoin(d, 5, nProbe = 2, targetClusterRows = 25)
+    val out2 = again.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    again.unpersist(blocking = false)
+    assert(out2.toSeq == out.toSeq)
+  }
 }
