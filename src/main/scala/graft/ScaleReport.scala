@@ -37,7 +37,7 @@ object ScaleReport {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // optional section allowlist (minhash,simhash,cc,ann,text,curation,cms,hll,
+    // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
@@ -130,6 +130,45 @@ object ScaleReport {
     timed("ann_lsh_topk_probe1")(Similarity.annLshTopK(emb, 5, 10, probeRadius = 1).count())
     timed("ivf_topk")(Similarity.ivfTopK(emb, 5, 10, 16, 3).count())
     timed("lsh_near_dup_pairs")(Similarity.lshNearDupPairs(emb, 0.35).count())
+    }
+
+    // Corpus-wide kNN join (q134): N·k neighbor rows, IVF-blocked —
+    // the scale question is total pair volume AND whether recall holds
+    // as lists multiply with the corpus. Recall measured on a ~100-
+    // query hash sample against exact driver-side top-10.
+    if (section("knn")) {
+      val all = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) e")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val step = math.max(1L, nVecs / 100)
+      val qids = all.map(_._1).filter(_ % step == 0).toSet
+      def cosL(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { s += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        s / math.sqrt(na * nb)
+      }
+      val byId = all.toMap
+      val gold = qids.toSeq.sorted.map { q =>
+        val qe = byId(q)
+        q -> all.iterator.filter(_._1 != q)
+          .map { case (v, ve) => (v, cosL(qe, ve)) }.toArray
+          .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      }.toMap
+      for (nProbe <- Seq(2, 8)) {
+        var knnRows: Array[(Long, Long)] = Array.empty
+        timed(s"knn_join_full_nprobe$nProbe") {
+          val knn = Similarity.knnJoin(emb, 10, nProbe = nProbe)
+          knnRows = knn.select("qid", "vid").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          knn.unpersist(blocking = false)
+          knnRows.length.toLong
+        }
+        val got = knnRows.filter(p => qids(p._1)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val rec = qids.toSeq.map { q =>
+          gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+        }
+        println(f"""{"op":"knn_join_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
+      }
     }
 
     // Text-analysis family over the FULL corpus (the driver queries cap

@@ -651,6 +651,16 @@ object SparkEntry {
     // lists; recall vs brute force pinned by SimilaritySpec
     "q134_knn_join" -> ((s, d) =>
       Similarity.knnJoin(embeddings(s, d), 5)),
+    // doc-level cross-corpus near-dup pairs (train side vs eval side):
+    // the whole-document face of q114's contamination report, sketch-
+    // estimated Jaccard in exact ppm. Rows-only (MinHash estimate);
+    // planted recovery + no-false-pairs pinned by DedupSpec
+    "q135_cross_near_dups" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = documents(s, d)
+      Dedup.crossNearDups(docs.where(col("doc_id") >= 40),
+        docs.where(col("doc_id") < 40), 0.5)
+    }),
     // one-call end-to-end curation (the q95 counterpart for the
     // curation family): gopher gate -> exact dedup -> split -> pack;
     // hash-green because every stage composes its own green oracle

@@ -522,6 +522,40 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Doc-level CROSS-corpus near-duplicate pairs: which documents of
+    * `b` near-duplicate a document of `a` — the whole-document face of
+    * train/eval contamination (q114 reports k-gram containment per
+    * eval item; this reports document matches with a similarity
+    * estimate), and the A-vs-B form of the q97 store join. Similarity
+    * is sketch-estimated Jaccard — the fraction of the 66 MinHash
+    * slots that agree (the `dedupIncremental` trade: neither corpus's
+    * text is ever joined) — reported as exact ppm ints
+    * (`agree·10⁶ div 66`), thresholded at the ppm floor.
+    *
+    * Shapes: two signature passes (one per corpus), a banded
+    * `shuffle_hash` equi-join that only moves matching (band, bkey)
+    * keys, distinct candidates, then the 66-slot agreement as a
+    * per-candidate projection. No cross join at any scale; candidate
+    * volume tracks the true cross-dup count like `minhashPairs`'. */
+  def crossNearDups(a: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
+    val sa = minhashSignatures(a)
+    val sb = minhashSignatures(b)
+    val cand = bandRows(sa).as("x").join(bandRows(sb).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    def side(s: DataFrame, tag: String) = s.toDF(s.columns.map(c =>
+      if (c == "doc_id") s"${tag}_id" else s"${c}_$tag").toIndexedSeq: _*)
+    val agree = (0 until NumPerms).map(p =>
+      when(col(s"h${p}_a") === col(s"h${p}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(side(sa, "a"), Seq("a_id")).join(side(sb, "b"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), agree.as("agree"))
+      .select(col("a_id"), col("b_id"),
+        expr(s"(agree * 1000000) div $NumPerms").as("est_ppm"))
+      .where(col("est_ppm") >= math.round(threshold * 1000000))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Dedup with QUALITY-AWARE canonical selection: near-dup components
     * (exact-verified Jaccard pairs → connected components, the q72
     * closure) keep their LONGEST member instead of the minimum id —

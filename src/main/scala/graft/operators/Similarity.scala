@@ -347,7 +347,10 @@ object Similarity {
     * produce — recall@5 ≥ 0.9 (`SimilaritySpec` planted-cluster pin);
     * on uniform-random vectors it degrades toward the scan fraction
     * (0.39 measured at 2/8 lists on the random driver testdata, the
-    * q61 caveat), where no list structure exists to exploit. */
+    * q61 caveat), where no list structure exists to exploit. nProbe is
+    * the recall/cost dial: at 20 k semi-structured vectors (78 lists),
+    * nProbe 2 = 0.41 recall@10 in 10.5 s, nProbe 8 = 0.88 in 27.7 s
+    * (SCALE.md round 6) — size it to the corpus's cluster structure. */
   def knnJoin(emb: DataFrame, k: Int, nProbe: Int = 2,
               targetClusterRows: Long = 256): DataFrame = {
     val (res, release) = knnJoinScoped(emb, k, nProbe, targetClusterRows)

@@ -243,6 +243,23 @@ class DedupSpec extends SparkSpec {
       assert(est >= 60L && est <= 70L, s"'$sh' est $est outside [60,70]") }
   }
 
+  test("crossNearDups: planted cross-corpus duplicate found, no false pairs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val a = docs(
+      1L -> base,
+      2L -> (31 to 60).map(i => s"u$i").mkString(" "))
+    val b = docs(
+      10L -> (base + " extra"),     // near-dup of a's doc 1
+      11L -> (61 to 90).map(i => s"v$i").mkString(" "))
+    val out = Dedup.crossNearDups(a, b, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 10L)))
+    assert(out.head._3 >= 500000L && out.head._3 <= 1000000L)
+    val again = Dedup.crossNearDups(a, b, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("boilerplateCut: top-1 gram occurrences removed from every doc") {
     val d = docs(
       1L -> "a b c d e x1 y1 z1 w1 v1",
