@@ -352,18 +352,31 @@ object Similarity {
     * nProbe 2 = 0.41 recall@10 in 10.5 s, nProbe 8 = 0.88 in 27.7 s
     * (SCALE.md round 6) — size it to the corpus's cluster structure. */
   def knnJoin(emb: DataFrame, k: Int, nProbe: Int = 2,
-              targetClusterRows: Long = 256): DataFrame = {
-    val (res, release) = knnJoinScoped(emb, k, nProbe, targetClusterRows)
+              targetClusterRows: Long = 256,
+              scanFrac: Option[Double] = None): DataFrame = {
+    val (res, release) =
+      knnJoinScoped(emb, k, nProbe, targetClusterRows, scanFrac = scanFrac)
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
     out
   }
 
+  /** `scanFrac` is the recall-stable dial from the SCALE.md round-6
+    * law: when set, nProbe = ⌈nList·scanFrac⌉ so the scanned share of
+    * the corpus (and with it recall on weakly-clustered data) stays
+    * constant as the list count grows with N — cost then scales
+    * linearly in scanFrac·N per query. scanFrac = 1.0 probes every
+    * list, which IS the exact brute-force join (pinned equal in
+    * `SimilaritySpec`). Unset, the fixed `nProbe` gives cost-stable
+    * scaling and recall rides the corpus's cluster structure. */
   def knnJoinScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                     targetClusterRows: Long = 256,
-                    knownCount: Option[Long] = None): (DataFrame, () => Unit) = {
+                    knownCount: Option[Long] = None,
+                    scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, knownCount)
+    val probes0 = scanFrac
+      .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
     val index = ivfBuild(emb, nList)
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
@@ -371,7 +384,7 @@ object Similarity {
       .withColumn("dist", -dot(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") <= nProbe)
+      .where(col("pr") <= probes0)
       .select(col("qid"), col("qe"), col("qn"), col("list_id"))
     val res = probes.join(index.assigned, Seq("list_id"))
       .where(col("qid") =!= col("vid"))

@@ -196,7 +196,7 @@ class SimilaritySpec extends SparkSpec {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      s / math.sqrt(na * nb)
+      s / (math.sqrt(na) * math.sqrt(nb))   // mirrors the engine's op order
     }
     val gold = vecs.map { case (q, qe) =>
       q -> vecs.filter(_._1 != q)
@@ -217,5 +217,20 @@ class SimilaritySpec extends SparkSpec {
     val out2 = again.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     again.unpersist(blocking = false)
     assert(out2.toSeq == out.toSeq)
+    // scanFrac = 1.0 probes every list: the exact brute-force join.
+    // Driver gold mirrors the engine's float ops (s/(√na·√nb)) so the
+    // comparison is bit-for-bit, not tolerance-based.
+    val full = Similarity.knnJoin(d, 5, targetClusterRows = 25,
+      scanFrac = Some(1.0))
+    val fullRows = full.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    full.unpersist(blocking = false)
+    val goldRows = vecs.flatMap { case (q, qe) =>
+      vecs.filter(_._1 != q)
+        .map { case (v, ve) => (v, cos(qe, ve)) }
+        .sortBy { case (v, c) => (-c, v) }.take(5).zipWithIndex
+        .map { case ((v, _), i) => (q, i + 1, v) }
+    }.sortBy(t => (t._1, t._2))
+    assert(fullRows.toSeq == goldRows.toSeq)
   }
 }
