@@ -774,6 +774,11 @@ object SparkEntry {
     // hash, so within-domain near-dups can never straddle train/eval
     "q132_disjoint_split" -> ((s, d) =>
       TrainingData.disjointSplit(documents(s, d))),
+    // one-row corpus health dashboard: size, exact-dup mass, Gopher
+    // keep rate, source concentration, length envelope — all exact
+    // ppm integers
+    "q136_corpus_health" -> ((s, d) =>
+      TrainingData.corpusHealth(documents(s, d))),
     // incremental heavy hitters: two half-corpus CMS sketches merged
     // (counter addition — exact), then top-k against the merged state.
     // Equals q125's one-shot output bit-for-bit; the merge==recompute
@@ -2360,6 +2365,48 @@ object SparkEntry {
                   WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+    "q136_corpus_health" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      gagg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      lab AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND sum_len / n_words BETWEEN 3.0 AND 10.0
+                     AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+                     AND n_alpha / n_words >= 0.8
+                     AND n_stop >= 2 THEN 1 ELSE 0 END AS keep
+        FROM gagg),
+      t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
+               md5(text) AS h
+        FROM documents),
+      base AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+               MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        FROM t),
+      k AS (SELECT CAST(SUM(keep) AS BIGINT) AS n_keep FROM lab),
+      s AS (SELECT CAST(MAX(c) AS BIGINT) AS top_source_docs
+            FROM (SELECT source, COUNT(*) AS c FROM t GROUP BY 1))
+      SELECT n_docs, n_tokens, n_sources, n_distinct,
+             ((n_docs - n_distinct) * 1000000) // n_docs AS dup_ppm,
+             n_keep, (n_keep * 1000000) // n_docs AS keep_ppm,
+             top_source_docs,
+             (top_source_docs * 1000000) // n_docs AS top_source_ppm,
+             min_tok, max_tok
+      FROM base CROSS JOIN k CROSS JOIN s""",
     "q133_mixture_materialize" -> """
       WITH t AS (
         SELECT doc_id, source,

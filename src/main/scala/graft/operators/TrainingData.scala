@@ -48,6 +48,39 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** One-row corpus health dashboard — the summary a pipeline prints
+    * before anything else runs: corpus size (docs/tokens/sources),
+    * exact-duplicate mass (md5 content hashes, the q35 convention),
+    * Gopher keep rate, source concentration (largest source's share),
+    * and the token-length envelope. Every rate is an exact ppm integer
+    * division, so the row hash-checks; three independent single-agg
+    * passes (base stats, keep count, source mode) cross-joined — each
+    * map-side-combined, nothing corpus-sized moves. */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("long").as("n_tok"),
+      md5(col("text")).as("h"))
+    val base = t.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("h")).as("n_distinct"),
+      min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+    val keep = gopherQuality(docs, minWords = 30)
+      .agg(sum(col("keep").cast("long")).as("n_keep"))
+    val topSrc = t.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_source_docs"))
+    base.crossJoin(keep).crossJoin(topSrc)
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_distinct"),
+        expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_ppm"),
+        col("n_keep"),
+        expr("(n_keep * 1000000) div n_docs").as("keep_ppm"),
+        col("top_source_docs"),
+        expr("(top_source_docs * 1000000) div n_docs").as("top_source_ppm"),
+        col("min_tok"), col("max_tok"))
+  }
+
   /** Domain-disjoint split: every document from a source lands in the
     * SAME split, so near-duplicates that cluster within a domain (the
     * common case — boilerplate, templated pages, mirrored articles)

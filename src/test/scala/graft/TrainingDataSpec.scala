@@ -372,6 +372,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(r2(0).getDouble(2) == 0.125, s"rev auc ${r2(0).getDouble(2)}")
   }
 
+  test("corpusHealth: one-row dashboard, hand-computed") {
+    // doc1: 30 words, passes Gopher (mean len 3.1, 12 stopwords);
+    // docs 2,3 identical (one dup); 4 distinct. Sources: s1 x2, s2 x2.
+    val keepText = Seq.fill(3)("the cat and dog run with joy for fun now")
+      .mkString(" ")
+    val d = Seq(
+      (1L, keepText, "s1"), (2L, "x1 y2", "s1"),
+      (3L, "x1 y2", "s2"), (4L, "z9 w8 v7", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TrainingData.corpusHealth(d).collect()
+    assert(r.length == 1)
+    val x = r(0)
+    assert((x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)) ==
+      ((4L, 37L, 2L, 3L)))
+    assert(x.getLong(4) == 250000L)          // dup_ppm: 1 of 4 docs
+    assert((x.getLong(5), x.getLong(6)) == ((1L, 250000L)))  // keep
+    assert((x.getLong(7), x.getLong(8)) == ((2L, 500000L)))  // top source
+    assert((x.getLong(9), x.getLong(10)) == ((2L, 30L)))     // min/max tok
+  }
+
   test("disjointSplit: whole sources land in one split, stable under append") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
