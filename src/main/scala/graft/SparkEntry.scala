@@ -779,6 +779,11 @@ object SparkEntry {
     // ppm integers
     "q136_corpus_health" -> ((s, d) =>
       TrainingData.corpusHealth(documents(s, d))),
+    // per-source robust length outliers: |n_tok - source median| >
+    // 3 x MAD, both discrete rank values — the truncated/concatenated
+    // crawl-artifact filter, exact longs throughout
+    "q137_length_outliers" -> ((s, d) =>
+      TextAnalysis.lengthOutliers(documents(s, d))),
     // incremental heavy hitters: two half-corpus CMS sketches merged
     // (counter addition — exact), then top-k against the merged state.
     // Equals q125's one-shot output bit-for-bit; the merge==recompute
@@ -2365,6 +2370,30 @@ object SparkEntry {
                   WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+    "q137_length_outliers" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      r AS (
+        SELECT source, n_tok, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM t),
+      med AS (SELECT source, n_tok AS med FROM r WHERE rn = CEIL(0.5 * cnt)),
+      d AS (
+        SELECT t.doc_id, t.source, t.n_tok, med,
+               ABS(t.n_tok - med) AS dev
+        FROM t JOIN med USING (source)),
+      r2 AS (
+        SELECT source, dev, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM d),
+      mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = CEIL(0.5 * cnt))
+      SELECT d.doc_id, d.source, d.n_tok, d.med, m.mad,
+             d.dev > 3 * m.mad AS is_outlier
+      FROM d JOIN mad m USING (source) ORDER BY doc_id""",
     "q136_corpus_health" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w

@@ -495,6 +495,40 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source robust length-outlier filter: flag documents whose
+    * token count deviates from their SOURCE's median by more than
+    * `k` × MAD (median absolute deviation) — the filter that catches
+    * truncated or concatenated crawl artifacts, robust where a
+    * mean/stddev rule is dragged by the outliers it's hunting, and
+    * per-source because length norms differ by domain. Median and MAD
+    * are the discrete rank-⌈n/2⌉ values (`lengthProfile`'s technique),
+    * so every output is an exact long and the verdict hash-checks.
+    * Two keyed windows + two broadcast-sized joins back; everything
+    * parallelizes across sources. A source with MAD 0 (absolutely
+    * uniform lengths) flags ANY deviating doc — deterministic, and
+    * the honest reading of "this source has exactly one length". */
+  def lengthOutliers(docs: DataFrame, k: Long = 3L): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(toks(col("text"))).cast("long").as("n_tok"))
+    val cw = Window.partitionBy("source")
+    val r = t.withColumn("rn", row_number().over(
+        cw.orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    val med = r.where(col("rn") === ceil(lit(0.5) * col("cnt")))
+      .select(col("source"), col("n_tok").as("med"))
+    val d = t.join(med, Seq("source"))
+      .withColumn("dev", abs(col("n_tok") - col("med")))
+    val r2 = d.withColumn("rn", row_number().over(
+        cw.orderBy(col("dev"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    val mad = r2.where(col("rn") === ceil(lit(0.5) * col("cnt")))
+      .select(col("source"), col("dev").as("mad"))
+    d.join(mad, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("med"),
+        col("mad"), (col("dev") > lit(k) * col("mad")).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source vocabulary cardinality audit: exact distinct token
     * count vs the HyperLogLog++ estimate (`approx_count_distinct`,
     * relative sd `rsd`) and their relative error. At 100 TB the exact

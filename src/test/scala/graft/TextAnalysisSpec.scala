@@ -207,6 +207,23 @@ class TextAnalysisSpec extends SparkSpec {
       (("src0", 4L, 1L, 2L, 3L, 4L, 4L)))
   }
 
+  test("lengthOutliers: median/MAD rule, hand-computed") {
+    // lengths 1,2,3,4,100: median = rank ceil(2.5)=3 → 3;
+    // devs 2,1,0,1,97 → sorted 0,1,1,2,97, MAD = rank 3 → 1;
+    // outlier iff dev > 3·1: only the 100-token doc (dev 97)
+    val d = docs(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"),
+      (4L, "a b c d", "en"),
+      (5L, (1 to 100).map(i => s"w$i").mkString(" "), "en"))
+    val r = TextAnalysis.lengthOutliers(d).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, 1L, false), (2L, 2L, 3L, 1L, false),
+      (3L, 3L, 3L, 1L, false), (4L, 4L, 3L, 1L, false),
+      (5L, 100L, 3L, 1L, true)))
+  }
+
   test("cardinalityAudit: HLL within bound of exact, deterministic") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val r = TextAnalysis.cardinalityAudit(d, rsd = 0.05).collect()
