@@ -615,8 +615,8 @@ object SparkEntry {
         TrainingData.lmQualityScoreScoped(docs, docs.where(col("doc_id") < 250))
       val labels = TrainingData.gopherQuality(docs, minWords = 30)
         .select(col("doc_id"), col("keep").cast("long").as("label"))
-      val res = TrainingData.scoreCalibration(scored, labels, 10)
-      val out = res.cache(); out.count(); relS()
+      val (res, relC) = TrainingData.scoreCalibrationScoped(scored, labels, 10)
+      val out = res.cache(); out.count(); relS(); relC()
       out
     }),
     // Cohen's kappa between the two rule-based gates (Gopher word

@@ -538,8 +538,25 @@ object Dedup {
     * per-candidate projection. No cross join at any scale; candidate
     * volume tracks the true cross-dup count like `minhashPairs`'. */
   def crossNearDups(a: DataFrame, b: DataFrame, threshold: Double): DataFrame = {
+    val (res, release) = crossNearDupsScoped(a, b, threshold)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  /** `crossNearDups` with the signature frames' lifetime scoped to the
+    * caller: each corpus's 66-minhash aggregation feeds BOTH the band
+    * candidate join and the slot-agreement join, so the signatures are
+    * persisted (the round-1 shared-subplan rule — Spark re-executes an
+    * unpersisted subplan per consumer) and the release hook drops them
+    * once the result is materialized. */
+  def crossNearDupsScoped(a: DataFrame, b: DataFrame,
+                          threshold: Double): (DataFrame, () => Unit) = {
     val sa = minhashSignatures(a)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sb = minhashSignatures(b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows(sa).as("x").join(bandRows(sb).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
@@ -548,12 +565,13 @@ object Dedup {
     val agree = (0 until NumPerms).map(p =>
       when(col(s"h${p}_a") === col(s"h${p}_b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand.join(side(sa, "a"), Seq("a_id")).join(side(sb, "b"), Seq("b_id"))
+    val res = cand.join(side(sa, "a"), Seq("a_id")).join(side(sb, "b"), Seq("b_id"))
       .select(col("a_id"), col("b_id"), agree.as("agree"))
       .select(col("a_id"), col("b_id"),
         expr(s"(agree * 1000000) div $NumPerms").as("est_ppm"))
       .where(col("est_ppm") >= math.round(threshold * 1000000))
       .orderBy("a_id", "b_id")
+    (res, () => { sa.unpersist(blocking = false); sb.unpersist(blocking = false) })
   }
 
   /** Dedup with QUALITY-AWARE canonical selection: near-dup components
@@ -883,10 +901,45 @@ object Dedup {
     * behind (next load reads the newest). Replaying a batch after a
     * restart over-counts — which keeps the CMS one-sided guarantee
     * (estimates only ever overshoot), the same at-least-once stance
-    * as `IngestDedup`/`IngestVectors`. */
-  def cmsStoreSave(sketch: DataFrame, path: String): Unit =
+    * as `IngestDedup`/`IngestVectors`.
+    *
+    * The (k, depth, width) GEOMETRY is part of the store: counters
+    * from sketches of different geometry are incomparable (summing
+    * them yields pure collision noise, not an over-estimate), so the
+    * save writes a one-row `meta` table and every merge/query
+    * require()s it matches. Saving over an existing store is rejected
+    * — a second initialization would silently discard the newest
+    * generation's counts (use `cmsStoreMerge` to fold batches in). */
+  def cmsStoreSave(sketch: DataFrame, path: String, k: Int = 5,
+                   depth: Int = 4, width: Int = 8192): Unit = {
+    val spark = sketch.sparkSession
+    require(cmsStoreGens(spark, path).isEmpty,
+      s"$path already holds a CMS store — use cmsStoreMerge to fold batches in")
+    import spark.implicits._
+    Seq((k, depth, width)).toDF("k", "depth", "width")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, "meta").toString)
     sketch.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(path, "g0").toString)
+  }
+
+  /** The store's sketch geometry, as written by `cmsStoreSave`. */
+  def cmsStoreGeometry(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Int, Int, Int) = {
+    val m = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(path, "meta").toString)
+      .select(col("k"), col("depth"), col("width")).head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  private def requireGeometry(spark: org.apache.spark.sql.SparkSession,
+                              path: String, k: Int, depth: Int,
+                              width: Int): Unit = {
+    val g = cmsStoreGeometry(spark, path)
+    require(g == ((k, depth, width)),
+      s"CMS store $path has geometry (k,depth,width)=$g, caller passed " +
+        s"(${k},${depth},${width}) — estimates across geometries are collision noise")
+  }
 
   private def cmsStoreGens(spark: org.apache.spark.sql.SparkSession,
                            path: String): Seq[Int] = {
@@ -914,12 +967,15 @@ object Dedup {
   }
 
   /** Fold a batch's sketch into the store: one bounded merge write,
-    * O(depth·width) regardless of how much text the store has seen. */
+    * O(depth·width) regardless of how much text the store has seen.
+    * Rejects a (k, depth, width) that differs from the store's saved
+    * geometry — bucket-summing mismatched sketches is collision noise. */
   def cmsStoreMerge(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, k: Int = 5,
                     depth: Int = 4, width: Int = 8192): Unit = {
     val gens = cmsStoreGens(spark, path)
     require(gens.nonEmpty, s"$path is not a cmsStoreSave store")
+    requireGeometry(spark, path, k, depth, width)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged = cmsMerge(
@@ -930,6 +986,16 @@ object Dedup {
     gens.foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"g$g"), true)
     }
+  }
+
+  /** Geometry-safe query form of `cmsTopK` against an on-disk store:
+    * reads (k, depth, width) from the store's own `meta` table, so a
+    * caller can never estimate with mismatched hash coordinates. */
+  def cmsStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   candDocs: DataFrame, topN: Int = 25,
+                   sampleMod: Int = 1): DataFrame = {
+    val (k, depth, width) = cmsStoreGeometry(spark, path)
+    cmsTopK(candDocs, cmsStoreLoad(spark, path), k, topN, depth, width, sampleMod)
   }
 
   /** The purge half of the heavy-hitter table: cut every occurrence of

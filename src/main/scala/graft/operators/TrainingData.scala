@@ -70,14 +70,18 @@ object TrainingData {
       .agg(sum(col("keep").cast("long")).as("n_keep"))
     val topSrc = t.groupBy("source").agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("top_source_docs"))
+    // ANSI mode: guard the ppm divisions so an empty corpus yields a
+    // degenerate (null-rate) row instead of ArithmeticException — the
+    // same n > 0 stance as MonitorQuality.processBatch
+    def ppm(e: Column): Column = when(col("n_docs") > 0, e)
     base.crossJoin(keep).crossJoin(topSrc)
       .select(col("n_docs"), col("n_tokens"), col("n_sources"),
         col("n_distinct"),
-        expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_ppm"),
+        ppm(expr("((n_docs - n_distinct) * 1000000) div n_docs")).as("dup_ppm"),
         col("n_keep"),
-        expr("(n_keep * 1000000) div n_docs").as("keep_ppm"),
+        ppm(expr("(n_keep * 1000000) div n_docs")).as("keep_ppm"),
         col("top_source_docs"),
-        expr("(top_source_docs * 1000000) div n_docs").as("top_source_ppm"),
+        ppm(expr("(top_source_docs * 1000000) div n_docs")).as("top_source_ppm"),
         col("min_tok"), col("max_tok"))
   }
 
@@ -914,15 +918,23 @@ object TrainingData {
     * exact operands (the oracle rule). No per-pair join: grouping by
     * score first is MLlib BinaryClassificationMetrics' shape, and the
     * cumulative window runs over the distinct-score frame, not the
-    * corpus. The R-precision row_number IS a global sort of the scored
-    * frame — fine for an eval metric computed over an eval sample
-    * (standard practice at 100 TB; MLlib downsamples to bins for the
-    * same reason).
+    * corpus. R-precision is computed the same way: whole score groups
+    * above the top-P cutoff contribute their positive counts from the
+    * distinct-score frame, and only the ONE group straddling the
+    * cutoff is resolved per-row — with a window PARTITIONED by score,
+    * so no corpus-sized single-partition sort exists anywhere in the
+    * plan (pinned by `PlanAuditSpec`: every empty-partition window
+    * here is over the aggregated score frame, never over doc rows).
     *
     * `scored`: (doc_id, score); `labels`: (doc_id, label ∈ {0,1}).
     * Output: one row (n_pos, n_neg, auc, prec_at_pos). */
-  def scoreAuc(scored: DataFrame, labels: DataFrame): DataFrame =
-    scoreAucScoped(scored, labels)._1
+  def scoreAuc(scored: DataFrame, labels: DataFrame): DataFrame = {
+    val (res, release) = scoreAucScoped(scored, labels)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
 
   /** Calibration companion to `scoreAuc`: bucket the scored corpus
     * into `bins` equal-count quantile bins (ntile over (score,
@@ -933,16 +945,55 @@ object TrainingData {
     * score as a sampling weight (soft dedup / DSIR style) rather than
     * a threshold. All counts are exact longs; pos_rate is one double
     * division; the bin edges are min/max of carried doubles (no
-    * averaging, so the row hash-checks exactly). The global ntile sort
-    * is single-partition by construction — fine for the eval-sample
-    * sizes this report targets (same stance as `scoreAuc`). */
+    * averaging, so the row hash-checks exactly).
+    *
+    * Bin assignment is EXACTLY ntile(bins) over (score, doc_id) — but
+    * computed without a global per-row sort: the global rank is
+    * (rows in strictly-lower score groups, a cumulative window over
+    * the DISTINCT-score frame) + (row_number PARTITIONED by score,
+    * doc_id-ordered), and ntile's quota arithmetic (first n%bins
+    * buckets take n/bins+1 rows) is a closed-form integer expression
+    * of that rank. Same result bit-for-bit, no single-partition
+    * corpus sort (pinned by `PlanAuditSpec` alongside `scoreAuc`). */
   def scoreCalibration(scored: DataFrame, labels: DataFrame,
                        bins: Int = 10): DataFrame = {
+    val (res, release) = scoreCalibrationScoped(scored, labels, bins)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def scoreCalibrationScoped(scored: DataFrame, labels: DataFrame,
+                             bins: Int = 10): (DataFrame, () => Unit) = {
     val j = scored.select(col("doc_id"), col("score"))
       .join(labels.select(col("doc_id"),
         col("label").cast("long").as("label")), Seq("doc_id"))
-    j.withColumn("bin",
-        ntile(bins).over(Window.orderBy(col("score"), col("doc_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    j.count()
+    val wBelow = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = j.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .select("score", "below")
+    val tot = j.agg(count(lit(1)).as("n_rows"))
+    val res = j.join(off, Seq("score"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("score").orderBy("doc_id")).cast("long"))
+      .withColumn("i", col("below") + col("rw"))
+      // ntile quota: qq = n div bins rows per bucket, first rr = n %
+      // bins buckets take one extra (greatest(qq, 1) guards the
+      // unevaluated branch when n < bins, where every rank is its own
+      // bin via the first branch)
+      .withColumn("qq", expr(s"n_rows div ${bins}L"))
+      .withColumn("rr", expr(s"n_rows % ${bins}L"))
+      .withColumn("bin",
+        when(col("i") <= col("rr") * (col("qq") + lit(1L)),
+          expr("(i - 1) div (qq + 1)") + lit(1L))
+        .otherwise(col("rr") +
+          expr("(i - rr * (qq + 1) - 1) div greatest(qq, 1L)") + lit(1L))
+        .cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
         min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
@@ -950,6 +1001,7 @@ object TrainingData {
         (col("n_pos").cast("double") / col("n")).as("pos_rate"),
         col("score_lo"), col("score_hi"))
       .orderBy("bin")
+    (res, () => j.unpersist(blocking = false))
   }
 
   /** Cohen's kappa agreement between two binary keep/drop filters —
@@ -1017,25 +1069,49 @@ object TrainingData {
         col("label").cast("long").as("label")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     j.count()
-    val byScore = j.groupBy("score")
-      .agg(sum(col("label")).as("np"),
-        (count(lit(1)) - sum(col("label"))).as("nn"))
+    // distinct-score cumulative frame: positives/negatives per score
+    // group, negatives strictly below (asc), rows strictly above
+    // (desc). Both windows run over the aggregated frame — group
+    // count, not corpus count — and feed AUC and R-precision alike.
     val wLess = Window.orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = byScore
+    val wMore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = j.groupBy("score")
+      .agg(sum(col("label")).as("np"),
+        (count(lit(1)) - sum(col("label"))).as("nn"))
       .withColumn("neg_below", coalesce(sum(col("nn")).over(wLess), lit(0L)))
-      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("s2"))
-    val ranked = j.withColumn("rn",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-    val res = ranked.crossJoin(broadcast(tot))
-      .where(col("rn") <= col("n_pos"))
+      .withColumn("above",
+        coalesce(sum(col("np") + col("nn")).over(wMore), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+      sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("s2"))
+    // R-precision hits = positives of score groups wholly inside the
+    // top-P prefix + labels of the first (n_pos − above) doc_id-ordered
+    // rows of the single straddling group (resolved with a window
+    // PARTITIONED by that score — never a global per-row sort)
+    val full = cum.crossJoin(broadcast(tot))
+      .where(col("above") + col("np") + col("nn") <= col("n_pos"))
+      .select(col("n_pos"), col("n_neg"), col("s2"), col("np").as("h"))
+    val bnd = cum.crossJoin(broadcast(tot))
+      .where(col("above") < col("n_pos") &&
+        col("above") + col("np") + col("nn") > col("n_pos"))
+      .select(col("score"), (col("n_pos") - col("above")).as("take"),
+        col("n_pos"), col("n_neg"), col("s2"))
+    val bhits = j.join(broadcast(bnd), Seq("score"))
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("score").orderBy("doc_id")).cast("long"))
+      .where(col("rw") <= col("take"))
+      .select(col("n_pos"), col("n_neg"), col("s2"), col("label").as("h"))
+    val res = full.unionByName(bhits)
       .groupBy(col("n_pos"), col("n_neg"), col("s2"))
-      .agg(sum(col("label")).as("hits"))
+      .agg(sum(col("h")).as("hits"))
       .select(col("n_pos"), col("n_neg"),
         (col("s2").cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
         (col("hits").cast("double") / col("n_pos")).as("prec_at_pos"))
-    (res, () => j.unpersist(blocking = false))
+    (res, () => {
+      cum.unpersist(blocking = false); j.unpersist(blocking = false)
+    })
   }
 }

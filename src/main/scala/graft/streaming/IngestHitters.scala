@@ -35,7 +35,8 @@ object IngestHitters {
     val n = batch.count()
     if (n > 0) {
       if (!Dedup.cmsStoreExists(spark, storePath))
-        Dedup.cmsStoreSave(Dedup.cmsSketch(batch, k, depth, width), storePath)
+        Dedup.cmsStoreSave(Dedup.cmsSketch(batch, k, depth, width), storePath,
+          k, depth, width)
       else Dedup.cmsStoreMerge(spark, storePath, batch, k, depth, width)
     }
     n

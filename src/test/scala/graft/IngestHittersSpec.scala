@@ -47,11 +47,33 @@ class IngestHittersSpec extends SparkSpec {
       all.where(col("doc_id") >= 200 && col("doc_id") < 201)
         .where(col("doc_id") < 0), dir) == 0)   // empty batch: no-op
     assert(IngestHitters.processBatch(all.where(col("doc_id") >= 200), dir) > 0)
-    val store = Dedup.cmsStoreLoad(spark, dir)
-    val inc = Dedup.cmsTopK(all, store, sampleMod = 8).collect()
+    val inc = Dedup.cmsStoreTopK(spark, dir, all, sampleMod = 8).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val one = Dedup.cmsHeavyHitters(all, 5, 25).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(inc.toSeq == one.toSeq)
+  }
+
+  test("store geometry is enforced: mismatched merge and double-save are rejected") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.where(col("doc_id") < 50)
+    val dir = tmp("cms_geom")
+    Dedup.cmsStoreSave(Dedup.cmsSketch(docs, 5, 4, 8192), dir, 5, 4, 8192)
+    assert(Dedup.cmsStoreGeometry(spark, dir) == ((5, 4, 8192)))
+    // merging a sketch of different geometry would be pure collision noise
+    intercept[IllegalArgumentException] {
+      Dedup.cmsStoreMerge(spark, dir, docs, k = 5, depth = 4, width = 4096)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.cmsStoreMerge(spark, dir, docs, k = 3, depth = 4, width = 8192)
+    }
+    // a second save would silently discard the newest generation
+    intercept[IllegalArgumentException] {
+      Dedup.cmsStoreSave(Dedup.cmsSketch(docs), dir)
+    }
+    // matching geometry still folds fine after the rejections
+    Dedup.cmsStoreMerge(spark, dir, all.where(col("doc_id") >= 50))
+    assert(sketchMap(Dedup.cmsStoreLoad(spark, dir)) ==
+      sketchMap(Dedup.cmsSketch(all)))
   }
 }

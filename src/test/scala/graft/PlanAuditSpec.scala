@@ -232,4 +232,89 @@ class PlanAuditSpec extends SparkSpec {
       }
     finally { mhSigs.unpersist(); shSims.unpersist() }
   }
+
+  test("q124/q126 scorer eval: no single-partition window ever sees doc rows") {
+    // The round-6 watch item, made structural: every empty-partition
+    // window in the scorer-eval plans must run over the aggregated
+    // DISTINCT-SCORE frame (no doc_id in its output) — the per-row
+    // work (R-precision boundary, calibration rank) is resolved by
+    // windows PARTITIONED by score. A global window whose output
+    // carries doc_id would be a corpus-sized single-partition sort.
+    import graft.operators.TrainingData
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      (col("n_chars") % 7).cast("double").as("score"))
+    val labels = docs.select(col("doc_id"),
+      (col("doc_id") % 2).cast("long").as("label"))
+    val (auc, relA) = TrainingData.scoreAucScoped(scored, labels)
+    val (cal, relC) = TrainingData.scoreCalibrationScoped(scored, labels, 10)
+    try
+      for ((name, df) <- Seq("scoreAuc" -> auc, "scoreCalibration" -> cal)) {
+        val ws = df.queryExecution.sparkPlan.collectWithSubqueries {
+          case w: WindowExec => w
+        }
+        assert(ws.nonEmpty, s"$name lost its windows entirely")
+        ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+          assert(!w.output.map(_.name).contains("doc_id"),
+            s"$name has a single-partition window over doc rows:\n" +
+              w.toString.take(400))
+        }
+        // the per-row half must exist and be keyed by score
+        assert(ws.exists(_.partitionSpec.nonEmpty),
+          s"$name lost its score-partitioned per-row window")
+      }
+    finally { relA(); relC() }
+  }
+
+  test("q134 kNN join: centroids broadcast; candidates are a list_id equi-join, never cartesian") {
+    // The N·nProbe·clusterRows bound rests on two plan facts: the
+    // probe side cross-joins only the BROADCAST centroid table (nList
+    // rows), and candidate generation is an equi-join on list_id. A
+    // CartesianProductExec anywhere means the N² pair explosion the
+    // operator exists to avoid.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (res, release) = Similarity.knnJoinScoped(emb, 5)
+    try {
+      val p = res.queryExecution.sparkPlan
+      assert(p.collectWithSubqueries {
+        case c: CartesianProductExec => c
+      }.isEmpty, "kNN join plans a cartesian product")
+      val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnlj.length == 1,
+        s"expected exactly the broadcast centroid probe, got ${bnlj.length} BNLJ nodes")
+      val equi = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.HashJoin
+          if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
+      }
+      assert(equi.nonEmpty, "candidate generation lost its list_id equi-join")
+    } finally release()
+  }
+
+  test("q135 cross-corpus near-dups: band join never statically broadcasts band rows") {
+    // Same blinded-estimate trap as the q36/q97 pins: both join sides
+    // are ×bands posexplodes of small persisted signature frames, so a
+    // static BROADCAST would collect the full band-row table through
+    // the driver at corpus scale. The slot-agreement joins against the
+    // bounded signature frames MAY broadcast — only (band, bkey) keyed
+    // joins are banned.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (pairs, release) = Dedup.crossNearDupsScoped(
+      docs.where(col("doc_id") >= 40), docs.where(col("doc_id") < 40), 0.5)
+    try {
+      val bandBroadcasts = pairs.queryExecution.sparkPlan.collectWithSubqueries {
+        case b: BroadcastHashJoinExec
+          if b.leftKeys.exists(_.references.exists(_.name == "band")) => b
+      }
+      assert(bandBroadcasts.isEmpty,
+        "cross-corpus band join statically broadcasts a band-row side")
+    } finally release()
+  }
 }

@@ -392,6 +392,16 @@ class TrainingDataSpec extends SparkSpec {
     assert((x.getLong(9), x.getLong(10)) == ((2L, 30L)))     // min/max tok
   }
 
+  test("corpusHealth: empty corpus yields a degenerate row, not an ANSI divide error") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
+      .where(col("doc_id") < 0)
+    val r = TrainingData.corpusHealth(d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L)            // n_docs
+    assert(r(0).isNullAt(4) && r(0).isNullAt(6) && r(0).isNullAt(8))
+  }
+
   test("disjointSplit: whole sources land in one split, stable under append") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -422,6 +432,48 @@ class TrainingDataSpec extends SparkSpec {
       (1, 2L, 0L, 0.0, 1.0, 1.0),    // docs 1,2
       (2, 2L, 1L, 0.5, 2.0, 2.0),    // docs 3,4
       (3, 2L, 2L, 1.0, 3.0, 4.0)))   // docs 5,6
+  }
+
+  test("scoreCalibration: closed-form bin equals ntile bit-for-bit, incl. ties and n<bins") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // heavy ties so score groups straddle bin edges; exercise uneven
+    // quotas (n % bins != 0) and the n < bins degenerate
+    val rows = (1L to 23L).map(i => (i, (i % 5).toDouble))
+    val scored = rows.toDF("doc_id", "score")
+    val labels = rows.map { case (i, _) => (i, i % 3 / 2) }.toDF("doc_id", "label")
+    for (bins <- Seq(3, 4, 10, 40)) {
+      val got = TrainingData.scoreCalibration(scored, labels, bins).collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+      val want = scored.join(labels, Seq("doc_id"))
+        .withColumn("bin",
+          ntile(bins).over(W.orderBy(col("score"), col("doc_id"))))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+        .orderBy("bin").collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+      assert(got == want, s"bins=$bins")
+    }
+  }
+
+  test("scoreAuc: R-precision matches the global-sort form when ties straddle the cutoff") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // n_pos = 4; score groups sized 3/3/3/... so the top-4 prefix cuts
+    // INSIDE the second group — the boundary path must pick the
+    // doc_id-lowest rows of the straddling group
+    val rows = (1L to 12L).map(i => (i, ((i - 1) / 3).toDouble))
+    val scored = rows.toDF("doc_id", "score")
+    val labels = rows.map { case (i, _) => (i, if (i >= 9) 1L else 0L) }
+      .toDF("doc_id", "label")
+    val r = TrainingData.scoreAuc(scored, labels).collect()(0)
+    val j = scored.join(labels, Seq("doc_id"))
+    val nPos = 4L
+    val wantHits = j.withColumn("rn", row_number().over(
+        W.orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rn") <= nPos).agg(sum(col("label"))).collect()(0).getLong(0)
+    assert(r.getLong(0) == nPos)
+    assert(r.getDouble(3) == wantHits.toDouble / nPos)
   }
 
   test("filterKappa: hand-computed kappa with chance correction") {
