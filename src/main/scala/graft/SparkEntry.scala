@@ -651,6 +651,12 @@ object SparkEntry {
     // lists; recall vs brute force pinned by SimilaritySpec
     "q134_knn_join" -> ((s, d) =>
       Similarity.knnJoin(embeddings(s, d), 5)),
+    // q134's exhaustive dial: scanFrac = 1.0 probes every IVF list,
+    // which IS the brute-force join — so the SAME knnJoin code path
+    // (probe selection, candidate equi-join, per-qid window) runs
+    // end-to-end and hash-checks against a DuckDB all-pairs top-k
+    "q138_knn_exhaustive" -> ((s, d) =>
+      Similarity.knnJoin(embeddings(s, d), 5, scanFrac = Some(1.0))),
     // doc-level cross-corpus near-dup pairs (train side vs eval side):
     // the whole-document face of q114's contamination report, sketch-
     // estimated Jaccard in exact ppm. Rows-only (MinHash estimate);
@@ -765,6 +771,11 @@ object SparkEntry {
     // error bound and determinism are pinned by TextAnalysisSpec
     "q129_cardinality_audit" -> ((s, d) =>
       TextAnalysis.cardinalityAudit(documents(s, d))),
+    // q129's oracle-checkable half: the exact per-source COUNT(DISTINCT)
+    // is fully DuckDB-expressible, so it hash-checks on its own row —
+    // only the HLL estimate stays in the rows-only audit above
+    "q139_vocab_exact" -> ((s, d) =>
+      TextAnalysis.vocabCardinality(documents(s, d))),
     // per-source discrete length quantiles (value at rank ceil(p*n) —
     // exact longs, no interpolation) — sizes chunking/packing/Gopher
     // bounds against the corpus as it actually is
@@ -1125,6 +1136,20 @@ object SparkEntry {
       s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q138_knn_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q139_vocab_exact" -> """
+      WITH tok AS (
+        SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents)
+      SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+      FROM tok GROUP BY source ORDER BY source""",
     "q108_rrf_fusion" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -543,6 +543,18 @@ object TextAnalysis {
     * approx_distinct is a different HLL implementation, so the
     * estimates differ by design; `TextAnalysisSpec` pins the error
     * bound and re-run determinism instead. */
+  /** Exact per-source vocabulary size — the oracle-checkable half of
+    * `cardinalityAudit`, split out so the exact COUNT(DISTINCT) column
+    * hash-checks against DuckDB while the HLL estimate (a different
+    * sketch implementation per engine, by design) stays in the
+    * rows-only audit. At 100 TB this is the expensive form the audit
+    * licenses retiring: every distinct (source, token) pair shuffles. */
+  def vocabCardinality(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(countDistinct(col("w")).as("n_exact"))
+      .orderBy("source")
+
   def cardinalityAudit(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(col("source"), explode(toks(col("text"))).as("w"))
       .groupBy("source")

@@ -237,5 +237,10 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.cardinalityAudit(d, rsd = 0.05).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
     assert(again.toSeq == r.toSeq)
+    // the split-out exact half (q139, hash-green) agrees with the
+    // audit's exact column row-for-row
+    val exact = TextAnalysis.vocabCardinality(d).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(exact.toSeq == r.map(x => (x._1, x._2)).toSeq)
   }
 }
