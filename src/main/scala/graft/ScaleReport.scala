@@ -169,6 +169,37 @@ object ScaleReport {
         }
         println(f"""{"op":"knn_join_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
       }
+      // SQ8-list variant: same probe dials, int8 ADC pool + float
+      // refine; report recall AND the long-lived list footprint ratio
+      // (the memory wall the quantized path exists to move)
+      for (nProbe <- Seq(2, 8)) {
+        var knnRows: Array[(Long, Long)] = Array.empty
+        timed(s"knn_join_sq8_nprobe$nProbe") {
+          val knn = Similarity.knnJoinSq8(emb, 10, nProbe = nProbe)
+          knnRows = knn.select("qid", "vid").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          knn.unpersist(blocking = false)
+          knnRows.length.toLong
+        }
+        val got = knnRows.filter(p => qids(p._1)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val rec = qids.toSeq.map { q =>
+          gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+        }
+        println(f"""{"op":"knn_join_sq8_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
+      }
+      val nList = math.max(8L, nVecs / 256).toInt
+      val fl = Similarity.ivfBuild(emb, nList)
+      val flBytes = fl.assigned
+        .selectExpr("CAST(sum(size(ce) * 8 + 8 + 8 + 4) AS BIGINT)")
+        .head().getLong(0)
+      fl.release()
+      val q8 = Similarity.ivfBuildSq8(emb, nList)
+      val q8Bytes = q8.assigned
+        .selectExpr("CAST(sum(octet_length(qc) + 8 + 8 + 4) AS BIGINT)")
+        .head().getLong(0)
+      q8.release()
+      println(f"""{"op":"knn_list_bytes","float":$flBytes,"sq8":$q8Bytes,"ratio":${flBytes.toDouble / q8Bytes}%.2f}""")
     }
 
     // Text-analysis family over the FULL corpus (the driver queries cap

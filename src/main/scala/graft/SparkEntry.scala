@@ -657,6 +657,12 @@ object SparkEntry {
     // end-to-end and hash-checks against a DuckDB all-pairs top-k
     "q138_knn_exhaustive" -> ((s, d) =>
       Similarity.knnJoin(embeddings(s, d), 5, scanFrac = Some(1.0))),
+    // q134 over the SQ8-quantized index: int8 assigned lists (~7× less
+    // long-lived memory), ADC candidate scoring, float refine re-rank.
+    // Rows-only (int8 ADC ranks the pool); recall parity vs the float
+    // path pinned by SimilaritySpec
+    "q140_knn_join_sq8" -> ((s, d) =>
+      Similarity.knnJoinSq8(embeddings(s, d), 5)),
     // doc-level cross-corpus near-dup pairs (train side vs eval side):
     // the whole-document face of q114's contamination report, sketch-
     // estimated Jaccard in exact ppm. Rows-only (MinHash estimate);

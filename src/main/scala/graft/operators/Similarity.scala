@@ -398,6 +398,70 @@ object Similarity {
     (res, () => index.release())
   }
 
+  /** `knnJoin` over an SQ8-QUANTIZED index — the memory-wall form: at
+    * 10⁹ vectors the float `assigned` lists (512 B per 64-dim vector)
+    * are what stops the hot set fitting in executor memory; here the
+    * long-lived lists hold int8 codes (72 B, ~7×), candidates are
+    * scored with the approximate int8 dot (ADC), and only the top
+    * k·`refine` pool per query is re-ranked with exact float cosine —
+    * the q101 `RefineFlat` contract lifted to the corpus-sized query
+    * side. Probe selection stays on float centroids (tiny, broadcast),
+    * so the recall dials (`nProbe`, `scanFrac`) behave exactly like
+    * `knnJoin`'s; the refine pool absorbs ADC rank noise near ties
+    * (recall parity vs the float path pinned by `SimilaritySpec`).
+    * The float re-rank joins the pool (N·k·refine rows) back to the
+    * corpus on vid — pool-sized, never corpus×corpus. */
+  def knnJoinSq8(emb: DataFrame, k: Int, nProbe: Int = 2,
+                 targetClusterRows: Long = 256, refine: Int = 4,
+                 scanFrac: Option[Double] = None): DataFrame = {
+    val (res, release) =
+      knnJoinSq8Scoped(emb, k, nProbe, targetClusterRows, refine, scanFrac)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def knnJoinSq8Scoped(emb: DataFrame, k: Int, nProbe: Int = 2,
+                       targetClusterRows: Long = 256, refine: Int = 4,
+                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+    import graft.functions.Sq8
+    val nList = autoK(emb, targetClusterRows, None)
+    val probes0 = scanFrac
+      .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
+    val index = ivfBuildSq8(emb, nList)
+    val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qq", Sq8.encode(col("qe")))
+      .withColumn("qn8", sqrt(Sq8.dot(col("qq"), col("qq"))))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dist", -dot(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("pr") <= probes0)
+      .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
+        col("list_id"))
+    val pool = probes.join(index.assigned, Seq("list_id"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("qe"), col("qn"), col("vid"),
+        (Sq8.dot(col("qq"), col("qc")) / (col("qn8") * col("cn"))).as("adc"))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("vid").asc)))
+      .where(col("r8") <= k * refine)
+    val cvec = emb.select(col("vec_id").as("vid"),
+        asDouble(col("embedding")).as("ce"))
+      .withColumn("cnf", sqrt(dot(col("ce"), col("ce"))))
+    val res = pool.join(cvec, Seq("vid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cnf"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+    (res, () => index.release())
+  }
+
   /** Scalar-quantized (int8) brute-force cosine top-k — `cosineTopK`
     * over `Sq8Encode` codes (functions/Sq8Expressions.scala): 72 B per
     * 64-dim vector instead of 512 B of promoted doubles, the memory

@@ -233,4 +233,44 @@ class SimilaritySpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     assert(fullRows.toSeq == goldRows.toSeq)
   }
+
+  test("knnJoinSq8: int8-list ADC + float refine holds recall parity with the float path") {
+    // same planted-cluster regime as the float knnJoin pin; the SQ8
+    // path must not lose recall — ADC only ranks the candidate POOL
+    // (k·refine wide), the final ranks are exact float cosine
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    // exhaustive dial: candidate pool is the whole corpus per query,
+    // float refine then reproduces the brute-force float ranking
+    // whenever the true top-5 sits inside the ADC top-20 pool
+    val full = Similarity.knnJoin(d, 5, targetClusterRows = 25,
+      scanFrac = Some(1.0))
+    val fullRows = full.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    full.unpersist(blocking = false)
+    val sq8 = Similarity.knnJoinSq8(d, 5, targetClusterRows = 25,
+      refine = 4, scanFrac = Some(1.0))
+    val sq8Rows = sq8.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    sq8.unpersist(blocking = false)
+    sq8Rows.foreach { case (q, _, v) => assert(q != v, s"self match $q") }
+    val fullByQ = fullRows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val sq8ByQ = sq8Rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(sq8ByQ.size == rows.length)
+    val recall = fullByQ.keys.toSeq.map { q =>
+      fullByQ(q).intersect(sq8ByQ(q)).size.toDouble / fullByQ(q).size
+    }.sum / fullByQ.size
+    assert(recall >= 0.95, s"SQ8 refined recall@5 $recall < 0.95 vs float path")
+    // probed mode stays deterministic
+    val p1 = Similarity.knnJoinSq8(d, 5, nProbe = 2, targetClusterRows = 25)
+    val r1 = p1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p1.unpersist(blocking = false)
+    val p2 = Similarity.knnJoinSq8(d, 5, nProbe = 2, targetClusterRows = 25)
+    val r2 = p2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p2.unpersist(blocking = false)
+    assert(r1.toSeq == r2.toSeq)
+  }
 }
