@@ -43,6 +43,45 @@ object TimeQ {
             val sigCols = (0 until nAggs).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
             staged.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).count()
           }
+        case "q118stages" =>
+          // stage attribution for the five-pipeline composition (judge
+          // round-6 task 4): where do q118's seconds live — gate+exact,
+          // the LSH near-dup stage, or the split/pack tail — and is the
+          // tail plan-bound (fresh plan vs recount, the q65 diagnostic)?
+          import org.apache.spark.sql.functions._
+          import graft.operators.{Dedup, TrainingData}
+          val docs = graft.core.Tables.documents(spark, sfDir)
+          def stage[A](tag: String)(f: => A): A = {
+            val s = System.nanoTime(); val r = f
+            println(f"[stage] $tag ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+          }
+          val kept = TrainingData.gopherQuality(docs, minWords = 30)
+            .where(col("keep")).select("doc_id")
+          val canonical = docs.join(kept, Seq("doc_id"))
+            .groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          val exactCanon = docs.join(canonical, Seq("doc_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stage("gopher+exact")(exactCanon.count())
+          // dedupCorpus is partly EAGER (minhash persists + GraphX CC
+          // run during construction), so time the call itself too
+          val nd = stage("neardup_construct")(Dedup.dedupCorpus(exactCanon, 0.5))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stage("neardup_materialize")(nd.count())
+          val withSplit = nd.join(
+            TrainingData.hashSplit(nd.select("doc_id", "text")), Seq("doc_id"))
+          val packed = TrainingData
+            .tokenPack(withSplit.where(col("split") === "train"), 500)
+            .select(col("doc_id"), col("shard"))
+          val res = withSplit.select(col("doc_id"), col("split"),
+              size(split(lower(trim(col("text"))), " ")).as("n_tok"))
+            .join(packed, Seq("doc_id"), "left")
+            .select("doc_id", "split", "n_tok", "shard").orderBy("doc_id")
+          stage("tail_fresh_plan")(res.count())
+          val n = stage("tail_recount")(res.count())
+          exactCanon.unpersist(blocking = false)
+          nd.unpersist(blocking = false)
+          n
         case _ => SparkEntry.queries(name)(spark, sfDir).count()
       }
       println(f"[time] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
