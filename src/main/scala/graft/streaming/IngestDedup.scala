@@ -46,8 +46,26 @@ object IngestDedup {
     * closure so batch specs can drive it without a streaming query. */
   def processBatch(batch: DataFrame, storePath: String, outPath: String,
                    threshold: Double): Long = {
+    val (kept, keptSigs, release) = gateBatch(batch, storePath, threshold)
+    val nKept = kept.count()
+    kept.write.mode("append").parquet(outPath)
+    keptSigs.write.mode("append").parquet(storePath)
+    release()
+    nKept
+  }
+
+  /** The gate half of `processBatch`: compute the batch's survivors
+    * against the store WITHOUT writing anything — returns the
+    * persisted kept rows (ALL input columns ride along, so a composite
+    * pipeline can carry embeddings through the gate), the survivors'
+    * signature rows, and a release hook. Factored out so
+    * `IngestPipeline` can fan the same kept frame out to several sinks
+    * inside one micro-batch closure — the only way the sinks stay
+    * mutually consistent batch-over-batch. */
+  def gateBatch(batch: DataFrame, storePath: String,
+                threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val sigs = Dedup.minhashSignatures(batch)
+    val sigs = Dedup.minhashSignatures(batch.select(col("doc_id"), col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val store =
@@ -57,14 +75,13 @@ object IngestDedup {
     drops.count()
     val kept = batch.join(drops, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nKept = kept.count()
-    kept.write.mode("append").parquet(outPath)
-    sigs.join(drops, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(storePath)
-    sigs.unpersist(blocking = false)
-    drops.unpersist(blocking = false)
-    kept.unpersist(blocking = false)
-    nKept
+    kept.count()
+    val keptSigs = sigs.join(drops, Seq("doc_id"), "left_anti")
+    (kept, keptSigs, () => {
+      sigs.unpersist(blocking = false)
+      drops.unpersist(blocking = false)
+      kept.unpersist(blocking = false)
+    })
   }
 
   /** Start the streaming ingest gate: `docs` is an unbounded stream of

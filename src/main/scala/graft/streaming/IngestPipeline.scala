@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** One end-to-end streaming curation ingest — the reference's
+  * watch-loop analog (freshness/watch.py:24-34) lifted to the
+  * training-data pipeline: a single unbounded feed of
+  * (doc_id, text, embedding) rows drives, in ONE `foreachBatch` per
+  * micro-batch,
+  *
+  *   1. the near-dup ingest gate — `IngestDedup.gateBatch` against the
+  *      shared signature store (drops docs near-duplicating anything
+  *      kept so far, or an earlier doc of the same batch);
+  *   2. kept-document landing (`outPath` parquet append);
+  *   3. signature-store growth (survivors' sketches only);
+  *   4. vector-index append of the KEPT docs' embeddings —
+  *      `IngestVectors.processBatch`, so every saved index layout
+  *      (IVF float/SQ8, PQ, OPQ, IVF,PQ) grows by exactly the gated
+  *      set;
+  *   5. one per-batch quality telemetry row over the KEPT docs
+  *      (`MonitorQuality.batchStats`).
+  *
+  * Because every sink is fed from the same persisted kept frame inside
+  * one batch closure, the stores stay MUTUALLY CONSISTENT
+  * batch-over-batch: kept parquet rows == appended index vectors ==
+  * telemetry n_docs, batch by batch (pinned by `IngestPipelineSpec`,
+  * including equality with running the three ingest loops separately).
+  *
+  * Scale stance is inherited from the parts: all state lives in
+  * parquet (signatures ~0.5 KB/doc, index lists, one telemetry
+  * row/batch), never in executor memory; per-batch cost is O(batch);
+  * nothing ever rescans kept text. Delivery is at-least-once — a
+  * replayed batch re-drops the same rows against the store, re-appends
+  * a bit-identical telemetry row (collapsed by `MonitorQuality.report`),
+  * and searches tolerate the index's duplicate (vid, list) rows — the
+  * same stance as each standalone loop.
+  */
+object IngestPipeline {
+
+  /** Run one micro-batch through gate → land → index → telemetry.
+    * Returns the number of KEPT rows. Factored out of the foreachBatch
+    * closure so batch specs can drive it without a streaming query.
+    * An all-dropped batch writes nothing anywhere (the telemetry store
+    * records batches with survivors; `kept == indexed == telemetry`
+    * still holds trivially). */
+  def processBatch(batch: DataFrame, batchId: Long, sigStorePath: String,
+                   outPath: String, indexPath: String, telemetryPath: String,
+                   threshold: Double): Long = {
+    val (kept, keptSigs, release) =
+      IngestDedup.gateBatch(batch, sigStorePath, threshold)
+    val nKept = kept.count()
+    if (nKept > 0) {
+      // ORDER MATTERS: the signature-store append must come LAST.
+      // Writing to sigStorePath triggers refreshByPath, which recaches
+      // every plan reading that path — including `kept` (its anti-join
+      // reads the store through `drops`). A consumer of `kept` that
+      // runs AFTER the store grows re-evaluates against a store
+      // containing the batch's own signatures, every doc self-matches,
+      // and the consumer silently sees an EMPTY kept set (found
+      // empirically in round 7: vector appends vanished for every
+      // batch after the first).
+      kept.select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(outPath)
+      IngestVectors.processBatch(
+        kept.select(col("doc_id").as("vec_id"), col("embedding")), indexPath)
+      MonitorQuality.batchStats(kept.select(col("doc_id"), col("text")), batchId)
+        .coalesce(1).write.mode("append").parquet(telemetryPath)
+      keptSigs.write.mode("append").parquet(sigStorePath)
+    }
+    release()
+    nKept
+  }
+
+  /** Start the unified ingest: `docs` is an unbounded stream of
+    * (doc_id, text, embedding) rows; the index at `indexPath` must
+    * already exist (any `ivfSave`/`pqSave`/`opqSave`/`ivfPqSave`
+    * layout — batches ride its frozen quantizer). Default trigger is
+    * a continuous micro-batch loop; pass `Trigger.AvailableNow()` for
+    * a one-shot backfill (availability snapshots at query start, as
+    * with the standalone loops). */
+  def start(docs: DataFrame, sigStorePath: String, outPath: String,
+            indexPath: String, telemetryPath: String, threshold: Double,
+            checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.select(col("doc_id"), col("text"), col("embedding")).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, id, sigStorePath, outPath, indexPath,
+          telemetryPath, threshold)
+        ()
+      }
+      .start()
+}

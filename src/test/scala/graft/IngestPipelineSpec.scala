@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.{IngestDedup, IngestPipeline, IngestVectors, MonitorQuality}
+
+/** The unified streaming ingest (gate → land → index → telemetry in one
+  * foreachBatch): the three stores must stay MUTUALLY CONSISTENT batch
+  * over batch — kept parquet rows == vectors appended to the index ==
+  * telemetry doc counts — and the composite must equal running the
+  * standalone loops separately (same gate policy, same store growth). */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("batch-driven pipeline: kept == indexed == telemetry, equals standalone loops") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+
+    // seed the searchable index with vectors 0-299 (frozen quantizer)
+    val indexPath = tmp("pipe_index")
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    Similarity.ivfSave(seedIdx, indexPath)
+    seedIdx.release()
+
+    // stream docs 300+; batch 2 plants clones of batch-1 texts under
+    // fresh ids (9000-9004) — the gate must drop them against the store
+    val b1 = feed.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val clones = feed.where($"doc_id" >= 300 && $"doc_id" < 305)
+      .select(($"doc_id" + 8700L).as("doc_id"), $"text", $"embedding")
+    val b2 = feed.where($"doc_id" >= 350 && $"doc_id" < 400).unionByName(clones)
+    val b3 = feed.where($"doc_id" >= 400 && $"doc_id" < 450)
+    val batches = Seq(b1, b2, b3)
+
+    val (sigs, out, tele) = (tmp("pipe_sigs"), tmp("pipe_out"), tmp("pipe_tele"))
+    val perBatchKept = batches.zipWithIndex.map { case (b, i) =>
+      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele, 0.5)
+    }
+
+    val keptIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.sum > 0 && perBatchKept.sum == keptIds.size)
+    // every clone dropped against the cross-batch store
+    assert(keptIds.intersect((9000L to 9004L).toSet).isEmpty)
+
+    // consistency 1: the index grew by exactly the kept set
+    val idx = Similarity.ivfLoad(spark, indexPath)
+    val vids = idx.assigned.select("vid").collect().map(_.getLong(0))
+    idx.release()
+    assert(vids.length == 300 + keptIds.size)   // exactly-once in one run
+    assert(vids.toSet == (0L until 300L).toSet ++ keptIds)
+
+    // consistency 2: telemetry rows mirror the per-batch kept counts
+    val teleRows = spark.read.parquet(tele)
+      .select("batch_id", "n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(teleRows == perBatchKept.zipWithIndex.collect {
+      case (n, i) if n > 0 => i.toLong -> n
+    }.toMap)
+    // and the drift report reads clean over the composite's store
+    assert(MonitorQuality.report(spark, tele).count() == teleRows.size)
+
+    // parity: the standalone gate loop with the same batches keeps the
+    // same ids — one dedup policy for composite and standalone paths
+    val (sigs2, out2) = (tmp("pipe_sigs2"), tmp("pipe_out2"))
+    batches.foreach(b =>
+      IngestDedup.processBatch(b.select("doc_id", "text"), sigs2, out2, 0.5))
+    val keptAlone = spark.read.parquet(out2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAlone == keptIds)
+
+    // parity: standalone vector ingest of the kept embeddings grows an
+    // identically-sized index (same frozen centroids ⇒ same lists)
+    val indexPath2 = tmp("pipe_index2")
+    val seedIdx2 = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    Similarity.ivfSave(seedIdx2, indexPath2)
+    seedIdx2.release()
+    val keptVecs = feed.where($"doc_id".isin(keptIds.toSeq: _*))
+      .select($"doc_id".as("vec_id"), $"embedding")
+    IngestVectors.processBatch(keptVecs, indexPath2)
+    val idx2 = Similarity.ivfLoad(spark, indexPath2)
+    val pairs2 = idx2.assigned.select("vid", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    idx2.release()
+    val idx1 = Similarity.ivfLoad(spark, indexPath)
+    val pairs1 = idx1.assigned.select("vid", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    idx1.release()
+    assert(pairs1 == pairs2)
+  }
+
+  test("streaming start: one foreachBatch drives all three stores consistently") {
+    // tiny synthetic corpus so the MemoryStream tuple encoder stays simple
+    val dim = 4
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(j => ((seed * 31 + j * 7) % 13).toFloat / 13f)
+    val seedVecs = (0L until 10L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val indexPath = tmp("pipe_s_index")
+    val idx = Similarity.ivfBuild(seedVecs, 4)
+    Similarity.ivfSave(idx, indexPath)
+    idx.release()
+
+    val (sigs, out, tele, ckpt) =
+      (tmp("pipe_s_sigs"), tmp("pipe_s_out"), tmp("pipe_s_tele"), tmp("pipe_s_ckpt"))
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val q = IngestPipeline.start(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      sigs, out, indexPath, tele, 0.5, ckpt)
+    input.addData(
+      (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today", vec(100)),
+      (101L, "a totally unrelated document discussing minhash signatures and band keys here", vec(101)))
+    q.processAllAvailable()
+    input.addData(
+      // dup of 101 across batches → dropped
+      (200L, "a totally unrelated document discussing minhash signatures and band keys here", vec(200)),
+      (201L, "fresh prose about parquet row groups and column statistics for pruning scans", vec(201)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L, 201L))
+    val grown = Similarity.ivfLoad(spark, indexPath)
+    val vids = grown.assigned.select("vid").collect().map(_.getLong(0)).toSet
+    grown.release()
+    assert(vids == (0L until 10L).toSet ++ kept)
+    val tRows = spark.read.parquet(tele)
+      .select("n_docs").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tRows == Seq(1L, 2L))            // batch1 kept 2, batch2 kept 1
+  }
+}
