@@ -663,6 +663,19 @@ object SparkEntry {
     // path pinned by SimilaritySpec
     "q140_knn_join_sq8" -> ((s, d) =>
       Similarity.knnJoinSq8(embeddings(s, d), 5)),
+    // the q56 IVF family's exhaustive dial: nProbe = nList probes every
+    // inverted list, so build → assign → probe → score runs end-to-end
+    // and the result IS the q39 brute-force ranking (hash-green)
+    "q141_ivf_exhaustive" -> ((s, d) =>
+      Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 16)),
+    // the q101 IVF,SQ8+RefineFlat tier at ITS exhaustive dial: every
+    // list probed AND the float refine pool spans the corpus, so the
+    // int8 store round-trips to the exact brute ranking (hash-green
+    // through encode → store → ADC → refine)
+    "q142_sq8_refine_exhaustive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.sq8RefineTopK(e, 5, 10, 16, 16, (e.count() / 10L + 1L).toInt)
+    }),
     // doc-level cross-corpus near-dup pairs (train side vs eval side):
     // the whole-document face of q114's contamination report, sketch-
     // estimated Jaccard in exact ppm. Rows-only (MinHash estimate);
@@ -1156,6 +1169,22 @@ object SparkEntry {
         FROM documents)
       SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
       FROM tok GROUP BY source ORDER BY source""",
+    "q141_ivf_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q142_sq8_refine_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q108_rrf_fusion" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),

@@ -562,6 +562,28 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** One-shot `IVF,SQ8 + RefineFlat` top-k (the q142 driver query):
+    * build the quantized index on the candidate corpus, search the
+    * query slice with a float re-rank pool, release (bounded result,
+    * the `ivfTopK` localization contract). At `nProbe = nList` and
+    * `refine ≥ ⌈n/k⌉` the ADC pool is the whole corpus and the float
+    * re-rank IS the exact brute-force ranking — the exhaustive dial
+    * that lets the quantized store hash-check against the q39 oracle
+    * end-to-end (encode → store → probe → ADC → refine). */
+  def sq8RefineTopK(emb: DataFrame, nQueries: Int, k: Int,
+                    nList: Int = 8, nProbe: Int = 2,
+                    refine: Int = 4): DataFrame = {
+    val corpus = emb.where(col("vec_id") >= nQueries)
+    val index = ivfBuildSq8(corpus, nList)
+    try {
+      val res = ivfSearchSq8Refine(index, corpus,
+        emb.where(col("vec_id") < nQueries), k, nProbe, refine)
+      val rows = res.collect().toIndexedSeq
+      val spark = emb.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally index.release()
+  }
+
   /** Product-quantization top-k — the FAISS `PQ{m}` flat index with
     * asymmetric distance computation (ADC), completing the quantizer
     * ladder Flat → SQ8 → PQ (Jégou et al., "Product Quantization for
