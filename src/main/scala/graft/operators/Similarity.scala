@@ -265,6 +265,18 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
+  /** Offline compaction of an `ivfSave`d list store: drop the
+    * duplicate vid rows an at-least-once replay appends (frozen
+    * centroids ⇒ a replayed vector re-lands bit-identically in the
+    * same list, so any survivor is the row). Searches already tolerate
+    * the duplicates — this reclaims the space and keeps list scans
+    * proportional to the true corpus. Returns rows after compaction;
+    * run offline (the `core.Stores.rewriteDeduped` swap contract). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, s"$path/assigned",
+      Seq("vid"), Seq("list_id"))
+
   /** New-batch list assignment shared by the append paths: nearest
     * centroid by the quantizer metric, then rows in the index's
     * list-frame layout (float `ce` or SQ8 `qc`). */

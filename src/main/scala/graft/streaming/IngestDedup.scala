@@ -106,6 +106,22 @@ object IngestDedup {
       }
       .start()
 
+  /** Offline compaction of the kept-docs output and signature store:
+    * drop the duplicate doc_id rows a partial-failure replay appends
+    * (a crash between the out write and the store append makes the
+    * replayed batch re-keep the same docs — duplicates, never loss;
+    * the rows are bit-identical, so any survivor is the row).
+    * Downstream readers already dedup on doc_id by contract — this
+    * reclaims space and restores 1 row/doc. Run offline
+    * (`core.Stores.rewriteDeduped` swap contract). */
+  def compactKept(spark: org.apache.spark.sql.SparkSession,
+                  outPath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
+
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, storePath, Seq("doc_id"))
+
   private def storeExists(spark: org.apache.spark.sql.SparkSession,
                           path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

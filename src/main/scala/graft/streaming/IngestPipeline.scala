@@ -36,6 +36,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * a bit-identical telemetry row (collapsed by `MonitorQuality.report`),
   * and searches tolerate the index's duplicate (vid, list) rows — the
   * same stance as each standalone loop.
+  *
+  * The signature-store append running LAST also PICKS A FAILURE SIDE:
+  * a crash after the sinks but before the store append makes the
+  * replayed batch re-keep the same docs — DUPLICATES in out/index,
+  * reclaimed offline by `IngestDedup.compactKept` /
+  * `Similarity.ivfCompact`. The reverse order (store first) would make
+  * the replay drop the batch against its own signatures and the sinks
+  * silently LOSE it. Duplicates are recoverable; loss is not.
   */
 object IngestPipeline {
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.{IngestDedup, IngestVectors}
+
+/** Offline compaction of the at-least-once parquet stores: replayed
+  * appends leave bit-identical duplicate rows; compaction keeps one
+  * row per key, reproduces the store layout, and changes no answer. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("ivfCompact: replayed vector batch dedupes; search results unchanged") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("cmp_idx")
+    val base = Similarity.ivfBuild(all.where($"vec_id" < 400), 4)
+    Similarity.ivfSave(base, dir)
+    base.release()
+    val batch = all.where($"vec_id" >= 400 && $"vec_id" < 450)
+    IngestVectors.processBatch(batch, dir)
+    IngestVectors.processBatch(batch, dir)          // the replay
+    assert(spark.read.parquet(s"$dir/assigned").count() == 500)  // 400 + 50 + 50
+    val dupSearch = {
+      val idx = Similarity.ivfLoad(spark, dir)
+      val r = Similarity.ivfSearch(idx, all.where($"vec_id" === 0), 5, 4)
+        .collect().map(x => (x.getInt(1), x.getLong(2))).toSeq
+      idx.release(); r
+    }
+    assert(Similarity.ivfCompact(spark, dir) == 450)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == 450)                  // one row per vid again
+    assert(assigned.select("vid").distinct().count() == 450)
+    // layout preserved: still partitioned by list_id, still loadable,
+    // and the compaction changed no search answer
+    val idx2 = Similarity.ivfLoad(spark, dir)
+    val after = Similarity.ivfSearch(idx2, all.where($"vec_id" === 0), 5, 4)
+      .collect().map(x => (x.getInt(1), x.getLong(2))).toSeq
+    idx2.release()
+    assert(after == dupSearch)
+  }
+
+  test("ivfCompact preserves SQ8 stores (codes survive the rewrite)") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("cmp_idx8")
+    val base = Similarity.ivfBuildSq8(all.where($"vec_id" < 100), 4)
+    Similarity.ivfSave(base, dir)
+    base.release()
+    val batch = all.where($"vec_id" >= 100 && $"vec_id" < 110)
+    IngestVectors.processBatch(batch, dir)
+    IngestVectors.processBatch(batch, dir)
+    assert(Similarity.ivfCompact(spark, dir) == 110)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.assigned.columns.contains("qc"))   // still the int8 layout
+    assert(loaded.assigned.count() == 110)
+    loaded.release()
+  }
+
+  test("compactKept/compactSignatures: partial-failure replay dedupes to exactly-once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where($"doc_id" < 60)
+    val (sigs, out) = (tmp("cmp_sigs"), tmp("cmp_out"))
+    val n1 = IngestDedup.processBatch(docs, sigs, out, 0.5)
+    // simulate the crash-between-sinks-and-store replay: the kept rows
+    // and signatures land AGAIN (bit-identical, same doc_ids)
+    spark.read.parquet(out).write.mode("append").parquet(out + "_stage")
+    spark.read.parquet(out + "_stage").write.mode("append").parquet(out)
+    Dedup.signatureLoad(spark, sigs).write.mode("append").parquet(sigs + "_stage")
+    spark.read.parquet(sigs + "_stage").write.mode("append").parquet(sigs)
+    assert(spark.read.parquet(out).count() == 2 * n1)
+    assert(IngestDedup.compactKept(spark, out) == n1)
+    assert(IngestDedup.compactSignatures(spark, sigs) == n1)
+    val kept = spark.read.parquet(out)
+    assert(kept.count() == n1 && kept.select("doc_id").distinct().count() == n1)
+    // the compacted signature store still gates a following batch
+    val more = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where($"doc_id" >= 60 && $"doc_id" < 80)
+    val n2 = IngestDedup.processBatch(more, sigs, out, 0.5)
+    assert(spark.read.parquet(out).count() == n1 + n2)
+  }
+}
