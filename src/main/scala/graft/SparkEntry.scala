@@ -795,6 +795,19 @@ object SparkEntry {
     // only the HLL estimate stays in the rows-only audit above
     "q139_vocab_exact" -> ((s, d) =>
       TextAnalysis.vocabCardinality(documents(s, d))),
+    // the streaming face of q129: per-source vocabulary from MERGED
+    // HLL sketch halves — DataSketches union of batch sketches equals
+    // one sketch of everything (IngestVocabSpec pins merge == one-shot
+    // AND rel err <= 0.05 vs q139's exact column). Rows-only: the
+    // sketch estimate has no DuckDB equivalent (different HLL impl)
+    "q143_vocab_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = documents(s, d)
+      graft.streaming.IngestVocab.mergeReport(
+        graft.streaming.IngestVocab.batchSketches(docs.where(col("doc_id") < 250), 0L)
+          .unionByName(graft.streaming.IngestVocab.batchSketches(
+            docs.where(col("doc_id") >= 250), 1L)))
+    }),
     // per-source discrete length quantiles (value at rank ceil(p*n) —
     // exact longs, no interpolation) — sizes chunking/packing/Gopher
     // bounds against the corpus as it actually is
