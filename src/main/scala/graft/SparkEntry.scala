@@ -676,6 +676,12 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.sq8RefineTopK(e, 5, 10, 16, 16, (e.count() / 10L + 1L).toInt)
     }),
+    // the q40 sign-LSH family's exhaustive dial: 0 hash bits = one
+    // bucket = every pair a candidate, so the bucket-join machinery
+    // runs end-to-end and the result IS the brute ranking (hash-green;
+    // completes the green-dial ladder across all four ANN families)
+    "q144_lsh_exhaustive" -> ((s, d) =>
+      Similarity.annLshTopK(embeddings(s, d), 5, 10, nBits = 0)),
     // doc-level cross-corpus near-dup pairs (train side vs eval side):
     // the whole-document face of q114's contamination report, sketch-
     // estimated Jaccard in exact ppm. Rows-only (MinHash estimate);
@@ -1191,6 +1197,14 @@ object SparkEntry {
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q142_sq8_refine_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q144_lsh_exhaustive" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
       q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),

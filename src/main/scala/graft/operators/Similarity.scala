@@ -50,10 +50,12 @@ object Similarity {
   /** Sign-LSH bucket key: sign bits of the first `nBits` dimensions
     * packed into a long. Random-hyperplane LSH with axis-aligned planes
     * — adequate for gaussian-ish embeddings and fully deterministic. */
+  /** Sign-LSH bucket key. `nBits = 0` folds to the single bucket 0 —
+    * every pair becomes a candidate, i.e. the exhaustive dial (q144). */
   private def bucketKey(e: Column, nBits: Int): Column =
     (0 until nBits).map(i =>
       when(element_at(e, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+      .foldLeft(lit(0L))(_ bitwiseOR _)
 
   /** LSH-bucketed approximate nearest neighbors. At scale: candidates
     * shuffle on (bucket) — per-bucket work, no cross join. Recall
