@@ -394,12 +394,19 @@ object Similarity {
     val index = ivfBuild(emb, nList)
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("dist", -dot(col("qe"), col("centroid")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") <= probes0)
-      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    // probes0 >= nList means every list is probed regardless of rank —
+    // skip the N×nList per-qid ranking window (the exhaustive dial's
+    // only overhead; same candidate set, bit-identical result)
+    val probes =
+      if (probes0 >= nList)
+        q.crossJoin(broadcast(index.centroids.select("list_id")))
+          .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+      else q.crossJoin(broadcast(index.centroids))
+        .withColumn("dist", -dot(col("qe"), col("centroid")))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+        .where(col("pr") <= probes0)
+        .select(col("qid"), col("qe"), col("qn"), col("list_id"))
     val res = probes.join(index.assigned, Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
@@ -448,13 +455,20 @@ object Similarity {
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
       .withColumn("qq", Sq8.encode(col("qe")))
       .withColumn("qn8", sqrt(Sq8.dot(col("qq"), col("qq"))))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("dist", -dot(col("qe"), col("centroid")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") <= probes0)
-      .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
-        col("list_id"))
+    // same exhaustive-dial shortcut as knnJoinScoped: all lists probed
+    // ⇒ no per-qid probe-ranking window needed
+    val probes =
+      if (probes0 >= nList)
+        q.crossJoin(broadcast(index.centroids.select("list_id")))
+          .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
+            col("list_id"))
+      else q.crossJoin(broadcast(index.centroids))
+        .withColumn("dist", -dot(col("qe"), col("centroid")))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
+        .where(col("pr") <= probes0)
+        .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
+          col("list_id"))
     val pool = probes.join(index.assigned, Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
