@@ -20,7 +20,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      (IVF float/SQ8, PQ, OPQ, IVF,PQ) grows by exactly the gated
   *      set;
   *   5. one per-batch quality telemetry row over the KEPT docs
-  *      (`MonitorQuality.batchStats`).
+  *      (`MonitorQuality.batchStats`);
+  *   6. optionally (`vocabPath`, feed must carry `source`) per-source
+  *      HLL vocabulary sketches of the KEPT docs (`IngestVocab`).
   *
   * Because every sink is fed from the same persisted kept frame inside
   * one batch closure, the stores stay MUTUALLY CONSISTENT
@@ -55,7 +57,7 @@ object IngestPipeline {
     * still holds trivially). */
   def processBatch(batch: DataFrame, batchId: Long, sigStorePath: String,
                    outPath: String, indexPath: String, telemetryPath: String,
-                   threshold: Double): Long = {
+                   threshold: Double, vocabPath: Option[String] = None): Long = {
     val (kept, keptSigs, release) =
       IngestDedup.gateBatch(batch, sigStorePath, threshold)
     val nKept = kept.count()
@@ -75,6 +77,12 @@ object IngestPipeline {
         kept.select(col("doc_id").as("vec_id"), col("embedding")), indexPath)
       MonitorQuality.batchStats(kept.select(col("doc_id"), col("text")), batchId)
         .coalesce(1).write.mode("append").parquet(telemetryPath)
+      // optional 5th store: per-source vocabulary sketches of the KEPT
+      // docs (requires a `source` column in the feed)
+      vocabPath.foreach { vp =>
+        IngestVocab.processBatch(
+          kept.select(col("source"), col("text")), batchId, vp)
+      }
       keptSigs.write.mode("append").parquet(sigStorePath)
     }
     release()
@@ -91,15 +99,19 @@ object IngestPipeline {
   def start(docs: DataFrame, sigStorePath: String, outPath: String,
             indexPath: String, telemetryPath: String, threshold: Double,
             checkpoint: String,
-            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    docs.select(col("doc_id"), col("text"), col("embedding")).writeStream
+            trigger: Trigger = Trigger.ProcessingTime(0L),
+            vocabPath: Option[String] = None): StreamingQuery = {
+    val cols = Seq("doc_id", "text", "embedding") ++
+      (if (vocabPath.isDefined) Seq("source") else Nil)
+    docs.select(cols.map(col): _*).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath, indexPath,
-          telemetryPath, threshold)
+          telemetryPath, threshold, vocabPath)
         ()
       }
       .start()
+  }
 }

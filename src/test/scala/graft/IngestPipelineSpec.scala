@@ -17,11 +17,11 @@ class IngestPipelineSpec extends SparkSpec {
 
   test("batch-driven pipeline: kept == indexed == telemetry, equals standalone loops") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "source", "text")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
     val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
-      .select("doc_id", "text", "embedding")
+      .select("doc_id", "source", "text", "embedding")
 
     // seed the searchable index with vectors 0-299 (frozen quantizer)
     val indexPath = tmp("pipe_index")
@@ -33,14 +33,16 @@ class IngestPipelineSpec extends SparkSpec {
     // fresh ids (9000-9004) — the gate must drop them against the store
     val b1 = feed.where($"doc_id" >= 300 && $"doc_id" < 350)
     val clones = feed.where($"doc_id" >= 300 && $"doc_id" < 305)
-      .select(($"doc_id" + 8700L).as("doc_id"), $"text", $"embedding")
+      .select(($"doc_id" + 8700L).as("doc_id"), $"source", $"text", $"embedding")
     val b2 = feed.where($"doc_id" >= 350 && $"doc_id" < 400).unionByName(clones)
     val b3 = feed.where($"doc_id" >= 400 && $"doc_id" < 450)
     val batches = Seq(b1, b2, b3)
 
-    val (sigs, out, tele) = (tmp("pipe_sigs"), tmp("pipe_out"), tmp("pipe_tele"))
+    val (sigs, out, tele, vocab) =
+      (tmp("pipe_sigs"), tmp("pipe_out"), tmp("pipe_tele"), tmp("pipe_vocab"))
     val perBatchKept = batches.zipWithIndex.map { case (b, i) =>
-      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele, 0.5)
+      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele, 0.5,
+        vocabPath = Some(vocab))
     }
 
     val keptIds = spark.read.parquet(out)
@@ -65,6 +67,18 @@ class IngestPipelineSpec extends SparkSpec {
     }.toMap)
     // and the drift report reads clean over the composite's store
     assert(MonitorQuality.report(spark, tele).count() == teleRows.size)
+
+    // consistency 3: the vocab sketch store accounted every kept token
+    // exactly (n_tokens is an exact count), over exactly the kept
+    // docs' sources
+    val keptDocs = feed.where($"doc_id".isin(keptIds.toSeq: _*))
+    val keptTokens = keptDocs
+      .select(size(split(lower(trim($"text")), " ")).cast("long").as("n"))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    val vocabRep = graft.streaming.IngestVocab.report(spark, vocab)
+    assert(vocabRep.agg(sum($"n_tokens")).collect()(0).getLong(0) == keptTokens)
+    assert(vocabRep.select("source").collect().map(_.getString(0)).toSet ==
+      keptDocs.select("source").distinct().collect().map(_.getString(0)).toSet)
 
     // parity: the standalone gate loop with the same batches keeps the
     // same ids — one dedup policy for composite and standalone paths
