@@ -819,6 +819,12 @@ object SparkEntry {
     // bounds against the corpus as it actually is
     "q131_length_profile" -> ((s, d) =>
       TextAnalysis.lengthProfile(documents(s, d))),
+    // q131's sketch twin: mergeable Greenwald-Khanna quantiles — the
+    // fixed-memory form at 100 TB (the exact form sorts per source).
+    // Rows-only (engine-specific sketch); TextAnalysisSpec pins the
+    // GK rank guarantee against the exact sorted lists
+    "q145_length_sketch" -> ((s, d) =>
+      TextAnalysis.lengthProfileSketch(documents(s, d))),
     // domain-disjoint split: the unit of assignment is the source
     // hash, so within-domain near-dups can never straddle train/eval
     "q132_disjoint_split" -> ((s, d) =>

@@ -543,6 +543,28 @@ object TextAnalysis {
     * approx_distinct is a different HLL implementation, so the
     * estimates differ by design; `TextAnalysisSpec` pins the error
     * bound and re-run determinism instead. */
+  /** Per-source token-length quantiles via the MERGEABLE Greenwald-
+    * Khanna sketch (`percentile_approx`) — the quantile face of the
+    * exact↔sketch split (q139 exact distinct ↔ q143 HLL; q131 exact
+    * value-at-rank ↔ this): at 100 TB the exact form sorts every
+    * source's lengths, the sketch keeps O(accuracy·log n) tuples
+    * merged map-side, one row per source out. Values are actual data
+    * points (GK returns set members), with the rank guarantee
+    * |true_rank(est) − ⌈p·n⌉| ≤ n/accuracy — pinned by
+    * `TextAnalysisSpec` against the exact sorted lists. Rows-only:
+    * the sketch is engine-specific by design. */
+  def lengthProfileSketch(docs: DataFrame, accuracy: Int = 1000): DataFrame =
+    docs.select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_tok"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(accuracy)).as("qs"))
+      .select(col("source"), col("n_docs"),
+        col("qs").getItem(0).as("p25_est"), col("qs").getItem(1).as("p50_est"),
+        col("qs").getItem(2).as("p75_est"), col("qs").getItem(3).as("p95_est"))
+      .orderBy("source")
+
   /** Exact per-source vocabulary size — the oracle-checkable half of
     * `cardinalityAudit`, split out so the exact COUNT(DISTINCT) column
     * hash-checks against DuckDB while the HLL estimate (a different

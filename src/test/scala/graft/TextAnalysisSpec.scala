@@ -243,4 +243,39 @@ class TextAnalysisSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1)))
     assert(exact.toSeq == r.map(x => (x._1, x._2)).toSeq)
   }
+
+  test("lengthProfileSketch: GK rank guarantee vs exact sorted lists, deterministic") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val acc = 1000
+    val sketch = TextAnalysis.lengthProfileSketch(d, acc).collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        Seq(x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+    assert(sketch.length == 20)
+    val exactBySrc = d
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    sketch.foreach { case (src, nDocs, ests) =>
+      val xs = exactBySrc(src)
+      assert(nDocs == xs.length)
+      ps.zip(ests).foreach { case (p, est) =>
+        // GK returns an actual data value whose rank is within n/acc
+        // of the target rank (ranks of duplicates span a range)
+        val lo = xs.indexOf(est) + 1
+        val hi = xs.lastIndexOf(est) + 1
+        assert(lo >= 1, s"$src p$p: est $est not a data value")
+        val target = math.ceil(p * xs.length)
+        val slack = xs.length.toDouble / acc + 1
+        assert(target >= lo - slack && target <= hi + slack,
+          s"$src p$p: est $est ranks [$lo,$hi], target $target, n ${xs.length}")
+      }
+    }
+    val again = TextAnalysis.lengthProfileSketch(d, acc).collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        Seq(x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+    assert(again.toSeq == sketch.toSeq)
+  }
 }
