@@ -731,6 +731,15 @@ object SparkEntry {
     // equi-join on the gram key, fixed-point ppm containment
     "q111_source_overlap" -> ((s, d) =>
       TrainingData.sourceOverlap(documents(s, d), 5)),
+    // q111's sketch twin: theta-sketch set algebra gives the same
+    // containment matrix from one sketch row per source — no gram
+    // join. Rows-only (DataSketches theta is engine-specific);
+    // TrainingDataSpec pins equality with q111 in the exact regime
+    "q146_source_overlap_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TrainingData.sourceOverlapSketch(documents(s, d), 5)
+        .where(col("shared_est") > 0L)
+    }),
     // Zipf rank-frequency profile: top tokens with exact corpus share
     // + cumulative share in ppm — the corpus-health report
     "q112_token_zipf" -> ((s, d) =>

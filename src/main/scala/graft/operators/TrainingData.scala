@@ -776,6 +776,42 @@ object TrainingData {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
   }
 
+  /** Sketch twin of `sourceOverlap` (q111 ↔ q146, completing the
+    * exact↔sketch ladders: distinct q139↔q143, quantiles q131↔q145,
+    * set OVERLAP here): cross-source k-gram containment estimated
+    * with DataSketches THETA set algebra — |A ∩ B| from per-source
+    * sketches, never joining gram sets at all. One tokenize pass →
+    * one sketch row per source (bounded KBs) → an S×S broadcast cross
+    * of the sketch frame. At 100 TB the exact form's gram equi-join
+    * shuffles every shared gram; this moves S sketches. Theta is
+    * EXACT below its nominal capacity (4096 retained hashes), so
+    * `TrainingDataSpec` pins equality with the exact q111 matrix on
+    * the driver corpus, plus determinism. */
+  def sourceOverlapSketch(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
+    }
+    val sk = withNext.where(col(s"w${k - 1}").isNotNull)
+      .select(col("source"),
+        concat_ws(" ", (col("w") +: (1 until k).map(i => col(s"w$i"))): _*).as("sh"))
+      .groupBy("source")
+      .agg(expr("theta_sketch_agg(sh)").as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .where(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("theta_sketch_estimate(sk_a)").as("grams_a_est"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .as("shared_est"))
+      .withColumn("containment_est_ppm",
+        expr("(shared_est * 1000000L) div greatest(grams_a_est, 1L)"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Model-based quality filtering — the GPT-3/LLaMA "quality
     * classifier" stage (Brown et al. 2020, App. A): train a logistic
     * regression on WEAK LABELS (a rule verdict or a reference-corpus

@@ -327,6 +327,29 @@ class TrainingDataSpec extends SparkSpec {
       ("srcB", "srcA", 2L, 1L, 500000L)))
   }
 
+  test("sourceOverlapSketch: equals the exact q111 matrix in the exact regime, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // per-source distinct 5-grams on the driver corpus sit far below
+    // theta's 4096-hash capacity, so the sketch estimates are EXACT
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TrainingData.sourceOverlap(d, 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sk = TrainingData.sourceOverlapSketch(d, 5)
+      .where(col("shared_est") > 0L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sk.keySet == exact.keySet)       // same overlapping pairs
+    sk.foreach { case (pair, v) =>
+      assert(v == exact(pair), s"$pair: sketch $v vs exact ${exact(pair)}")
+    }
+    val again = TrainingData.sourceOverlapSketch(d, 5)
+      .where(col("shared_est") > 0L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == sk)
+  }
+
   test("qualityClassifier: learns the rule, ranks held-out docs correctly") {
     import org.apache.spark.sql.functions.col
     // good docs: long, varied vocabulary with stopwords; bad docs: one
