@@ -799,6 +799,13 @@ object SparkEntry {
     // never-undercount invariant and planted-boilerplate recovery
     "q125_cms_hitters" -> ((s, d) =>
       Dedup.cmsHeavyHitters(documents(s, d), 5, 25)),
+    // the third heavy-hitter face: DataSketches frequent-items
+    // (approx_top_k) tracks items INSIDE the sketch — named top-N in
+    // one aggregation, no candidate pass (vs q104 exact shuffle, q125
+    // CMS + sample). Rows-only; DedupSpec pins exact-regime equality
+    // with q104's counts and determinism
+    "q147_hitters_sketch" -> ((s, d) =>
+      Dedup.heavyHittersSketch(documents(s, d), 5, 25)),
     // per-source vocabulary cardinality: exact distinct vs the HLL++
     // sketch (the fixed-memory form at 100 TB) + relative error.
     // Rows-only: DuckDB's approx_distinct is a different HLL; the

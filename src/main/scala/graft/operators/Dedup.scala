@@ -797,6 +797,30 @@ object Dedup {
       .orderBy(col("n_occ").desc, col("sh"))
       .limit(topN)
 
+  /** Heavy-hitter k-grams via the DataSketches frequent-items sketch
+    * (`approx_top_k`) — the third face of the heavy-hitter family and
+    * the operationally strongest at scale: exact `heavyHitterGrams`
+    * shuffles every distinct gram; the CMS form (`cmsHeavyHitters`)
+    * is bounded but needs a candidate pass to name items; the
+    * frequent-items sketch TRACKS ITEMS INTERNALLY (maxTracked
+    * entries, merged map-side), so one aggregation yields named top-N
+    * with estimated counts and no second pass over the corpus.
+    * FOOTGUN (measured, Spark 4.1): `approx_top_k` returns an EMPTY
+    * array — no error, no partial result — the moment distinct items
+    * exceed `maxItemsTracked` (pinned by `DedupSpec`). So `maxTracked`
+    * must be sized ≥ the distinct-gram cardinality (default = the
+    * engine's hard cap, 10⁶; the q139/q143 cardinality audits tell
+    * you the number), and past 10⁶ distinct grams the CMS form is the
+    * only bounded-memory path. Below capacity the counts are exact,
+    * which is what `DedupSpec` pins against q104. */
+  def heavyHittersSketch(docs: DataFrame, k: Int = 5, topN: Int = 25,
+                         maxTracked: Int = 1000000): DataFrame =
+    gramRows(tokenRows(docs), k, doPersist = false)
+      .agg(expr(s"approx_top_k(sh, $topN, $maxTracked)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("sh"), col("e.count").as("n_occ_est"))
+      .orderBy(col("n_occ_est").desc, col("sh"))
+
   /** Approximate heavy-hitter k-grams via a Count-Min sketch (Cormode
     * & Muthukrishnan 2005) — the bounded-memory form of
     * `heavyHitterGrams` for corpora where the exact gram aggregation's

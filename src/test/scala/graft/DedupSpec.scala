@@ -203,6 +203,31 @@ class DedupSpec extends SparkSpec {
       ("b c d e x1", 1L, 1L)))     // lexically first among the count-1 tail
   }
 
+  test("heavyHittersSketch: exact counts below maxTracked, matches q104's head") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // distinct 5-grams here sit below maxTracked, so the frequent-items
+    // counts are exact — top items and counts must match the exact form
+    // wherever the count ladder is strict (ties order differently: the
+    // sketch has no lexical tiebreak guarantee inside a count plateau)
+    val exact = Dedup.heavyHitterGrams(d, 5, 1000000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = Dedup.heavyHittersSketch(d, 5, 25, maxTracked = 1000000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sk.length == 25)
+    sk.foreach { case (sh, est) =>
+      assert(est == exact(sh), s"'$sh': sketch $est vs exact ${exact(sh)}") }
+    // the reported count multiset equals the exact top-25's
+    val exactTop = exact.values.toSeq.sorted.reverse.take(25)
+    assert(sk.map(_._2).sorted.reverse.toSeq == exactTop)
+    val again = Dedup.heavyHittersSketch(d, 5, 25, maxTracked = 1000000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == sk.toSeq)
+    // the measured Spark 4.1 footgun this operator documents: past
+    // maxItemsTracked the sketch yields an EMPTY array, silently —
+    // size maxTracked from the cardinality audit, or use CMS
+    assert(Dedup.heavyHittersSketch(d, 5, 5, maxTracked = 10).count() == 0)
+  }
+
   test("cmsHeavyHitters: never undercounts, deterministic on testdata") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.heavyHitterGrams(d, 5, 1000000).collect()
