@@ -219,6 +219,16 @@ object SparkEntry {
         .select(col("media_id") +: col("kind") +: col("n_bytes").cast("int").as("n_bytes") +: fcols: _*)
         .orderBy("media_id")
     }),
+    // REAL image decode — JDK ImageIO, no external library: exact
+    // per-channel pixel sums over PNGs synthesized in executors.
+    // Rows-only (DuckDB can't decode PNG); MultimodalSpec pins the
+    // closed-form sums, hostile-byte handling, and the deterministic
+    // nearest-neighbor resize
+    "q148_image_stats" -> ((s, d) => {
+      val n = math.min(documents(s, d).count(), 500L)
+      Multimodal.imageStats(Multimodal.syntheticImages(s, n))
+        .toDF().orderBy("media_id")
+    }),
     // round-2 oracle coverage for previously test-only operators
     "q66_schema_audit" -> ((s, d) => {
       // A16 (audits/inpe/bdqueimadas_focos.py:62-155) over a synthetic

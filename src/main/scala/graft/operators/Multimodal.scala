@@ -9,17 +9,26 @@ case class MediaRow(media_id: Long, kind: String, content: Array[Byte], meta: Me
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                          features: Array[Float])
 case class MediaFrame(media_id: Long, frame_idx: Int, offset_ms: Long)
+/** Exact decode statistics for an image payload: dimensions + per-
+  * channel pixel sums (exact longs — ratios are the caller's one
+  * double division, the oracle convention). */
+case class ImageStats(media_id: Long, width: Int, height: Int,
+                      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
 /** Multimodal columns for the training-data pipeline: image/audio/video
   * as opaque `binary` columns with typed metadata, processed by batched
   * executor-side functions.
   *
-  * The DECODE STEP IS A STUB (`decodeStub`): the real implementation
-  * would hand each batch to an image/audio library (unavailable in this
-  * environment). Everything around it — the schema, the typed Dataset
-  * plumbing, partition-balanced batch shape, the frame-sampling
-  * generator — is real and tested; swapping the stub for a JNI/library
-  * call changes no plan shape.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG, BMP,
+  * GIF, JPEG — no external library), so `decodeImage`/`imageStats`
+  * decode actual pixels and `resizePixels` is a deterministic
+  * nearest-neighbor resampler (manual raster indexing, no AWT
+  * rendering pipeline, so results are bit-stable across JVMs).
+  * AUDIO/VIDEO decode remains a declared STUB (`decodeStub`) — the JDK
+  * carries no codecs for them; everything around the stub — schema,
+  * typed Dataset plumbing, partition-balanced batch shape, the
+  * frame-sampling generator — is real, and swapping the stub for a
+  * JNI/library call changes no plan shape.
   *
   * Scale notes: decode is embarrassingly parallel; `repartitionByBytes`
   * balances skewed payload sizes before the expensive step so no
@@ -29,9 +38,115 @@ case class MediaFrame(media_id: Long, frame_idx: Int, offset_ms: Long)
   */
 object Multimodal {
 
-  /** Deterministic fake feature extractor — STUB for a real decoder.
-    * Folds the payload bytes into `dim` float accumulators; stands in
-    * for decode→embed while exercising identical dataflow. */
+  /** Decode an image payload with the JDK's ImageIO (PNG/BMP/GIF/JPEG)
+    * and fold it to exact per-channel sums. None for undecodable
+    * bytes — the caller's accounting row, never an exception (crawl
+    * payloads are hostile by default). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, r, g, b))
+    }
+  }
+
+  /** Batched REAL image decode over the image rows of a media table:
+    * one `ImageIO` pass per payload inside mapPartitions (per-batch
+    * reader reuse point), exact long channel sums out. Undecodable
+    * payloads are dropped here — pair with a count of inputs for the
+    * decode-failure rate. */
+  def imageStats(ds: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.content).map { case (w, h, r, g, b) =>
+          ImageStats(m.media_id, w, h, w.toLong * h, r, g, b)
+        }
+      }
+    }
+  }
+
+  /** Deterministic nearest-neighbor resize of an image payload,
+    * re-encoded as PNG. Manual raster indexing (src pixel at
+    * (x·sw/tw, y·sh/th)) instead of AWT's Graphics2D scaling, so the
+    * output bytes are identical on every JVM — resize-then-decode is
+    * oracle-checkable. None for undecodable input. */
+  def resizePixels(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val sw = img.getWidth
+      val sh = img.getHeight
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * sw / tw, y * sh / th))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    }
+  }
+
+  /** Deterministic PNG payload for `syntheticImages`: a horizontal red
+    * gradient × vertical green gradient with a seed-keyed blue plane —
+    * closed-form channel sums, so decode tests pin exact values. */
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val blue = (seed % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 255 / (w - 1)) << 16) |
+          ((y * 255 / (h - 1)) << 8) | blue)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A media table of REAL (synthesized, deterministic) PNG payloads —
+    * generated in executors, so any scale costs no driver memory. */
+  def syntheticImages(spark: org.apache.spark.sql.SparkSession, n: Long,
+                      w: Int = 32, h: Int = 24): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      MediaRow(id, "image", pngBytes(id, w, h), MediaMeta(w, h, 0L, "png"))
+    }
+  }
+
+  /** Deterministic fake feature extractor — STUB standing in for
+    * audio/video decoders (the JDK carries no codecs for them; images
+    * are decoded for real by `decodeImage`). Folds the payload bytes
+    * into `dim` float accumulators; exercises identical dataflow. */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0

@@ -42,4 +42,50 @@ class MultimodalSpec extends SparkSpec {
     val ds = media((1L to 20L).map(i => (i, "image", "p" * i.toInt, 0L)): _*)
     assert(Multimodal.repartitionByBytes(ds, 4).rdd.getNumPartitions == 4)
   }
+
+  // closed-form channel sums for pngBytes(seed, w, h) — same integer
+  // arithmetic as the generator, independent of the ImageIO decode path
+  private def expectedSums(seed: Long, w: Int, h: Int): (Long, Long, Long) = {
+    val r = h.toLong * (0 until w).map(x => (x * 255 / (w - 1)).toLong).sum
+    val g = w.toLong * (0 until h).map(y => (y * 255 / (h - 1)).toLong).sum
+    val b = w.toLong * h * (seed % 256)
+    (r, g, b)
+  }
+
+  test("decodeImage: real JDK PNG decode with exact closed-form sums; hostile bytes -> None") {
+    val (er, eg, eb) = expectedSums(7L, 32, 24)
+    val got = Multimodal.decodeImage(Multimodal.pngBytes(7L, 32, 24))
+    assert(got.contains((32, 24, er, eg, eb)))
+    assert(Multimodal.decodeImage("definitely not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("imageStats: distributed decode of synthesized PNGs matches the formula row-for-row") {
+    val out = Multimodal.imageStats(Multimodal.syntheticImages(spark, 50))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 50)
+    out.foreach { s =>
+      val (er, eg, eb) = expectedSums(s.media_id, 32, 24)
+      assert((s.width, s.height, s.n_px) == ((32, 24, 768L)), s"id ${s.media_id}")
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"id ${s.media_id}")
+    }
+    // audio/video rows never reach the image decoder
+    val mixed = media((1L, "audio", "zz", 0L))
+    assert(Multimodal.imageStats(mixed).count() == 0)
+  }
+
+  test("resizePixels: deterministic nearest-neighbor, pixel-exact against the source raster") {
+    val src = Multimodal.pngBytes(3L, 32, 24)
+    val r1 = Multimodal.resizePixels(src, 8, 6).get
+    val r2 = Multimodal.resizePixels(src, 8, 6).get
+    assert(r1.toSeq == r2.toSeq)              // bit-stable re-encode
+    val st = Multimodal.decodeImage(r1).get
+    assert(st._1 == 8 && st._2 == 6)
+    // every target pixel is the source pixel at (x·sw/tw, y·sh/th)
+    val er = 6L * (0 until 8).map(x => ((x * 32 / 8) * 255 / 31).toLong).sum
+    val eg = 8L * (0 until 6).map(y => ((y * 24 / 6) * 255 / 23).toLong).sum
+    val eb = 8L * 6L * 3L
+    assert((st._3, st._4, st._5) == ((er, eg, eb)))
+    assert(Multimodal.resizePixels("junk".getBytes, 4, 4).isEmpty)
+  }
 }
