@@ -229,6 +229,16 @@ object SparkEntry {
       Multimodal.imageStats(Multimodal.syntheticImages(s, n))
         .toDF().orderBy("media_id")
     }),
+    // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
+    // frame counts + absolute-amplitude sums over executor-synthesized
+    // WAVs. Rows-only; MultimodalSpec pins closed-form sums. Video is
+    // the only modality still stubbed (the JDK has no video codec)
+    "q149_audio_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val n = math.min(documents(s, d).count(), 500L)
+      Multimodal.audioStats(Multimodal.syntheticAudio(s, n))
+        .orderBy(col("media_id"))
+    }),
     // round-2 oracle coverage for previously test-only operators
     "q66_schema_audit" -> ((s, d) => {
       // A16 (audits/inpe/bdqueimadas_focos.py:62-155) over a synthetic

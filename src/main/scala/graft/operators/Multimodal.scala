@@ -143,10 +143,80 @@ object Multimodal {
     }
   }
 
+  /** Decode a PCM audio payload (WAV/AIFF/AU — the JDK's own
+    * `javax.sound.sampled`, no external library) to exact integer
+    * statistics: frame count, channels, sample rate, and the sum of
+    * absolute 16-bit sample values (an exact long — "loudness" without
+    * a float in sight). None for undecodable or non-16-bit payloads. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) { in.close(); None }
+      else {
+        val data = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(data).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumAbs = 0L
+        while (bb.remaining() >= 2) sumAbs += math.abs(bb.getShort.toLong)
+        Some((data.length.toLong / fmt.getFrameSize, fmt.getChannels,
+          fmt.getSampleRate.toInt, sumAbs))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact decode statistics for the audio rows of a media table —
+    * the audio sibling of `imageStats`, REAL via the JDK. */
+  def audioStats(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "audio").flatMap { m =>
+      decodeAudio(m.content).map { case (frames, ch, rate, sumAbs) =>
+        (m.media_id, frames, ch, rate, sumAbs)
+      }
+    }.toDF("media_id", "n_frames", "channels", "sample_rate", "sum_abs")
+  }
+
+  /** Deterministic 16-bit mono PCM WAV payload: a seed-keyed integer
+    * triangle wave (exact arithmetic — no Math.sin floats), so decode
+    * tests pin closed-form sums. */
+  def wavBytes(seed: Long, nFrames: Int, sampleRate: Int = 16000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val period = (seed % 50 + 2).toInt
+    val raw = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) {
+      bb.putShort(((i % period) * 1000 - period * 500).toShort)
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ain = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ain, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** A media table of REAL (synthesized, deterministic) WAV payloads —
+    * executor-side generation, like `syntheticImages`. */
+  def syntheticAudio(spark: org.apache.spark.sql.SparkSession, n: Long,
+                     nFrames: Int = 1600): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      MediaRow(id, "audio", wavBytes(id, nFrames),
+        MediaMeta(0, 0, nFrames.toLong * 1000 / 16000, "pcm_s16le"))
+    }
+  }
+
   /** Deterministic fake feature extractor — STUB standing in for
-    * audio/video decoders (the JDK carries no codecs for them; images
-    * are decoded for real by `decodeImage`). Folds the payload bytes
-    * into `dim` float accumulators; exercises identical dataflow. */
+    * VIDEO decoding only, as of round 7 (images decode for real via
+    * `decodeImage`, PCM audio via `decodeAudio`; the JDK carries no
+    * video codecs). Folds the payload bytes into `dim` float
+    * accumulators; exercises identical dataflow. */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0

@@ -88,4 +88,28 @@ class MultimodalSpec extends SparkSpec {
     assert((st._3, st._4, st._5) == ((er, eg, eb)))
     assert(Multimodal.resizePixels("junk".getBytes, 4, 4).isEmpty)
   }
+
+  test("decodeAudio: real JDK WAV decode with exact closed-form sums; hostile bytes -> None") {
+    // triangle wave for seed 7: period 9, samples (i%9)*1000 - 4500
+    val period = 9
+    val expSum = (0 until 1600).map(i =>
+      math.abs((i % period) * 1000L - period * 500L)).sum
+    val got = Multimodal.decodeAudio(Multimodal.wavBytes(7L, 1600))
+    assert(got.contains((1600L, 1, 16000, expSum)))
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audioStats: distributed WAV decode matches the formula; non-audio rows skipped") {
+    val out = Multimodal.audioStats(Multimodal.syntheticAudio(spark, 30))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).sortBy(_._1)
+    assert(out.length == 30)
+    out.foreach { case (id, frames, ch, rate, sumAbs) =>
+      val period = (id % 50 + 2).toInt
+      val exp = (0 until 1600).map(i =>
+        math.abs((i % period) * 1000L - period * 500L)).sum
+      assert((frames, ch, rate, sumAbs) == ((1600L, 1, 16000, exp)), s"id $id")
+    }
+    assert(Multimodal.audioStats(media((1L, "video", "x", 0L))).count() == 0)
+  }
 }
