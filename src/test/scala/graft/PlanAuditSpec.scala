@@ -296,6 +296,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally release()
   }
 
+  test("q146 theta overlap: no join keyed by the gram column anywhere in the plan") {
+    // The sketch form exists to REPLACE the q111 gram equi-join with
+    // per-source sketch algebra: the only join allowed is the S×S
+    // broadcast cross of the 1-row-per-source sketch frame. A join
+    // keyed on `sh` would mean the gram shuffle crept back in.
+    import graft.operators.TrainingData
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = TrainingData.sourceOverlapSketch(docs, 5)
+      .queryExecution.sparkPlan
+    val gramJoins = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j
+    }
+    assert(gramJoins.isEmpty, "theta overlap plans a gram-keyed join")
+    val joins = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.length == 1, s"expected only the sketch cross, got ${joins.length}")
+  }
+
   test("q135 cross-corpus near-dups: band join never statically broadcasts band rows") {
     // Same blinded-estimate trap as the q36/q97 pins: both join sides
     // are ×bands posexplodes of small persisted signature frames, so a
