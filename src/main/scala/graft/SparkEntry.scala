@@ -231,12 +231,23 @@ object SparkEntry {
     }),
     // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
     // frame counts + absolute-amplitude sums over executor-synthesized
-    // WAVs. Rows-only; MultimodalSpec pins closed-form sums. Video is
-    // the only modality still stubbed (the JDK has no video codec)
+    // WAVs. Rows-only; MultimodalSpec pins closed-form sums.
     "q149_audio_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val n = math.min(documents(s, d).count(), 500L)
       Multimodal.audioStats(Multimodal.syntheticAudio(s, n))
+        .orderBy(col("media_id"))
+    }),
+    // REAL video decode — RIFF/AVI demux of uncompressed-DIB streams
+    // (pure byte walking, no codec needed): exact per-channel pixel
+    // sums across every frame of executor-synthesized AVIs. Compressed
+    // streams (H.264 etc.) are refused, not faked — the JDK carries no
+    // codec. Rows-only; MultimodalSpec pins closed-form sums and the
+    // round-trip through a standard AVI container.
+    "q150_video_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val n = math.min(documents(s, d).count(), 300L)
+      Multimodal.videoStats(Multimodal.syntheticVideos(s, n))
         .orderBy(col("media_id"))
     }),
     // round-2 oracle coverage for previously test-only operators

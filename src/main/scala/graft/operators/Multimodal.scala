@@ -212,11 +212,159 @@ object Multimodal {
     }
   }
 
-  /** Deterministic fake feature extractor — STUB standing in for
-    * VIDEO decoding only, as of round 7 (images decode for real via
-    * `decodeImage`, PCM audio via `decodeAudio`; the JDK carries no
-    * video codecs). Folds the payload bytes into `dim` float
-    * accumulators; exercises identical dataflow. */
+  // ---- REAL video: RIFF/AVI demux of uncompressed-DIB streams ----
+  // AVI with BI_RGB (uncompressed 24-bit DIB) frames is a standard
+  // container a ~60-line RIFF chunk walker fully demuxes — no codec
+  // needed, so even VIDEO decode is real here. Compressed streams
+  // (fourcc other than raw '00db'/'00dc'+BI_RGB) still need an
+  // external codec; this path covers the lossless capture/intermediate
+  // format, which is also what the synthesized fixtures use.
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Demux an AVI payload: (width, height, frame payloads) from the
+    * BITMAPINFOHEADER in `strf` and the `00db`/`00dc` movi chunks.
+    * None when the bytes are not RIFF/AVI or the stream is not
+    * 24-bit BI_RGB (a compressed stream — needs a codec we don't
+    * have; refusing beats decoding garbage). */
+  def aviDemux(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    var w = 0; var h = 0; var bits = 0; var comp = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourcc(bytes, o)
+        val sz = le32(bytes, o + 4)
+        if (sz < 0 || o + 8 + sz > to) return // truncated chunk: stop
+        if (id == "LIST") walk(o + 12, o + 8 + sz)
+        else if (id == "strf" && sz >= 40) {
+          w = le32(bytes, o + 8 + 4); h = le32(bytes, o + 8 + 8)
+          bits = le32(bytes, o + 8 + 12) >>> 16 // biBitCount (u16 at +14 = hi half of the dword at +12)
+          comp = le32(bytes, o + 8 + 16)
+        } else if (id == "00db" || id == "00dc")
+          frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    if (w > 0 && h > 0 && bits == 24 && comp == 0 && frames.nonEmpty)
+      Some((w, math.abs(h), frames.toSeq))
+    else None
+  }
+
+  /** Exact decode statistics for the video rows of a media table —
+    * REAL demux + raw-frame pixel sums (BGR rows, 4-byte stride,
+    * handled exactly). One row per video: frame count + corpus-exact
+    * channel sums across all frames. */
+  def videoStats(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video").flatMap { m =>
+      aviDemux(m.content).map { case (w, h, frames) =>
+        val stride = ((w * 3 + 3) / 4) * 4
+        var r = 0L; var g = 0L; var b = 0L
+        frames.foreach { f =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = y * stride + x * 3
+              b += f(o) & 0xFF; g += f(o + 1) & 0xFF; r += f(o + 2) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (m.media_id, frames.length, w, h, r, g, b)
+      }
+    }.toDF("media_id", "n_frames", "width", "height",
+      "sum_r", "sum_g", "sum_b")
+  }
+
+  /** One uncompressed 24-bit DIB frame: deterministic gradient keyed
+    * by (seed, frame index) — closed-form channel sums for tests. */
+  private def dibFrame(seed: Long, idx: Int, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = y * stride + x * 3
+        out(o) = ((seed + idx) % 256).toByte          // B
+        out(o + 1) = (y * 255 / (h - 1)).toByte       // G
+        out(o + 2) = (x * 255 / (w - 1)).toByte       // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal standard AVI container around uncompressed DIB frames:
+    * RIFF('AVI ' hdrl(avih, strl(strh,strf)) movi(00db…)). Players
+    * and demuxers that accept index-less AVI read it; `aviDemux`
+    * round-trips it exactly. */
+  def aviBytes(seed: Long, nFrames: Int, w: Int, h: Int,
+               fps: Int = 10): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def s4(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    def i4(v: Int): Unit = {
+      bb.write(v & 0xFF); bb.write((v >> 8) & 0xFF)
+      bb.write((v >> 16) & 0xFF); bb.write((v >> 24) & 0xFF)
+    }
+    def i2(v: Int): Unit = { bb.write(v & 0xFF); bb.write((v >> 8) & 0xFF) }
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h // stride is a multiple of 4 → chunks never need odd-byte padding
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    s4("RIFF"); i4(riffSize); s4("AVI ")
+    s4("LIST"); i4(hdrlSize); s4("hdrl")
+    s4("avih"); i4(56)
+    i4(1000000 / fps); i4(frameBytes * fps); i4(0); i4(0) // usec/frame, maxbps, pad, flags (no idx1 → HASINDEX off)
+    i4(nFrames); i4(0); i4(1); i4(frameBytes)               // totalframes, initial, streams, bufsize
+    i4(w); i4(h); i4(0); i4(0); i4(0); i4(0)                // dims + reserved
+    s4("LIST"); i4(4 + (8 + 56) + (8 + 40)); s4("strl")
+    s4("strh"); i4(56)
+    s4("vids"); s4("DIB "); i4(0); i2(0); i2(0); i4(0)      // type, handler, flags, prio/lang, initial
+    i4(1); i4(fps); i4(0); i4(nFrames)                      // scale, rate, start, length
+    i4(frameBytes); i4(-1); i4(0); i2(0); i2(0)             // bufsize, quality, samplesize, rect
+    i2(0); i2(0)
+    s4("strf"); i4(40)
+    i4(40); i4(w); i4(h); i2(1); i2(24); i4(0)              // BITMAPINFOHEADER, BI_RGB
+    i4(frameBytes); i4(0); i4(0); i4(0); i4(0)
+    s4("LIST"); i4(moviSize); s4("movi")
+    var i = 0
+    while (i < nFrames) {
+      s4("00db"); i4(frameBytes); bb.write(dibFrame(seed, i, w, h))
+      i += 1
+    }
+    bb.toByteArray
+  }
+
+  /** A media table of REAL (synthesized, deterministic) AVI payloads. */
+  def syntheticVideos(spark: org.apache.spark.sql.SparkSession, n: Long,
+                      nFrames: Int = 8, w: Int = 16, h: Int = 12): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      MediaRow(id, "video", aviBytes(id, nFrames, w, h),
+        MediaMeta(w, h, nFrames.toLong * 100, "rawvideo"))
+    }
+  }
+
+  /** Deterministic fake feature extractor — retained as the declared
+    * fallback for COMPRESSED streams (H.264/VP9/AAC/MP3 need codecs
+    * the JDK doesn't carry); the lossless forms of all three
+    * modalities decode for real (`decodeImage`, `decodeAudio`,
+    * `aviDemux`/`videoStats`). Folds the payload bytes into `dim`
+    * float accumulators; exercises identical dataflow. */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0

@@ -112,4 +112,53 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.audioStats(media((1L, "video", "x", 0L))).count() == 0)
   }
+
+  // closed-form channel sums for one dibFrame(seed, idx, w, h)
+  private def expectedFrameSums(seed: Long, idx: Int, w: Int, h: Int): (Long, Long, Long) = {
+    val r = h.toLong * (0 until w).map(x => (x * 255 / (w - 1)).toLong).sum
+    val g = w.toLong * (0 until h).map(y => (y * 255 / (h - 1)).toLong).sum
+    val b = w.toLong * h * ((seed + idx) % 256)
+    (r, g, b)
+  }
+
+  test("aviDemux: round-trips the standard AVI container; hostile/compressed bytes -> None") {
+    val bytes = Multimodal.aviBytes(7L, 5, 16, 12)
+    val got = Multimodal.aviDemux(bytes)
+    assert(got.isDefined)
+    val (w, h, frames) = got.get
+    assert((w, h, frames.length) == ((16, 12, 5)))
+    assert(frames.forall(_.length == 48 * 12)) // stride 48 (16·3 word-aligned) × height
+    assert(Multimodal.aviDemux("definitely not a RIFF".getBytes).isEmpty)
+    assert(Multimodal.aviDemux(Array.empty[Byte]).isEmpty)
+    // tamper biCompression (strf payload +16) to a nonzero fourcc:
+    // a compressed stream must be refused, never decoded as raw
+    val strf = {
+      var i = 12; var found = -1
+      while (found < 0 && i + 8 < bytes.length) {
+        if (new String(bytes, i, 4, "US-ASCII") == "strf") found = i
+        i += 1
+      }
+      found
+    }
+    assert(strf > 0)
+    val tampered = bytes.clone()
+    tampered(strf + 8 + 16) = 1 // BI_RLE8
+    assert(Multimodal.aviDemux(tampered).isEmpty)
+  }
+
+  test("videoStats: distributed AVI decode matches the per-frame formula; non-video rows skipped") {
+    val nFrames = 8
+    val out = Multimodal.videoStats(Multimodal.syntheticVideos(spark, 20,
+        nFrames = nFrames, w = 16, h = 12))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(out.length == 20)
+    out.foreach { case (id, nf, w, h, sr, sg, sb) =>
+      val exp = (0 until nFrames).map(expectedFrameSums(id, _, 16, 12))
+      assert((nf, w, h) == ((nFrames, 16, 12)), s"id $id")
+      assert((sr, sg, sb) == ((exp.map(_._1).sum, exp.map(_._2).sum, exp.map(_._3).sum)),
+        s"id $id")
+    }
+    assert(Multimodal.videoStats(media((1L, "image", "x", 0L))).count() == 0)
+  }
 }
