@@ -221,9 +221,11 @@ object SparkEntry {
     }),
     // REAL image decode — JDK ImageIO, no external library: exact
     // per-channel pixel sums over PNGs synthesized in executors.
-    // Rows-only (DuckDB can't decode PNG); MultimodalSpec pins the
-    // closed-form sums, hostile-byte handling, and the deterministic
-    // nearest-neighbor resize
+    // Hash-green: DuckDB can't decode PNG, but the payloads have
+    // closed-form sums, so the oracle computes the same statistics
+    // from the generator formula — an independent end-to-end check of
+    // the actual pixel decode. MultimodalSpec additionally pins
+    // hostile-byte handling and the deterministic resize
     "q148_image_stats" -> ((s, d) => {
       val n = math.min(documents(s, d).count(), 500L)
       Multimodal.imageStats(Multimodal.syntheticImages(s, n))
@@ -231,7 +233,7 @@ object SparkEntry {
     }),
     // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
     // frame counts + absolute-amplitude sums over executor-synthesized
-    // WAVs. Rows-only; MultimodalSpec pins closed-form sums.
+    // WAVs. Hash-green against the triangle-wave closed form.
     "q149_audio_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val n = math.min(documents(s, d).count(), 500L)
@@ -242,8 +244,9 @@ object SparkEntry {
     // (pure byte walking, no codec needed): exact per-channel pixel
     // sums across every frame of executor-synthesized AVIs. Compressed
     // streams (H.264 etc.) are refused, not faked — the JDK carries no
-    // codec. Rows-only; MultimodalSpec pins closed-form sums and the
-    // round-trip through a standard AVI container.
+    // codec. Hash-green against the per-frame gradient closed form;
+    // MultimodalSpec pins the round-trip through a standard AVI
+    // container and the compressed-stream refusal.
     "q150_video_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val n = math.min(documents(s, d).count(), 300L)
@@ -1241,6 +1244,51 @@ object SparkEntry {
         FROM documents)
       SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
       FROM tok GROUP BY source ORDER BY source""",
+    // Media decode oracles: the synthesized payloads have CLOSED-FORM
+    // statistics, so DuckDB verifies the REAL decodes (ImageIO /
+    // javax.sound / AVI demux) end-to-end without decoding a byte —
+    // Spark decodes actual pixels/samples/frames; the oracle computes
+    // the same sums from the generator formulas in pure SQL. Integer
+    // division (//) mirrors the Scala generators exactly.
+    "q148_image_stats" -> """
+      WITH sx AS (SELECT SUM(x*255 // 31) AS s FROM range(0,32) t(x)),
+           sy AS (SELECT SUM(y*255 // 23) AS s FROM range(0,24) t(y)),
+           ids AS (SELECT i AS media_id FROM range(0,500) t(i)
+                   WHERE i < (SELECT LEAST(COUNT(*), 500) FROM documents))
+      SELECT media_id,
+             CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+             CAST(768 AS BIGINT) AS n_px,
+             CAST(24 * sx.s AS BIGINT) AS sum_r,
+             CAST(32 * sy.s AS BIGINT) AS sum_g,
+             CAST(768 * (media_id % 256) AS BIGINT) AS sum_b
+      FROM ids, sx, sy
+      ORDER BY media_id""",
+    "q149_audio_stats" -> """
+      WITH ids AS (SELECT i AS media_id, i % 50 + 2 AS period
+                   FROM range(0,500) t(i)
+                   WHERE i < (SELECT LEAST(COUNT(*), 500) FROM documents))
+      SELECT media_id,
+             CAST(1600 AS BIGINT) AS n_frames,
+             CAST(1 AS INT) AS channels,
+             CAST(16000 AS INT) AS sample_rate,
+             CAST(SUM(ABS((j % period) * 1000 - period * 500)) AS BIGINT) AS sum_abs
+      FROM ids CROSS JOIN range(0,1600) u(j)
+      GROUP BY media_id, period ORDER BY media_id""",
+    "q150_video_stats" -> """
+      WITH sx AS (SELECT SUM(x*255 // 15) AS s FROM range(0,16) t(x)),
+           sy AS (SELECT SUM(y*255 // 11) AS s FROM range(0,12) t(y)),
+           ids AS (SELECT i AS media_id FROM range(0,300) t(i)
+                   WHERE i < (SELECT LEAST(COUNT(*), 300) FROM documents)),
+           blue AS (SELECT media_id, SUM((media_id + j) % 256) AS sb
+                    FROM ids CROSS JOIN range(0,8) u(j) GROUP BY media_id)
+      SELECT b.media_id,
+             CAST(8 AS INT) AS n_frames,
+             CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             CAST(96 * sx.s AS BIGINT) AS sum_r,
+             CAST(128 * sy.s AS BIGINT) AS sum_g,
+             CAST(192 * b.sb AS BIGINT) AS sum_b
+      FROM blue b, sx, sy
+      ORDER BY media_id""",
     "q141_ivf_exhaustive" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
