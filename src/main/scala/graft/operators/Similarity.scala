@@ -279,6 +279,96 @@ object Similarity {
     graft.core.Stores.rewriteDeduped(spark, s"$path/assigned",
       Seq("vid"), Seq("list_id"))
 
+  /** Per-list occupancy of an IVF index, INCLUDING empty lists — a
+    * drift-skewed index typically pairs one swollen list with several
+    * starved ones, and the starved ones vanish from a bare groupBy.
+    * One hash aggregation over the lists + a left join from the
+    * broadcast-sized centroid table. */
+  def ivfListStats(index: IvfIndex): DataFrame = {
+    val counts = index.assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    index.centroids.select("list_id").join(counts, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy("list_id")
+  }
+
+  /** Occupancy skew: max list size over mean list size (1.0 = perfectly
+    * balanced, nList = everything in one list). Probe cost per query
+    * tracks the probed lists' sizes, so skew S means worst-case probes
+    * scan ~S× what the balanced N·scanFrac cost model assumes — the
+    * operational signal to retrain. One nList-row aggregation. */
+  def ivfSkew(index: IvfIndex): Double = {
+    val r = ivfListStats(index)
+      .agg(max(col("n_vecs")).as("mx"), sum(col("n_vecs")).as("tot")).head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
+    else r.getLong(0).toDouble / (r.getLong(1).toDouble / index.nList)
+  }
+
+  /** Reconstruct `(vec_id, embedding)` from an index's stored truth:
+    * float lists return their vectors verbatim; SQ8 lists dequantize
+    * `scale·code` (the codes ARE the store — FAISS likewise retrains a
+    * quantized index on reconstructions). SQ8 round-trips exactly:
+    * the max-magnitude code is ±127 by construction, so re-encoding a
+    * reconstruction regenerates the identical scale and codes
+    * (`IvfRebalanceSpec` pins it bit-for-bit). */
+  def ivfReconstruct(index: IvfIndex): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    if (index.assigned.columns.contains("qc"))
+      index.assigned.select(col("vid"), col("qc")).as[(Long, Array[Byte])]
+        .map { case (vid, qc) =>
+          var bits = 0L
+          var i = 0
+          while (i < 8) { bits = (bits << 8) | (qc(i) & 0xffL); i += 1 }
+          val scale = java.lang.Double.longBitsToDouble(bits)
+          (vid, Array.tabulate(qc.length - 8)(j => qc(8 + j) * scale))
+        }.toDF("vec_id", "embedding")
+    else
+      index.assigned.select(col("vid").as("vec_id"), col("ce").as("embedding"))
+  }
+
+  /** Retrain-on-drift — the maintenance half of the append story.
+    * `ivfAppend` keeps per-batch cost O(batch) by freezing the
+    * centroids, which is exactly what lets a drifted workload pile new
+    * vectors into a few lists; once `ivfSkew` crosses the caller's
+    * threshold, this refits the coarse quantizer on the index's
+    * CURRENT contents and reassigns every vector (same cost as the
+    * original build: one bounded KMeans fit + one corpus shuffle).
+    * Works for float and SQ8 indexes alike via `ivfReconstruct`.
+    * Correctness is unchanged by construction — the exhaustive dial
+    * (`scanFrac = 1.0` / nProbe = nList) scans every list either way —
+    * rebalancing restores the even occupancy the fixed-nProbe cost and
+    * recall models assume. */
+  def ivfRebalance(index: IvfIndex, nList: Int = 0): IvfIndex = {
+    val k = if (nList > 0) nList else index.nList
+    val corpus = ivfReconstruct(index)
+    val rebuilt =
+      if (index.assigned.columns.contains("qc")) ivfBuildSq8(corpus, k)
+      else ivfBuild(corpus, k)
+    rebuilt.assigned.count() // materialize before releasing the source
+    index.release()
+    rebuilt
+  }
+
+  /** Skew-gated rebalance: the form an ingest loop calls after each
+    * append burst. Below the threshold the index is returned untouched
+    * (cost: one nList-row agg); above it, a full retrain. */
+  def ivfRebalanceIfSkewed(index: IvfIndex, maxSkew: Double): IvfIndex =
+    if (ivfSkew(index) > maxSkew) ivfRebalance(index) else index
+
+  /** Offline on-disk rebalance: load an `ivfSave`d store, retrain,
+    * write the rebalanced generation to `dstPath` (a NEW path — the
+    * offline-compaction swap convention; readers move atomically by
+    * switching paths, never observing a half-written store). */
+  def ivfRebalanceSave(spark: org.apache.spark.sql.SparkSession,
+                       srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "rebalance writes a new generation; src and dst must differ")
+    val rebuilt = ivfRebalance(ivfLoad(spark, srcPath))
+    ivfSave(rebuilt, dstPath)
+    rebuilt.release()
+  }
+
   /** New-batch list assignment shared by the append paths: nearest
     * centroid by the quantizer metric, then rows in the index's
     * list-frame layout (float `ce` or SQ8 `qc`). */
