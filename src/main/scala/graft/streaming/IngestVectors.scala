@@ -62,6 +62,34 @@ object IngestVectors {
     n
   }
 
+  /** Skew-gated offline maintenance for an `ivfSave` IVF store — the
+    * companion the append-only loop needs eventually: frozen centroids
+    * keep per-batch cost O(batch) but let a drifted feed pile new
+    * regions into few lists. Measures on-disk occupancy skew
+    * (`Similarity.ivfSkew`); above `maxSkew`, retrains and writes the
+    * rebalanced generation to `dstPath` and returns true — the caller
+    * (an ingest supervisor) swaps readers to the new path at its own
+    * pace while the at-least-once ingest keeps appending to the OLD
+    * path until the swap, so no batch is lost mid-rebuild. Below the
+    * threshold: one nList-row aggregation, nothing written, false.
+    * IVF float/SQ8 stores only (the PQ tiers refit codebooks via
+    * their own build path). */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, maxSkew: Double,
+                    dstPath: String): Boolean = {
+    val idx = Similarity.ivfLoad(spark, indexPath)
+    val skew = Similarity.ivfSkew(idx)
+    if (skew > maxSkew) {
+      val reb = Similarity.ivfRebalance(idx) // releases idx
+      Similarity.ivfSave(reb, dstPath)
+      reb.release()
+      true
+    } else {
+      idx.release()
+      false
+    }
+  }
+
   /** Start the streaming vector ingest against an existing `ivfSave`d
     * index. Default trigger is a continuous micro-batch loop; pass
     * `Trigger.AvailableNow()` for a one-shot backfill (same

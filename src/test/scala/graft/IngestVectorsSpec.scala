@@ -101,4 +101,48 @@ class IngestVectorsSpec extends SparkSpec {
       assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
     } finally ipqLoaded.release()
   }
+
+  test("maintainIndex: skew-gated generation swap after a drifted ingest burst") {
+    // two tight initial regions; the ingest burst arrives in two NEW
+    // orthogonal regions, which frozen centroids cram into one list
+    // (IvfRebalanceSpec pins the mechanism; here: the ingest wiring)
+    def region(axis: Int, ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d =>
+          (if (d == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.05f).toSeq)
+      }
+    }
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+
+    val dir = tmp("ingv_maint")
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val base = Similarity.ivfBuild(
+      emb(region(0, 0 until 40, 1) ++ region(1, 40 until 80, 2)), 4)
+    Similarity.ivfSave(base, src)
+    base.release()
+
+    // balanced store: below threshold, nothing happens
+    assert(!IngestVectors.maintainIndex(spark, src, maxSkew = 3.0, dst))
+    assert(!new java.io.File(dst).exists())
+
+    // drifted burst through the ingest path, then maintenance fires
+    assert(IngestVectors.processBatch(
+      emb(region(2, 100 until 160, 3) ++ region(3, 160 until 220, 7)), src) == 120)
+    assert(IngestVectors.maintainIndex(spark, src, maxSkew = 1.5, dst))
+
+    val old = Similarity.ivfLoad(spark, src)
+    val neu = Similarity.ivfLoad(spark, dst)
+    try {
+      assert(Similarity.ivfSkew(neu) < Similarity.ivfSkew(old))
+      // same contents, new layout: exhaustive searches agree
+      val qs = emb(region(2, 1000 until 1003, 4))
+      def exhaust(ix: Similarity.IvfIndex) =
+        Similarity.ivfSearch(ix, qs, k = 5, nProbe = ix.nList)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(exhaust(neu) == exhaust(old))
+    } finally { old.release(); neu.release() }
+  }
 }
