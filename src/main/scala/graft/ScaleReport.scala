@@ -411,6 +411,34 @@ object ScaleReport {
         Similarity.ivfAppendSave(spark, tmp, batch)
         spark.read.parquet(s"$tmp/assigned").count()
       }
+      // drift maintenance: a 20%-of-corpus burst lands in a NEW region
+      // (constant offset — far from every trained centroid, so frozen
+      // assignment crams it into few lists), then the skew-gated
+      // retrain writes the next generation. The claims to pin at scale:
+      // rebalance cost ≈ build cost (one fit + one corpus shuffle, paid
+      // only on drift) and skew measurably restored. transform() here
+      // is bench fixture synthesis, not engine hot path.
+      val drift = emb.where(col("vec_id") < math.max(1L, nVecs / 5))
+        .select((col("vec_id") +
+          org.apache.spark.sql.functions.lit(20000000L)).as("vec_id"),
+          org.apache.spark.sql.functions
+            .expr("transform(embedding, x -> x + CAST(5.0 AS FLOAT))")
+            .as("embedding"))
+      Similarity.ivfAppendSave(spark, tmp, drift)
+      val skewBefore = {
+        val ix = Similarity.ivfLoad(spark, tmp)
+        val s = Similarity.ivfSkew(ix); ix.release(); s
+      }
+      val gen1 = s"${tmp}_g1"
+      timed("ivf_rebalance") {
+        graft.streaming.IngestVectors.maintainIndex(spark, tmp, 1.0, gen1)
+        spark.read.parquet(s"$gen1/assigned").count()
+      }
+      val skewAfter = {
+        val ix = Similarity.ivfLoad(spark, gen1)
+        val s = Similarity.ivfSkew(ix); ix.release(); s
+      }
+      println(f"""{"op":"ivf_rebalance_skew","skew_before":$skewBefore%.2f,"skew_after":$skewAfter%.2f}""")
     }
 
     // Exact-substring spans (q99): df agg + join-back + islands — the

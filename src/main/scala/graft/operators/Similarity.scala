@@ -964,6 +964,17 @@ object Similarity {
     * persisted. Search-after-reload equals search-after-build
     * (`PqSpec` pins it). */
   def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val (books, sub) = pqLoadBooks(spark, path)
+    val coded = spark.read.parquet(s"$path/codes")
+      .select("vid", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(books, sub, coded)
+  }
+
+  /** The books half of `pqLoad` — one bounded collect (m·kSub rows),
+    * no codes scan: what audits (`pqDriftRatio`) read. */
+  private[graft] def pqLoadBooks(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): (Array[Array[Array[Double]]], Int) = {
     val bookRows = spark.read.parquet(s"$path/books")
       .select("j", "c", "cent").collect()
     val m = bookRows.map(_.getInt(0)).max + 1
@@ -971,11 +982,7 @@ object Similarity {
       bookRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
-    val sub = books(0)(0).length
-    val coded = spark.read.parquet(s"$path/codes")
-      .select("vid", "codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PqIndex(books, sub, coded)
+    (books, books(0)(0).length)
   }
 
   /** Encode NEW vectors against a saved index's FROZEN codebooks and
@@ -991,6 +998,92 @@ object Similarity {
       pqEncodeFrame(base, index.books, index.sub)
         .write.mode("append").parquet(s"$path/codes")
     } finally index.release()
+  }
+
+  /** Mean squared reconstruction error of `books` over an in-memory
+    * normalized point set — the quantity the Lloyd fit minimizes,
+    * reported per point (sum across the m subspaces). */
+  private def pqDistortionOf(books: Array[Array[Array[Double]]], sub: Int,
+                             pts: Array[Array[Double]]): Double = {
+    val m = books.length
+    var total = 0.0
+    pts.foreach { p =>
+      var j = 0
+      while (j < m) {
+        val off = j * sub
+        var best = Double.PositiveInfinity
+        books(j).foreach { c =>
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val df = p(off + t) - c(t); d += df * df; t += 1 }
+          if (d < best) best = d
+        }
+        total += best
+        j += 1
+      }
+    }
+    total / pts.length
+  }
+
+  /** Codebook distortion of an index on a vector frame: MSE of the
+    * books' reconstructions over a deterministic bounded sample
+    * (L2-normalized like the fit itself, so the number is scale-free
+    * and comparable across corpora and batches). Driver-side on
+    * ≤ sampleCap points — the audit costs what the fit costs, never
+    * anything corpus-sized. */
+  def pqDistortion(index: PqIndex, vecs: DataFrame,
+                   sampleCap: Int = 2048): Double = {
+    val base = vecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val pts = pqSamplePoints(base, sampleCap)
+    require(pts.nonEmpty, "pqDistortion needs a non-empty vector frame")
+    pqDistortionOf(index.books, index.sub, pts)
+  }
+
+  /** Drift ratio of a saved PQ store against a recent batch: distortion
+    * of the FROZEN books on the batch, over the distortion freshly-fit
+    * books achieve on the same sample. ≈1 while the distribution the
+    * books were trained on still holds; grows as the feed drifts — the
+    * PQ tier's `ivfSkew`. (IVF drift shows up as list-occupancy skew;
+    * PQ drift shows up as quantization error, because the codebooks are
+    * a density model of the feed.) Bounded: one books read + one
+    * sample fit, nothing corpus-sized. */
+  def pqDriftRatio(spark: org.apache.spark.sql.SparkSession, path: String,
+                   recent: DataFrame, sampleCap: Int = 2048): Double = {
+    val (books, sub) = pqLoadBooks(spark, path)
+    val base = recent.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val pts = pqSamplePoints(base, sampleCap)
+    require(pts.nonEmpty, "pqDriftRatio needs a non-empty recent batch")
+    val frozen = pqDistortionOf(books, sub, pts)
+    val fresh = pqDistortionOf(
+      pqFitBooksLocal(pts, books.length, books.map(_.length).max, sub), sub, pts)
+    if (fresh <= 0.0) { if (frozen <= 0.0) 1.0 else Double.PositiveInfinity }
+    else frozen / fresh
+  }
+
+  /** Refit-on-drift for the PQ tier. Unlike IVF (`ivfRebalance`
+    * reconstructs losslessly), PQ codes are LOSSY — retraining on
+    * reconstructions would compound quantization error — so
+    * maintenance re-encodes from the caller's SOURCE corpus, the
+    * system of record every training pipeline keeps anyway. Above
+    * `maxRatio` (`pqDriftRatio` on `recent`): fit new books at the
+    * store's own (m, kSub) on the current corpus, re-encode, write the
+    * generation to `dstPath`, return true. Below: one bounded audit,
+    * nothing written. Same reader-swap contract as
+    * `IngestVectors.maintainIndex`. */
+  def pqMaintainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                          path: String, recent: DataFrame,
+                          corpus: DataFrame, maxRatio: Double,
+                          dstPath: String): Boolean = {
+    require(path != dstPath,
+      "refit writes a new generation; src and dst must differ")
+    if (pqDriftRatio(spark, path, recent) > maxRatio) {
+      val (books, _) = pqLoadBooks(spark, path)
+      val idx = pqBuild(corpus, m = books.length,
+        kSub = books.map(_.length).max)
+      pqSave(idx, dstPath)
+      idx.release()
+      true
+    } else false
   }
 
   /** ADC top-k over a built/loaded index for an external query frame

@@ -113,4 +113,53 @@ class PqSpec extends SparkSpec {
       assert(self == Seq((460L, 460L)), s"self-match: $self")
     } finally loaded.release()
   }
+
+  test("pqDriftRatio: ~1 in-distribution, detects a drifted feed; pqMaintainIfDrifted repairs") {
+    import spark.implicits._
+    // distribution A: broad seeded uniform cloud; drifted batch B: a
+    // tight cluster in a region A never visited — frozen books quantize
+    // it badly while freshly-fit books model it almost exactly
+    def cloud(ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map(i => (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+    }
+    def tight(ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map(i => (i.toLong,
+        Seq.tabulate(16)(d => (if (d < 2) 3f else 0f) + (rng.nextFloat() - 0.5f) * 0.02f)))
+    }
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+
+    val a = emb(cloud(0 until 500, 11))
+    val b = emb(tight(1000 until 1300, 12))
+    val dir = java.nio.file.Files.createTempDirectory("pq_drift").toString
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val built = Similarity.pqBuild(a, m = 4, kSub = 16)
+    try Similarity.pqSave(built, src) finally built.release()
+
+    // in-distribution: a fresh sample of the SAME cloud scores ≈ 1
+    val inDist = Similarity.pqDriftRatio(spark, src, emb(cloud(2000 until 2400, 13)))
+    info(s"in-distribution drift ratio = $inDist")
+    assert(inDist < 2.0, s"in-distribution should be ~1: $inDist")
+
+    val drifted = Similarity.pqDriftRatio(spark, src, b)
+    info(s"drifted ratio = $drifted")
+    assert(drifted > 3.0, s"drift should dominate: $drifted")
+
+    // gate: high threshold -> untouched; real threshold -> new generation
+    assert(!Similarity.pqMaintainIfDrifted(spark, src, b, a.union(b),
+      maxRatio = drifted + 1.0, dstPath = dst))
+    assert(!new java.io.File(dst).exists())
+    assert(Similarity.pqMaintainIfDrifted(spark, src, b, a.union(b),
+      maxRatio = 2.0, dstPath = dst))
+    // the refit generation models the drifted region again
+    val repaired = Similarity.pqDriftRatio(spark, dst, b)
+    info(s"repaired ratio = $repaired")
+    assert(repaired < drifted / 2, s"refit should repair: $drifted -> $repaired")
+    intercept[IllegalArgumentException] {
+      Similarity.pqMaintainIfDrifted(spark, src, b, a, 2.0, src)
+    }
+  }
 }
