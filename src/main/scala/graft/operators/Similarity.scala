@@ -1269,12 +1269,15 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/rot")
   }
 
-  def opqLoad(spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex = {
-    val pq = pqLoad(spark, path)
-    val rows = spark.read.parquet(s"$path/rot").select("i", "row").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    OpqIndex(rows.flatten, pq)
-  }
+  def opqLoad(spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex =
+    OpqIndex(opqLoadRot(spark, path), pqLoad(spark, path))
+
+  /** The rotation half of `opqLoad` — one bounded collect (dim rows),
+    * no codes scan: what audits read. */
+  private[graft] def opqLoadRot(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Array[Double] =
+    spark.read.parquet(s"$path/rot").select("i", "row").collect()
+      .sortBy(_.getInt(0)).flatMap(_.getSeq[Double](1))
 
   /** FROZEN-transform append: rotate + encode new vectors under the
     * saved rotation/codebooks, append to `codes/` — O(batch). */
@@ -1288,6 +1291,55 @@ object Similarity {
       pqEncodeFrame(rotated, index.pq.books, index.pq.sub)
         .write.mode("append").parquet(s"$path/codes")
     } finally index.release()
+  }
+
+  /** Drift ratio for an `opqSave`d store — `pqDriftRatio` with the
+    * rotation treated as part of the density model: the frozen side
+    * scores the stored rotation+codebooks on a recent-batch sample,
+    * the fresh side re-runs the full `opqFitLocal` alternation on the
+    * same sample. ≈1 in-distribution; grows as the feed leaves the
+    * distribution the pretransform was aligned to. Bounded driver
+    * work, nothing corpus-sized. */
+  def opqDriftRatio(spark: org.apache.spark.sql.SparkSession, path: String,
+                    recent: DataFrame, sampleCap: Int = 2048): Double = {
+    val (books, sub) = pqLoadBooks(spark, path)
+    val rot = opqLoadRot(spark, path)
+    val dim = books.length * sub
+    def rotate(r: Array[Double], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += r(i * dim + j) * x(j); j += 1 }
+        s
+      }
+    val base = recent.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val pts = pqSamplePoints(base, sampleCap)
+    require(pts.nonEmpty, "opqDriftRatio needs a non-empty recent batch")
+    val frozen = pqDistortionOf(books, sub, pts.map(rotate(rot, _)))
+    val (fRot, fBooks) = opqFitLocal(pts, books.length,
+      books.map(_.length).max, sub)
+    val fresh = pqDistortionOf(fBooks, sub, pts.map(rotate(fRot, _)))
+    if (fresh <= 0.0) { if (frozen <= 0.0) 1.0 else Double.PositiveInfinity }
+    else frozen / fresh
+  }
+
+  /** Refit-on-drift for the OPQ tier: same source-corpus contract as
+    * `pqMaintainIfDrifted` (codes are lossy), rebuilding rotation AND
+    * codebooks at the store's own (m, kSub). */
+  def opqMaintainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                           path: String, recent: DataFrame,
+                           corpus: DataFrame, maxRatio: Double,
+                           dstPath: String): Boolean = {
+    require(path != dstPath,
+      "refit writes a new generation; src and dst must differ")
+    if (opqDriftRatio(spark, path, recent) > maxRatio) {
+      val (books, _) = pqLoadBooks(spark, path)
+      val idx = opqBuild(corpus, m = books.length,
+        kSub = books.map(_.length).max)
+      opqSave(idx, dstPath)
+      idx.release()
+      true
+    } else false
   }
 
   /** IVF,PQ composite — FAISS's workhorse index for billion-vector
@@ -1479,6 +1531,65 @@ object Similarity {
                    m: Int = 16, kSub: Int = 256, refine: Int = 8): DataFrame =
     exactRerank(pqTopK(emb, nQueries, k * refine, m, kSub).select("qid", "vid"),
       emb, emb.where(col("vec_id") < nQueries), k)
+
+  /** List occupancy of an `ivfPqSave`d store, empty lists included —
+    * `ivfListStats` for the composite tier, read straight off the
+    * partitioned codes store (one hash agg; the partition column IS
+    * the group key, so the scan never materializes code payloads). */
+  def ivfPqListStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/codes")
+      .groupBy(col("list_id").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    spark.read.parquet(s"$path/centroids").select("list_id")
+      .join(counts, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy("list_id")
+  }
+
+  /** Occupancy skew of an `ivfPqSave`d store (max/mean — `ivfSkew`'s
+    * semantics on the composite tier). */
+  def ivfPqSkew(spark: org.apache.spark.sql.SparkSession,
+                path: String): Double = {
+    val rows = ivfPqListStats(spark, path)
+      .agg(max(col("n_vecs")).as("mx"), sum(col("n_vecs")).as("tot"),
+        count(lit(1)).as("nl")).head()
+    if (rows.isNullAt(1) || rows.getLong(1) == 0L) 1.0
+    else rows.getLong(0).toDouble / (rows.getLong(1).toDouble / rows.getLong(2))
+  }
+
+  /** Refit-on-drift for the composite tier, gated on EITHER signal: a
+    * drifted feed skews the coarse lists (occupancy) AND degrades the
+    * codebooks (distortion), but either alone warrants the rebuild —
+    * e.g. a within-region density shift moves distortion without
+    * touching occupancy. Rebuilds from the SOURCE corpus at the
+    * store's own (nList, m, kSub); same lossy-codes rationale and
+    * reader-swap contract as `pqMaintainIfDrifted`. */
+  def ivfPqMaintainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                             path: String, recent: DataFrame,
+                             corpus: DataFrame, maxSkew: Double,
+                             maxRatio: Double, dstPath: String): Boolean = {
+    require(path != dstPath,
+      "refit writes a new generation; src and dst must differ")
+    val (cents, books) = ivfPqMeta(spark, path)
+    val sub = books(0)(0).length
+    val drifted = ivfPqSkew(spark, path) > maxSkew || {
+      val base = recent.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val pts = pqSamplePoints(base, 2048)
+      require(pts.nonEmpty, "ivfPqMaintainIfDrifted needs a non-empty recent batch")
+      val frozen = pqDistortionOf(books, sub, pts)
+      val fresh = pqDistortionOf(
+        pqFitBooksLocal(pts, books.length, books.map(_.length).max, sub), sub, pts)
+      fresh > 0.0 && frozen / fresh > maxRatio
+    }
+    if (drifted) {
+      val idx = ivfPqBuild(corpus, nList = cents.length, m = books.length,
+        kSub = books.map(_.length).max)
+      ivfPqSave(idx, dstPath)
+      idx.release()
+      true
+    } else false
+  }
 
   /** IVF,PQ + exact re-rank: the `RefineFlat` stage over an `ivfPqSearch`
     * candidate pool — the same repair economics as `pqTopKRefine`, with

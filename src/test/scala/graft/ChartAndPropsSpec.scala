@@ -78,4 +78,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("the q126 quota-bin closed form IS ntile: exhaustive over (n, bins)") {
+    // re-derivation of scoreCalibrationScoped's bin arithmetic: ntile(b)
+    // gives the first rr = n % b buckets qq+1 = n/b + 1 rows and the
+    // rest qq — the closed form must reproduce that bucket layout for
+    // every (n, b), including the degenerate n < b case
+    def bin(i: Long, n: Long, b: Long): Long = {
+      val qq = n / b; val rr = n % b
+      if (i <= rr * (qq + 1)) (i - 1) / (qq + 1) + 1
+      else rr + (i - rr * (qq + 1) - 1) / math.max(qq, 1L) + 1
+    }
+    for (b <- 1L to 12L; n <- 1L to 60L) {
+      val assigned = (1L to n).map(bin(_, n, b))
+      val qq = n / b; val rr = n % b
+      val sizes = assigned.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = (1L to math.min(b, n)).map(k =>
+        k -> (if (k <= rr) qq + 1 else qq)).filter(_._2 > 0).toMap
+      assert(sizes == expected, s"n=$n b=$b sizes=$sizes")
+      assert(assigned == assigned.sorted, s"n=$n b=$b not monotone")
+    }
+  }
+
+  test("aviDemux inverts aviBytes across the container grid (incl. row-padding widths)") {
+    import graft.operators.Multimodal
+    // w = 3, 5, 6 exercise non-trivial DIB row padding (stride = ceil(3w/4)*4)
+    for (w <- Seq(2, 3, 5, 6, 16); h <- Seq(2, 5, 12); n <- Seq(1, 3, 8)) {
+      val got = Multimodal.aviDemux(Multimodal.aviBytes(seed = 7L, n, w, h))
+      assert(got.isDefined, s"w=$w h=$h n=$n")
+      val (gw, gh, frames) = got.get
+      val stride = ((w * 3 + 3) / 4) * 4
+      assert((gw, gh, frames.length) == ((w, h, n)), s"w=$w h=$h n=$n")
+      assert(frames.forall(_.length == stride * h), s"w=$w h=$h n=$n stride")
+    }
+  }
+
+  test("decodeAudio inverts wavBytes across the PCM grid with closed-form sums") {
+    import graft.operators.Multimodal
+    for (seed <- Seq(0L, 7L, 49L); nFrames <- Seq(1, 9, 100, 1600)) {
+      val period = (seed % 50 + 2).toInt
+      val exp = (0 until nFrames).map(i =>
+        math.abs((i % period) * 1000L - period * 500L)).sum
+      val got = Multimodal.decodeAudio(Multimodal.wavBytes(seed, nFrames))
+      assert(got.contains((nFrames.toLong, 1, 16000, exp)), s"seed=$seed n=$nFrames: $got")
+    }
+  }
 }

@@ -102,4 +102,83 @@ class OpqSpec extends SparkSpec {
       } finally grown.release()
     } finally built.release()
   }
+
+  test("opqDriftRatio: ~1 in-distribution, detects drift; opqMaintainIfDrifted refits rotation + books") {
+    import spark.implicits._
+    def cloud(ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map(i => (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+    }
+    def tight(ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map(i => (i.toLong,
+        Seq.tabulate(16)(d => (if (d < 2) 3f else 0f) + (rng.nextFloat() - 0.5f) * 0.02f)))
+    }
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+
+    val a = emb(cloud(0 until 500, 21))
+    val b = emb(tight(1000 until 1300, 22))
+    val dir = java.nio.file.Files.createTempDirectory("opq_drift").toString
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val built = Similarity.opqBuild(a, m = 4, kSub = 16, iters = 4)
+    try Similarity.opqSave(built, src) finally built.release()
+
+    val inDist = Similarity.opqDriftRatio(spark, src, emb(cloud(2000 until 2400, 23)))
+    info(s"in-distribution drift ratio = $inDist")
+    assert(inDist < 2.0, s"in-distribution should be ~1: $inDist")
+    val drifted = Similarity.opqDriftRatio(spark, src, b)
+    info(s"drifted ratio = $drifted")
+    assert(drifted > 3.0, s"drift should dominate: $drifted")
+
+    assert(!Similarity.opqMaintainIfDrifted(spark, src, b, a.union(b),
+      maxRatio = drifted + 1.0, dstPath = dst))
+    assert(!new java.io.File(dst).exists())
+    assert(Similarity.opqMaintainIfDrifted(spark, src, b, a.union(b),
+      maxRatio = 2.0, dstPath = dst))
+    val repaired = Similarity.opqDriftRatio(spark, dst, b)
+    info(s"repaired ratio = $repaired")
+    assert(repaired < drifted / 2, s"refit should repair: $drifted -> $repaired")
+  }
+
+  test("ivfPq maintenance: occupancy + distortion gates, refit from source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def region(axis: Int, ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map(i => (i.toLong, Seq.tabulate(16)(d =>
+        (if (d == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.05f)))
+    }
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+
+    val a = emb(region(0, 0 until 40, 31) ++ region(1, 40 until 80, 32))
+    val burst = emb(region(2, 100 until 160, 33) ++ region(3, 160 until 220, 34))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_drift").toString
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val built = Similarity.ivfPqBuild(a, nList = 4, m = 4, kSub = 16)
+    try Similarity.ivfPqSave(built, src) finally built.release()
+    assert(Similarity.ivfPqListStats(spark, src).collect().length == 4)
+    val skew0 = Similarity.ivfPqSkew(spark, src)
+    info(s"built skew = $skew0")
+
+    // balanced + in-distribution: no-op under both gates
+    assert(!Similarity.ivfPqMaintainIfDrifted(spark, src, a, a,
+      maxSkew = 3.0, maxRatio = 50.0, dstPath = dst))
+
+    Similarity.ivfPqAppendSave(spark, src, burst)
+    val skewDrift = Similarity.ivfPqSkew(spark, src)
+    info(s"skew after burst = $skewDrift")
+    assert(skewDrift >= 1.6, s"burst should skew: $skewDrift") // measured 1.78
+    assert(Similarity.ivfPqMaintainIfDrifted(spark, src, burst, a.union(burst),
+      maxSkew = 1.5, maxRatio = 50.0, dstPath = dst))
+    val skewAfter = Similarity.ivfPqSkew(spark, dst)
+    info(s"skew after refit = $skewAfter")
+    assert(skewAfter < skewDrift, s"refit should balance: $skewDrift -> $skewAfter")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqMaintainIfDrifted(spark, src, burst, a, 1.5, 50.0, src)
+    }
+  }
 }

@@ -136,4 +136,34 @@ class Sq8Spec extends SparkSpec {
       assert(refined == gold)
     } finally { fl.release(); sq.release() }
   }
+
+  test("sq8 dot error respects the analytic quantization bound on random vectors") {
+    // per-component code error ≤ scale/2, so for x̂ = qx·sx, ŷ = qy·sy:
+    // |x̂·ŷ − x·y| ≤ Σ(|x_i|·sy/2 + |y_i|·sx/2 + sx·sy/4) — a worst-case
+    // bound the codec must satisfy for EVERY pair, not on average (the
+    // 2% testdata check above is distributional; this is the contract)
+    val rng = new scala.util.Random(9)
+    val dim = 32
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rng.nextDouble() * 4 - 2)))
+    val df = vecs.toDF("vec_id", "e")
+    val paired = df.as("a").crossJoin(df.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id") &&
+        (col("a.vec_id") + col("b.vec_id")) % 37 === 0) // bounded sample of pairs
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Sq8.dot(Sq8.encode(col("a.e")), Sq8.encode(col("b.e"))).as("qdot"))
+      .collect()
+    assert(paired.length > 100)
+    val byId = vecs.toMap
+    paired.foreach { r =>
+      val (x, y) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val exact = x.zip(y).map { case (a, b) => a * b }.sum
+      val sx = x.map(math.abs).max / 127.0
+      val sy = y.map(math.abs).max / 127.0
+      val bound = x.map(math.abs).sum * sy / 2 +
+        y.map(math.abs).sum * sx / 2 + dim * sx * sy / 4
+      assert(math.abs(r.getDouble(2) - exact) <= bound + 1e-9,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): |${r.getDouble(2)} - $exact| > $bound")
+    }
+  }
 }
