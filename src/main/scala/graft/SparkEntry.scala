@@ -253,6 +253,16 @@ object SparkEntry {
       Multimodal.videoStats(Multimodal.syntheticVideos(s, n))
         .orderBy(col("media_id"))
     }),
+    // In-engine text→vector bridge: feature-hashed embeddings
+    // (Weinberger 2009 signed hashing trick — no vocabulary, no model)
+    // feeding the float ANN tier, so embedding-cosine retrieval runs
+    // end-to-end on raw documents. Rows-only (xxhash64 has no DuckDB
+    // analog); TextAnalysisSpec pins determinism, the identical-text
+    // cosine-1 planted pair, and the empty-doc drop.
+    "q151_text_ann" -> ((s, d) => {
+      val emb = TextAnalysis.hashEmbed(documents(s, d))
+      Similarity.cosineTopK(emb, 5, 3)
+    }),
     // round-2 oracle coverage for previously test-only operators
     "q66_schema_audit" -> ((s, d) => {
       // A16 (audits/inpe/bdqueimadas_focos.py:62-155) over a synthetic

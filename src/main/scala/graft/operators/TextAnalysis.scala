@@ -586,4 +586,38 @@ object TextAnalysis {
         (abs(col("n_hll") - col("n_exact")).cast("double") / col("n_exact"))
           .as("rel_err"))
       .orderBy("source")
+
+  /** Feature-hashed text embeddings (Weinberger et al. 2009 — the
+    * signed hashing trick): token t adds sign(xxhash64(t, 1)) to
+    * component xxhash64(t) mod dim, so every document becomes a
+    * `dim`-wide float vector with NO vocabulary, no model, and no
+    * driver state — the in-engine text→vector bridge that lets the
+    * whole ANN/SemDeDup/kNN tier run end-to-end on raw documents.
+    * Vectors are raw signed counts, deliberately unnormalized: every
+    * consumer (`Similarity.cosineTopK`, `semDedup`, `knnJoin`, the IVF
+    * family) divides by the norms it computes itself, so normalizing
+    * here would be a wasted pass (and the ±1 sums are exact in double,
+    * making the output order-independent bit-for-bit).
+    *
+    * Shape for scale: one explode + ONE pivot aggregation over the
+    * KNOWN 0..dim-1 domain (no domain-discovery job, map-side partial
+    * aggregation, everything codegen'd builtins — no HOF, no UDF); the
+    * single shuffle is keyed by doc_id. Token-less documents drop out
+    * (an all-zero vector has no cosine anyway) — count inputs
+    * separately if coverage accounting is needed. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        pmod(xxhash64(col("w")), lit(dim)).cast("int").as("idx"),
+        when(pmod(xxhash64(col("w"), lit(1)), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+    tok.groupBy("doc_id")
+      .pivot("idx", (0 until dim).map(Integer.valueOf))
+      .agg(sum(col("s")))
+      .select(col("doc_id").as("vec_id"),
+        array((0 until dim).map(i =>
+          coalesce(col(s"`$i`"), lit(0.0)).cast("float")): _*).as("embedding"))
+  }
 }

@@ -278,4 +278,30 @@ class TextAnalysisSpec extends SparkSpec {
         Seq(x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
     assert(again.toSeq == sketch.toSeq)
   }
+
+  test("hashEmbed: deterministic signed-hash vectors; identical text is cosine-1 top hit") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma delta", "s0"), // planted exact twin of 0
+      (2L, "totally different words entirely elsewhere", "s1"),
+      (3L, "alpha beta unrelated stuff", "s0"),
+      (4L, "", "s1")) // token-less: must drop out
+      .toDF("doc_id", "text", "source")
+    def vecs() = TextAnalysis.hashEmbed(docs, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    val v = vecs()
+    assert(v.keySet == Set(0L, 1L, 2L, 3L)) // empty doc dropped
+    assert(vecs() == v)                     // order-independent determinism
+    assert(v(0L).length == 64)
+    assert(v(0L) == v(1L))                  // same text → bit-equal vector
+    assert(v(0L).map(math.abs(_)).sum <= 4.0f) // ≤ 4 tokens' worth of mass
+    assert(v(0L) != v(2L))
+    // the twin must be the cosine-1 rank-1 neighbor through the real
+    // ANN tier (cosineTopK consumes the raw-count vectors directly)
+    val top = graft.operators.Similarity
+      .cosineTopK(TextAnalysis.hashEmbed(docs, dim = 64), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.head == ((0L, 1, 1L)), s"twin not first: ${top.toSeq}")
+  }
 }
