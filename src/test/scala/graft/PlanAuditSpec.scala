@@ -337,4 +337,26 @@ class PlanAuditSpec extends SparkSpec {
         "cross-corpus band join statically broadcasts a band-row side")
     } finally release()
   }
+
+  test("hashEmbed: one scan, one doc_id-keyed aggregation shuffle, no join, no window") {
+    // the text→vector bridge's scale claim: pivot over the KNOWN
+    // 0..dim-1 domain is a single aggregate — no domain-discovery job,
+    // no join-back, no per-doc window
+    val df = graft.operators.TextAnalysis.hashEmbed(
+      spark.read.parquet(s"$dir/documents.parquet"), dim = 16)
+    val p = df.queryExecution.sparkPlan
+    assert(scans(p).length == 1)
+    assert(p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty)
+    assert(p.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    val exchanges = p.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // ≤ 1: the aggregation's only shuffle — and on a one-partition
+    // input (sf0.001 is one file) the planner elides even that
+    assert(exchanges.length <= 1, p.toString.take(500))
+  }
 }
