@@ -150,4 +150,58 @@ class IngestPipelineSpec extends SparkSpec {
       .select("n_docs").collect().map(_.getLong(0)).sorted.toSeq
     assert(tRows == Seq(1L, 2L))            // batch1 kept 2, batch2 kept 1
   }
+
+  test("generation swap mid-ingest: maintenance rebuild preserves kept == indexed across the swap") {
+    // the supervisor pattern maintainIndex is written for: ingest into
+    // g0, drift skews it, maintenance writes g1 (rebuilt from g0's FULL
+    // contents), the supervisor points the pipeline at g1, ingest
+    // continues — and the kept-set == indexed-set invariant must hold
+    // ACROSS the generation boundary because g1 carries everything g0
+    // held at swap time
+    def region(axis: Int, ids: Range, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      ids.map { i =>
+        // token-disjoint texts: the gate must keep everything (the
+        // dedup behavior itself is the first test's subject)
+        (i.toLong, (0 until 12).map(t => s"w${i}x$t").mkString(" "),
+          Seq.tabulate(8)(d =>
+            (if (d == axis) 1f else 0f) + (rng.nextFloat() - 0.5f) * 0.05f))
+      }
+    }
+    def feed(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+        .selectExpr("doc_id", "text", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+
+    val root = tmp("pipe_gen")
+    val g0 = s"$root/g0"; val g1 = s"$root/g1"
+    val seed = feed(region(0, 0 until 30, 41))
+      .selectExpr("doc_id AS vec_id", "embedding")
+    val built = Similarity.ivfBuild(seed, 4)
+    Similarity.ivfSave(built, g0)
+    built.release()
+
+    val (sigs, out, tele) = (tmp("pipe_g_sigs"), tmp("pipe_g_out"), tmp("pipe_g_tele"))
+    // two drifted bursts into g0 through the full pipeline
+    val k1 = IngestPipeline.processBatch(
+      feed(region(2, 100 until 140, 42)), 0L, sigs, out, g0, tele, 0.5)
+    val k2 = IngestPipeline.processBatch(
+      feed(region(3, 200 until 240, 43)), 1L, sigs, out, g0, tele, 0.5)
+    assert(k1 > 0 && k2 > 0)
+
+    // skew-gated maintenance fires and writes the next generation
+    assert(IngestVectors.maintainIndex(spark, g0, maxSkew = 1.3, g1))
+    // supervisor swap: ingest continues into g1
+    val k3 = IngestPipeline.processBatch(
+      feed(region(1, 300 until 330, 44)), 2L, sigs, out, g1, tele, 0.5)
+    assert(k3 > 0)
+
+    val keptIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val g1Idx = Similarity.ivfLoad(spark, g1)
+    val vids = g1Idx.assigned.select("vid").collect().map(_.getLong(0)).toSet
+    g1Idx.release()
+    // g1 = seed + every kept doc from BOTH sides of the swap
+    assert(vids == (0L until 30L).toSet ++ keptIds,
+      s"missing: ${((0L until 30L).toSet ++ keptIds) -- vids}; extra: ${vids -- (0L until 30L).toSet -- keptIds}")
+  }
 }
