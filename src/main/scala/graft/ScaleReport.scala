@@ -221,6 +221,14 @@ object ScaleReport {
     timed("winnow_pairs_full")(
       TextAnalysis.winnowPairs(docs, Long.MaxValue, 8, 4, 0.8,
         maxDocFreq = 100, minIndexSize = 5).count())
+    // text→vector bridge: feature-hash the WHOLE corpus (one pivot-agg
+    // shuffle — the claim is linear scan + one shuffle, keyed by
+    // doc_id), then serve 5 brute-force queries off the hashed vectors
+    val hashed = TextAnalysis.hashEmbed(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("hash_embed_full")(hashed.count())
+    timed("text_ann_topk")(Similarity.cosineTopK(hashed, 5, 10).count())
+    hashed.unpersist(blocking = false)
     }
 
     // Training-data curation family (q79–q87) at the full corpus, no
