@@ -154,10 +154,14 @@ class PqSpec extends SparkSpec {
     assert(!new java.io.File(dst).exists())
     assert(Similarity.pqMaintainIfDrifted(spark, src, b, a.union(b),
       maxRatio = 2.0, dstPath = dst))
-    // the refit generation models the drifted region again
+    // the refit generation models the drifted region again — both as
+    // ratio and as ABSOLUTE distortion on the drifted batch
     val repaired = Similarity.pqDriftRatio(spark, dst, b)
     info(s"repaired ratio = $repaired")
     assert(repaired < drifted / 2, s"refit should repair: $drifted -> $repaired")
+    val (g0, g1) = (Similarity.pqLoad(spark, src), Similarity.pqLoad(spark, dst))
+    try assert(Similarity.pqDistortion(g1, b) < Similarity.pqDistortion(g0, b))
+    finally { g0.release(); g1.release() }
     intercept[IllegalArgumentException] {
       Similarity.pqMaintainIfDrifted(spark, src, b, a, 2.0, src)
     }
