@@ -392,18 +392,37 @@ object Similarity {
         .select(col("vid"), col("e").as("ce"), col("cn"), col("list_id"))
   }
 
+  /** Probe-list selection WITHOUT the N×nList ranking window: one
+    * bounded centroid collect (nList rows) rides into codegen via
+    * `NearestLists` (`addReferenceObj` — constant generated code
+    * regardless of nList), and each query row computes its own top
+    * lists in registers. Bit-equal to the old crossJoin+row_number
+    * form (same fold order, same list-id tiebreak — see the
+    * expression's scaladoc); removes the N²/targetClusterRows
+    * intermediate that made corpus-side probing superlinear in the
+    * round-7 campaign. `q` must carry a `qe` column; `keep` names the
+    * columns to carry through. */
+  private def probeTopLists(q: DataFrame, keep: Seq[String],
+                            centroids: DataFrame, nProbe: Int): DataFrame = {
+    val rows = centroids
+      .select(col("list_id").cast("int").as("list_id"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+    val ids = rows.map(_.getInt(0))
+    val flat = rows.flatMap(_.getSeq[Double](1))
+    val dim = if (ids.isEmpty) 0 else flat.length / ids.length
+    q.select(keep.map(col) :+ explode(graft.functions.NearestLists(
+        col("qe"), flat, ids, dim, nProbe)).as("list_id"): _*)
+  }
+
   /** Search a trained index: each query probes only the `nProbe` lists
-    * whose centroids score highest (centroids broadcast — nList rows),
-    * candidates shuffle on list id, no cross join against the corpus. */
+    * whose centroids score highest (the centroid matrix rides into
+    * codegen — nList rows), candidates shuffle on list id, no cross
+    * join against the corpus. */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("dist", -dot(col("qe"), col("centroid"))) // cosine-ish: max dot
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") <= nProbe)
-      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    val probes = probeTopLists(q, Seq("qid", "qe", "qn"),
+      index.centroids, nProbe)
 
     probes.join(index.assigned, Seq("list_id"))
       .select(col("qid"), col("vid"),
@@ -491,12 +510,7 @@ object Similarity {
       if (probes0 >= nList)
         q.crossJoin(broadcast(index.centroids.select("list_id")))
           .select(col("qid"), col("qe"), col("qn"), col("list_id"))
-      else q.crossJoin(broadcast(index.centroids))
-        .withColumn("dist", -dot(col("qe"), col("centroid")))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-        .where(col("pr") <= probes0)
-        .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+      else probeTopLists(q, Seq("qid", "qe", "qn"), index.centroids, probes0)
     val res = probes.join(index.assigned, Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
@@ -552,13 +566,8 @@ object Similarity {
         q.crossJoin(broadcast(index.centroids.select("list_id")))
           .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
             col("list_id"))
-      else q.crossJoin(broadcast(index.centroids))
-        .withColumn("dist", -dot(col("qe"), col("centroid")))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-        .where(col("pr") <= probes0)
-        .select(col("qid"), col("qe"), col("qn"), col("qq"), col("qn8"),
-          col("list_id"))
+      else probeTopLists(q, Seq("qid", "qe", "qn", "qq", "qn8"),
+        index.centroids, probes0)
     val pool = probes.join(index.assigned, Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
@@ -636,12 +645,8 @@ object Similarity {
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qq", Sq8.encode(col("qe")))
       .withColumn("qn", sqrt(Sq8.dot(col("qq"), col("qq"))))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("dist", -dot(col("qe"), col("centroid")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") <= nProbe)
-      .select(col("qid"), col("qq"), col("qn"), col("list_id"))
+    val probes = probeTopLists(q, Seq("qid", "qq", "qn"),
+      index.centroids, nProbe)
     probes.join(index.assigned, Seq("list_id"))
       .select(col("qid"), col("vid"),
         (Sq8.dot(col("qq"), col("qc")) / (col("qn") * col("cn"))).as("cos"))

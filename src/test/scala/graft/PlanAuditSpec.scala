@@ -268,12 +268,15 @@ class PlanAuditSpec extends SparkSpec {
     finally { relA(); relC() }
   }
 
-  test("q134 kNN join: centroids broadcast; candidates are a list_id equi-join, never cartesian") {
-    // The N·nProbe·clusterRows bound rests on two plan facts: the
-    // probe side cross-joins only the BROADCAST centroid table (nList
-    // rows), and candidate generation is an equi-join on list_id. A
-    // CartesianProductExec anywhere means the N² pair explosion the
-    // operator exists to avoid.
+  test("q134 kNN join: probe is a pure projection; candidates are a list_id equi-join, never cartesian") {
+    // The N·nProbe·clusterRows bound rests on two plan facts: probe
+    // selection is the NearestLists codegen expression (no joined
+    // N×nList intermediate at all — the round-7 fix for the 19×
+    // sf1→sf10 superlinearity), and candidate generation is an
+    // equi-join on list_id. A CartesianProductExec anywhere means the
+    // N² pair explosion the operator exists to avoid; a
+    // BroadcastNestedLoopJoin means the probe regressed to the
+    // crossJoin+window form.
     import graft.operators.Similarity
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -284,8 +287,8 @@ class PlanAuditSpec extends SparkSpec {
         case c: CartesianProductExec => c
       }.isEmpty, "kNN join plans a cartesian product")
       val bnlj = p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }
-      assert(bnlj.length == 1,
-        s"expected exactly the broadcast centroid probe, got ${bnlj.length} BNLJ nodes")
+      assert(bnlj.isEmpty,
+        s"probe selection regressed to a joined intermediate: ${bnlj.length} BNLJ nodes")
       val equi = p.collectWithSubqueries {
         case j: org.apache.spark.sql.execution.joins.HashJoin
           if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
