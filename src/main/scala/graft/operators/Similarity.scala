@@ -458,11 +458,17 @@ object Similarity {
   /** Corpus-wide k-nearest-neighbor JOIN: every vector's top-`k`
     * neighbors (self excluded) — the RAG pair-mining / hard-negative /
     * duplicate-triage primitive, and the generalization of `ivfSearch`
-    * to a corpus-sized query side. IVF-blocked: probes are one
-    * broadcast of the (tiny) centroid table against the distributed
-    * query side, candidates one equi-join on list_id, so the pair
-    * volume is N·nProbe·targetClusterRows — never N², and the list
-    * count scales with the corpus (`autoK`) exactly like SemDeDup's.
+    * to a corpus-sized query side. IVF-blocked: probe selection is the
+    * `NearestLists` codegen expression (centroid matrix in registers —
+    * no N×nList joined intermediate; see its scaladoc for the
+    * round-7 superlinearity it removed), candidates one equi-join on
+    * list_id, so the pair volume is N·nProbe·targetClusterRows — never
+    * N² — and the list count scales with the corpus (`autoK`) exactly
+    * like SemDeDup's. The KMeans fit keeps the FAISS
+    * flat-coarse-quantizer cost profile (N×nList distance evals at
+    * ~256 train points per centroid); at extreme N pass
+    * `targetClusterRows ∝ √N` for the classic IVF √N build/query
+    * tradeoff.
     * Result is N·k rows and STAYS DISTRIBUTED (nothing collects);
     * callers release the index via the scoped pair once the result is
     * consumed or materialized. Approximate by construction (probed
