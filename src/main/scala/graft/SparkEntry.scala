@@ -707,6 +707,12 @@ object SparkEntry {
     // path pinned by SimilaritySpec
     "q140_knn_join_sq8" -> ((s, d) =>
       Similarity.knnJoinSq8(embeddings(s, d), 5)),
+    // the deepest corpus-side quantization rung: PQ-coded lists scored
+    // via PqDecode reconstructions + exact float refine (rows-only —
+    // seeded KMeans/codebooks; SimilaritySpec pins refined recall and
+    // determinism; m=8 divides the testdata's 32-dim embeddings)
+    "q152_knn_join_pq" -> ((s, d) =>
+      Similarity.knnJoinPq(embeddings(s, d), 5, m = 8)),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)

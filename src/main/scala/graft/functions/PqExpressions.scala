@@ -126,9 +126,79 @@ case class PqEncode(child: Expression, flatBooks: Array[Double],
   override def prettyName: String = "pq_encode"
 }
 
+/** Product-quantization decoder — reconstruct the (normalized-space)
+  * vector from `m` local codes by concatenating the coded centroids:
+  * `x̂ = [books(0)(c₀) ‖ … ‖ books(m-1)(c_{m-1})]`. The inverse the
+  * corpus-side PQ consumers (`knnJoinPq`) score candidates with:
+  * decoding in the scan pipeline costs `dim` doubles of REGISTER
+  * work per row while the store keeps only the `m` codes — the float
+  * corpus never rematerializes anywhere. Same `addReferenceObj`
+  * codebook transport as `PqEncode`; out-of-range codes clamp to the
+  * last centroid (defensive — encode never emits them). */
+case class PqDecode(child: Expression, flatBooks: Array[Double],
+                    ks: Array[Int], sub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+
+  private val m = ks.length
+  private val centOff: Array[Int] =
+    ks.scanLeft(0)((acc, k) => acc + k * sub).dropRight(1)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * sub)
+    var j = 0
+    val nm = math.min(m, codes.numElements())
+    while (j < nm) {
+      var c = codes.getInt(j)
+      if (c < 0) c = 0 else if (c >= ks(j)) c = ks(j) - 1
+      var t = 0
+      while (t < sub) {
+        out(j * sub + t) = flatBooks(centOff(j) + c * sub + t)
+        t += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, codes => {
+      val booksRef = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
+      val ksRef = ctx.addReferenceObj("ks", ks, "int[]")
+      val centOffRef = ctx.addReferenceObj("centOff", centOff, "int[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val nm = ctx.freshName("nm")
+      s"""
+        final double[] $out = new double[${m * sub}];
+        final int $nm = java.lang.Math.min($m, $codes.numElements());
+        for (int $j = 0; $j < $nm; $j++) {
+          int $c = $codes.getInt($j);
+          if ($c < 0) $c = 0; else if ($c >= $ksRef[$j]) $c = $ksRef[$j] - 1;
+          for (int $t = 0; $t < $sub; $t++) {
+            $out[$j * $sub + $t] = $booksRef[$centOffRef[$j] + $c * $sub + $t];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_decode"
+}
+
 object Pq {
   def encode(e: Column, flatBooks: Array[Double], ks: Array[Int],
              sub: Int): Column =
     GraftColumnBridge.column(
       PqEncode(GraftColumnBridge.expression(e), flatBooks, ks, sub))
+  def decode(codes: Column, flatBooks: Array[Double], ks: Array[Int],
+             sub: Int): Column =
+    GraftColumnBridge.column(
+      PqDecode(GraftColumnBridge.expression(codes), flatBooks, ks, sub))
 }

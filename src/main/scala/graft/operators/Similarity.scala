@@ -407,8 +407,15 @@ object Similarity {
     val rows = centroids
       .select(col("list_id").cast("int").as("list_id"), col("centroid"))
       .collect().sortBy(_.getInt(0))
-    val ids = rows.map(_.getInt(0))
-    val flat = rows.flatMap(_.getSeq[Double](1))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    probeTopListsArr(q, keep, rows, nProbe)
+  }
+
+  private def probeTopListsArr(q: DataFrame, keep: Seq[String],
+                               cents: Array[(Int, Array[Double])],
+                               nProbe: Int): DataFrame = {
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
     val dim = if (ids.isEmpty) 0 else flat.length / ids.length
     q.select(keep.map(col) :+ explode(graft.functions.NearestLists(
         col("qe"), flat, ids, dim, nProbe)).as("list_id"): _*)
@@ -578,6 +585,77 @@ object Similarity {
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         (Sq8.dot(col("qq"), col("qc")) / (col("qn8") * col("cn"))).as("adc"))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("vid").asc)))
+      .where(col("r8") <= k * refine)
+    val cvec = emb.select(col("vec_id").as("vid"),
+        asDouble(col("embedding")).as("ce"))
+      .withColumn("cnf", sqrt(dot(col("ce"), col("ce"))))
+    val res = pool.join(cvec, Seq("vid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cnf"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+    (res, () => index.release())
+  }
+
+  /** `knnJoin` over a PQ-CODED store — the deepest rung of the
+    * corpus-side quantized ladder (float → SQ8 ~7× → PQ m·4 B codes):
+    * at 10⁹ vectors even int8 lists strain executor memory; here the
+    * long-lived lists hold only the `m` PQ codes, candidates are
+    * scored against the `PqDecode` reconstruction (register work in
+    * the scan pipeline — the float corpus never rematerializes), and
+    * the top k·`refine` pool per query is re-ranked with exact float
+    * cosine from the source frame, the same RefineFlat contract as
+    * `knnJoinSq8`. Probe selection shares `NearestLists` (float
+    * centroids — tiny), so the `nProbe`/`scanFrac` dials behave
+    * identically across all three rungs. Recall floors are the PQ
+    * family's (q116/q119): size `m` by measured refined recall at the
+    * target corpus, per the round-6 law. */
+  def knnJoinPq(emb: DataFrame, k: Int, nProbe: Int = 2,
+                targetClusterRows: Long = 256, m: Int = 16,
+                refine: Int = 4, scanFrac: Option[Double] = None): DataFrame = {
+    val (res, release) =
+      knnJoinPqScoped(emb, k, nProbe, targetClusterRows, m, refine, scanFrac)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def knnJoinPqScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
+                      targetClusterRows: Long = 256, m: Int = 16,
+                      refine: Int = 4,
+                      scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+    import graft.functions.Pq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nList = autoK(emb, targetClusterRows, None)
+    val probes0 = scanFrac
+      .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
+    val index = ivfPqBuild(emb, nList, m)
+    val flat = index.books.flatMap(_.flatMap(_.toSeq))
+    val ks = index.books.map(_.length)
+    val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    val probes =
+      if (probes0 >= nList)
+        q.crossJoin(broadcast(
+          index.centroids.map(_._1).toSeq.toDF("list_id")))
+          .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+      else probeTopListsArr(q, Seq("qid", "qe", "qn"),
+        index.centroids, probes0)
+    // candidates decode in the scan pipeline: the store stays codes
+    val cand = index.coded
+      .withColumn("cd", Pq.decode(col("codes"), flat, ks, index.sub))
+      .withColumn("cnd", sqrt(dot(col("cd"), col("cd"))))
+    val pool = probes.join(cand, Seq("list_id"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("qe"), col("qn"), col("vid"),
+        (dot(col("qe"), col("cd")) / (col("qn") * col("cnd"))).as("adc"))
       .withColumn("r8", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc").desc, col("vid").asc)))
       .where(col("r8") <= k * refine)

@@ -273,4 +273,74 @@ class SimilaritySpec extends SparkSpec {
     p2.unpersist(blocking = false)
     assert(r1.toSeq == r2.toSeq)
   }
+
+  test("knnJoinPq: PQ-coded lists + float refine hold recall on the planted clusters") {
+    // the deepest quantization rung: the candidate lists are m-code PQ
+    // rows, scored via PqDecode reconstructions, refined with exact
+    // float cosine — refined recall must stay near the float path on
+    // the same planted-cluster regime (PQ is lossier than SQ8: the
+    // floor is the q116/q119 family's, not bit parity)
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    val full = Similarity.knnJoin(d, 5, targetClusterRows = 25,
+      scanFrac = Some(1.0))
+    val fullByQ = full.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    full.unpersist(blocking = false)
+    val pq = Similarity.knnJoinPq(d, 5, targetClusterRows = 25, m = 4,
+      refine = 8, scanFrac = Some(1.0))
+    val pqRows = pq.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    pq.unpersist(blocking = false)
+    pqRows.foreach { case (q, _, v) => assert(q != v, s"self match $q") }
+    val pqByQ = pqRows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(pqByQ.size == rows.length)
+    val recall = fullByQ.keys.toSeq.map { q =>
+      fullByQ(q).intersect(pqByQ(q)).size.toDouble / fullByQ(q).size
+    }.sum / fullByQ.size
+    info(s"PQ refined recall@5 = $recall")
+    assert(recall >= 0.85, s"PQ refined recall@5 $recall < 0.85 vs float path")
+    // probed mode deterministic
+    val p1 = Similarity.knnJoinPq(d, 5, nProbe = 2, targetClusterRows = 25, m = 4)
+    val r1 = p1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p1.unpersist(blocking = false)
+    val p2 = Similarity.knnJoinPq(d, 5, nProbe = 2, targetClusterRows = 25, m = 4)
+    val r2 = p2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p2.unpersist(blocking = false)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("PqDecode inverts PqEncode up to quantization: reconstruction error bounded by fit distortion") {
+    import graft.functions.Pq
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val pts = Similarity.pqSamplePoints(all, 256)
+    val dim = pts(0).length
+    val books = Similarity.pqFitBooksLocal(pts, 8, 16, dim / 8)
+    val flat = books.flatMap(_.flatMap(_.toSeq))
+    val ks = books.map(_.length)
+    val out = all.limit(50)
+      .select(col("vec_id"),
+        Pq.decode(Pq.encode(col("e"), flat, ks, dim / 8), flat, ks, dim / 8).as("cd"),
+        col("e"))
+      .collect()
+    out.foreach { r =>
+      val e = r.getSeq[Double](2).toArray
+      val n0 = math.sqrt(e.map(x => x * x).sum)
+      val unit = e.map(_ / (if (n0 > 0) n0 else 1.0))
+      val cd = r.getSeq[Double](1).toArray
+      assert(cd.length == dim)
+      val err = unit.zip(cd).map { case (a, b) => (a - b) * (a - b) }.sum
+      // each subspace reconstructs to its NEAREST centroid, so the
+      // per-vector error can't exceed a loose per-subspace ball; on
+      // unit vectors total squared error staying below 1.0 means the
+      // reconstruction points the right way (random would be ~2.0)
+      assert(err < 1.0, s"vec ${r.getLong(0)}: reconstruction error $err")
+    }
+  }
 }
