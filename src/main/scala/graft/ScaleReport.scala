@@ -188,6 +188,27 @@ object ScaleReport {
         }
         println(f"""{"op":"knn_join_sq8_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
       }
+      // PQ-list variant (deepest rung): m-code lists, PqDecode-scored
+      // ADC pool + float refine. PQ is lossier than SQ8, so the scale
+      // question is whether the refined recall floor HOLDS as lists
+      // multiply with the corpus (the round-6 m-sizing law, now
+      // measured on the corpus-side consumer too).
+      for (nProbe <- Seq(2, 8)) {
+        var knnRows: Array[(Long, Long)] = Array.empty
+        timed(s"knn_join_pq_nprobe$nProbe") {
+          val knn = Similarity.knnJoinPq(emb, 10, nProbe = nProbe)
+          knnRows = knn.select("qid", "vid").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          knn.unpersist(blocking = false)
+          knnRows.length.toLong
+        }
+        val got = knnRows.filter(p => qids(p._1)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val rec = qids.toSeq.map { q =>
+          gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+        }
+        println(f"""{"op":"knn_join_pq_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
+      }
       val nList = math.max(8L, nVecs / 256).toInt
       val fl = Similarity.ivfBuild(emb, nList)
       val flBytes = fl.assigned
@@ -199,7 +220,18 @@ object ScaleReport {
         .selectExpr("CAST(sum(octet_length(qc) + 8 + 8 + 4) AS BIGINT)")
         .head().getLong(0)
       q8.release()
-      println(f"""{"op":"knn_list_bytes","float":$flBytes,"sq8":$q8Bytes,"ratio":${flBytes.toDouble / q8Bytes}%.2f}""")
+      val pqi = Similarity.ivfPqBuild(emb, nList)
+      // the raw build store (array<int>, 4 B/code) vs the PqPack'd
+      // byte form knnJoinPq actually keeps long-lived (1 B/code)
+      val pqBytes = pqi.coded
+        .selectExpr("CAST(sum(size(codes) * 4 + 8 + 8 + 4) AS BIGINT)")
+        .head().getLong(0)
+      val pqPackedBytes = pqi.coded
+        .select(graft.functions.Pq.pack(org.apache.spark.sql.functions.col("codes")).as("pc"))
+        .selectExpr("CAST(sum(octet_length(pc) + 8 + 8 + 4) AS BIGINT)")
+        .head().getLong(0)
+      pqi.release()
+      println(f"""{"op":"knn_list_bytes","float":$flBytes,"sq8":$q8Bytes,"pq":$pqBytes,"pq_packed":$pqPackedBytes,"ratio":${flBytes.toDouble / q8Bytes}%.2f,"pq_ratio":${flBytes.toDouble / pqBytes}%.2f,"pq_packed_ratio":${flBytes.toDouble / pqPackedBytes}%.2f}""")
     }
 
     // Text-analysis family over the FULL corpus (the driver queries cap

@@ -713,6 +713,23 @@ object SparkEntry {
     // determinism; m=8 divides the testdata's 32-dim embeddings)
     "q152_knn_join_pq" -> ((s, d) =>
       Similarity.knnJoinPq(embeddings(s, d), 5, m = 8)),
+    // q152's exhaustive dial: scanFrac = 1.0 probes every list AND the
+    // refine pool covers the corpus (k·refine ≥ N), so the exact-float
+    // re-rank ranks ALL candidates — the result IS the brute-force
+    // ranking while build → encode → PqDecode → ADC pool → refine all
+    // still execute (hash-green; extends the green-dial ladder to the
+    // fifth ANN family)
+    "q153_knn_pq_exhaustive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.knnJoinPq(e, 5, m = 8,
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+    }),
+    // the OPQ rung of the corpus-side ladder (FAISS OPQ,IVF,PQ as a
+    // join): rotation-decorrelated subspaces before the codebook fit.
+    // Rows-only (seeded alternation + KMeans); recall floor and
+    // determinism pinned by SimilaritySpec
+    "q154_knn_join_opq" -> ((s, d) =>
+      Similarity.knnJoinOpq(embeddings(s, d), 5, m = 8)),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1247,6 +1264,17 @@ object SparkEntry {
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q138_knn_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // same brute-force oracle as q138: at the exhaustive dial the PQ
+    // path's float refine ranks every candidate, so the ADC stage
+    // cannot change the result — only the plumbing differs
+    "q153_knn_pq_exhaustive" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
       s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,

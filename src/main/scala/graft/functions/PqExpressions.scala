@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** Product-quantization encoder as ONE native codegen expression — the
   * FAISS `PQ{m}` encode step (Jégou et al., TPAMI 2011). The input
@@ -192,6 +192,112 @@ case class PqDecode(child: Expression, flatBooks: Array[Double],
   override def prettyName: String = "pq_decode"
 }
 
+/** Pack `m` PQ codes into `m` BYTES — the FAISS storage layout
+  * (`uint8` per code, kSub ≤ 256). Spark has no unsigned byte, so the
+  * bit pattern is stored as-is (`(c & 0xFF).toByte`) and consumers
+  * mask back with `& 0xFF` (`PqDecodeBytes`). This is what makes the
+  * PQ memory story real INSIDE Spark: an `array<int>` of codes costs
+  * 4 B/code plus array headers in every cached/shuffled row, so the
+  * "m bytes per vector" claim only holds once the long-lived list
+  * state is this binary form (parquet bit-packs ints on disk, but
+  * UnsafeRow does not in memory). */
+case class PqPack(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = BinaryType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var j = 0
+    while (j < n) { out(j) = (codes.getInt(j) & 0xFF).toByte; j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, codes => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      s"""
+        final int $n = $codes.numElements();
+        final byte[] $out = new byte[$n];
+        for (int $j = 0; $j < $n; $j++) {
+          $out[$j] = (byte) ($codes.getInt($j) & 0xFF);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqPack =
+    copy(child = newChild)
+  override def prettyName: String = "pq_pack"
+}
+
+/** `PqDecode` over the packed byte layout: reconstruct the
+  * normalized-space vector straight from `m` bytes — the scan-pipeline
+  * decoder for stores whose long-lived lists are `PqPack`ed. Bytes are
+  * masked back to unsigned (`& 0xFF`); out-of-range codes clamp as in
+  * `PqDecode`. `PqDecodeBytes(PqPack(codes)) == PqDecode(codes)`
+  * bit-for-bit (pinned by `SimilaritySpec`). */
+case class PqDecodeBytes(child: Expression, flatBooks: Array[Double],
+                         ks: Array[Int], sub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  private val m = ks.length
+  private val centOff: Array[Int] =
+    ks.scanLeft(0)((acc, k) => acc + k * sub).dropRight(1)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Double](m * sub)
+    var j = 0
+    val nm = math.min(m, codes.length)
+    while (j < nm) {
+      var c = codes(j) & 0xFF
+      if (c >= ks(j)) c = ks(j) - 1
+      var t = 0
+      while (t < sub) {
+        out(j * sub + t) = flatBooks(centOff(j) + c * sub + t)
+        t += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, codes => {
+      val booksRef = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
+      val ksRef = ctx.addReferenceObj("ks", ks, "int[]")
+      val centOffRef = ctx.addReferenceObj("centOff", centOff, "int[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val nm = ctx.freshName("nm")
+      s"""
+        final double[] $out = new double[${m * sub}];
+        final int $nm = java.lang.Math.min($m, $codes.length);
+        for (int $j = 0; $j < $nm; $j++) {
+          int $c = $codes[$j] & 0xFF;
+          if ($c >= $ksRef[$j]) $c = $ksRef[$j] - 1;
+          for (int $t = 0; $t < $sub; $t++) {
+            $out[$j * $sub + $t] = $booksRef[$centOffRef[$j] + $c * $sub + $t];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecodeBytes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_decode_bytes"
+}
+
 object Pq {
   def encode(e: Column, flatBooks: Array[Double], ks: Array[Int],
              sub: Int): Column =
@@ -201,4 +307,10 @@ object Pq {
              sub: Int): Column =
     GraftColumnBridge.column(
       PqDecode(GraftColumnBridge.expression(codes), flatBooks, ks, sub))
+  def pack(codes: Column): Column =
+    GraftColumnBridge.column(PqPack(GraftColumnBridge.expression(codes)))
+  def decodeBytes(pc: Column, flatBooks: Array[Double], ks: Array[Int],
+                  sub: Int): Column =
+    GraftColumnBridge.column(
+      PqDecodeBytes(GraftColumnBridge.expression(pc), flatBooks, ks, sub))
 }

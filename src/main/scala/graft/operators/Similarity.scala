@@ -524,7 +524,12 @@ object Similarity {
         q.crossJoin(broadcast(index.centroids.select("list_id")))
           .select(col("qid"), col("qe"), col("qn"), col("list_id"))
       else probeTopLists(q, Seq("qid", "qe", "qn"), index.centroids, probes0)
-    val res = probes.join(index.assigned, Seq("list_id"))
+    // corpus-side fan-out join (N·nProbe·clusterRows output): keep it
+    // shuffled so the post-join dot work runs at shuffle-partition
+    // parallelism even when the list frame dips under the broadcast
+    // threshold (below ~19 k vectors for float lists — measured 2.5×
+    // on the packed-PQ rung, same shape)
+    val res = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
@@ -581,7 +586,10 @@ object Similarity {
             col("list_id"))
       else probeTopLists(q, Seq("qid", "qe", "qn", "qq", "qn8"),
         index.centroids, probes0)
-    val pool = probes.join(index.assigned, Seq("list_id"))
+    // same corpus-side fan-out shape as knnJoinScoped: int8 lists dip
+    // under the broadcast threshold below ~110 k vectors — keep the
+    // ADC work at shuffle parallelism
+    val pool = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         (Sq8.dot(col("qq"), col("qc")) / (col("qn8") * col("cn"))).as("adc"))
@@ -603,11 +611,15 @@ object Similarity {
   }
 
   /** `knnJoin` over a PQ-CODED store — the deepest rung of the
-    * corpus-side quantized ladder (float → SQ8 ~7× → PQ m·4 B codes):
-    * at 10⁹ vectors even int8 lists strain executor memory; here the
-    * long-lived lists hold only the `m` PQ codes, candidates are
-    * scored against the `PqDecode` reconstruction (register work in
-    * the scan pipeline — the float corpus never rematerializes), and
+    * corpus-side quantized ladder (float → SQ8 ~7× → PQ m BYTES per
+    * vector): at 10⁹ vectors even int8 lists strain executor memory;
+    * here the long-lived lists hold only the `PqPack`ed byte codes
+    * (the build's `array<int>` store is released once the packed
+    * lists materialize — UnsafeRow keeps int arrays at 4 B/code, so
+    * packing is what makes the m-bytes claim true in memory, not just
+    * in parquet), candidates are scored against the `PqDecodeBytes`
+    * reconstruction (register work in the scan pipeline — the float
+    * corpus never rematerializes), and
     * the top k·`refine` pool per query is re-ranked with exact float
     * cosine from the source frame, the same RefineFlat contract as
     * `knnJoinSq8`. Probe selection shares `NearestLists` (float
@@ -639,6 +651,15 @@ object Similarity {
     val index = ivfPqBuild(emb, nList, m)
     val flat = index.books.flatMap(_.flatMap(_.toSeq))
     val ks = index.books.map(_.length)
+    require(ks.forall(_ <= 256), s"kSub > 256 cannot pack to bytes")
+    // the LONG-LIVED list state is the PqPack'd byte form (1 B/code —
+    // the FAISS layout); the build's array<int> store (4 B/code in
+    // UnsafeRow) is released as soon as the packed lists materialize
+    val packed = index.coded
+      .select(col("vid"), col("list_id"), Pq.pack(col("codes")).as("pc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packed.count()
+    index.release()
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     val probes =
@@ -648,11 +669,19 @@ object Similarity {
           .select(col("qid"), col("qe"), col("qn"), col("list_id"))
       else probeTopListsArr(q, Seq("qid", "qe", "qn"),
         index.centroids, probes0)
-    // candidates decode in the scan pipeline: the store stays codes
-    val cand = index.coded
-      .withColumn("cd", Pq.decode(col("codes"), flat, ks, index.sub))
+    // candidates decode in the scan pipeline: the store stays bytes.
+    // The packed frame is TINY (m B/vector) so the static planner
+    // wants to broadcast it — but this join fans out to
+    // N·nProbe·clusterRows rows whose decode+dot work then inherits
+    // the probe side's SCAN partitioning (a handful of parquet
+    // splits) instead of the shuffle width: measured 90 s → 207 s at
+    // 200 k × nProbe 8. Same trap as the band joins (round-3 rule):
+    // pin shuffle_hash so the heavy post-join projection runs at
+    // shuffle-partition parallelism.
+    val cand = packed
+      .withColumn("cd", Pq.decodeBytes(col("pc"), flat, ks, index.sub))
       .withColumn("cnd", sqrt(dot(col("cd"), col("cd"))))
-    val pool = probes.join(cand, Seq("list_id"))
+    val pool = probes.join(cand.hint("shuffle_hash"), Seq("list_id"))
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         (dot(col("qe"), col("cd")) / (col("qn") * col("cnd"))).as("adc"))
@@ -670,7 +699,48 @@ object Similarity {
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vid")
       .orderBy("qid", "rnk")
-    (res, () => index.release())
+    (res, () => packed.unpersist(blocking = false))
+  }
+
+  /** `knnJoinPq` behind an OPQ rotation — the FAISS `OPQ{m},IVF,PQ{m}`
+    * composite as a corpus-side join: an orthonormal rotation fit by
+    * the `opqFitLocal` alternation (Ge et al. 2013) decorrelates the
+    * subspaces BEFORE the PQ codebooks are fit, which is where PQ
+    * loses recall on vectors whose variance isn't axis-aligned.
+    * Rotation preserves dot products and norms exactly, so the coarse
+    * KMeans lists, the ADC ordering semantics, and the float refine
+    * cosines are the SAME quantities as the un-rotated path — only
+    * codebook fidelity changes. One `MatVec` (native codegen) per row
+    * at build/query time; the long-lived state is still m codes per
+    * vector plus the dim×dim rotation (driver-held metadata). With
+    * this rung every `IngestVectors` store layout (float / SQ8 / PQ /
+    * OPQ) has a corpus-side kNN consumer. */
+  def knnJoinOpq(emb: DataFrame, k: Int, nProbe: Int = 2,
+                 targetClusterRows: Long = 256, m: Int = 16,
+                 refine: Int = 4, iters: Int = 8,
+                 scanFrac: Option[Double] = None): DataFrame = {
+    val (res, release) =
+      knnJoinOpqScoped(emb, k, nProbe, targetClusterRows, m, refine, iters, scanFrac)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def knnJoinOpqScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
+                       targetClusterRows: Long = 256, m: Int = 16,
+                       refine: Int = 4, iters: Int = 8,
+                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dim = base.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    // rotation from the bounded driver sample (the ivfPqBuild inside
+    // re-fits codebooks on the rotated corpus — the alternation's
+    // books are only its fitting scaffold)
+    val (rot, _) = opqFitLocal(pqSamplePoints(base), m, 256, dim / m, iters)
+    val rotated = base.select(col("vec_id"),
+      graft.functions.MatVecF(col("e"), rot, dim).as("embedding"))
+    knnJoinPqScoped(rotated, k, nProbe, targetClusterRows, m, refine, scanFrac)
   }
 
   /** Scalar-quantized (int8) brute-force cosine top-k — `cosineTopK`

@@ -296,6 +296,52 @@ class PlanAuditSpec extends SparkSpec {
           if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
       }
       assert(equi.nonEmpty, "candidate generation lost its list_id equi-join")
+      // fan-out join: lists under the broadcast threshold must still
+      // shuffle, or the post-join dot work inherits the probe side's
+      // scan partitioning (measured 2.5× on the PQ rung)
+      assert(!equi.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "corpus-side candidate join statically broadcasts the list frame")
+    } finally release()
+  }
+
+  test("q152 PQ kNN join: codes decode in the scan pipeline, no float corpus before refine") {
+    // The memory-wall claim: the long-lived lists hold m PQ codes, and
+    // the float corpus appears ONLY in the bounded post-pool refine
+    // join. Pinned facts: (1) pq_decode runs inline (a projection in
+    // the candidate pipeline — present in the plan, so the store is
+    // codes, not reconstructions); (2) candidates come from a list_id
+    // equi-join, never a cartesian/BNLJ; (3) exactly two joins total —
+    // probe×coded on list_id and the refine join on vid. A third join
+    // would mean the candidate path started consuming a float frame.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (res, release) = Similarity.knnJoinPqScoped(emb, 5, m = 8)
+    try {
+      val p = res.queryExecution.sparkPlan
+      assert(p.collectWithSubqueries {
+        case c: CartesianProductExec => c
+      }.isEmpty, "PQ kNN join plans a cartesian product")
+      assert(p.collectWithSubqueries {
+        case b: BroadcastNestedLoopJoinExec => b
+      }.isEmpty, "PQ kNN probe regressed to a joined intermediate")
+      val joins = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.length == 2,
+        s"expected probe equi-join + refine join only, got ${joins.length}")
+      assert(joins.exists(_.leftKeys.exists(_.references.exists(_.name == "list_id"))),
+        "candidate generation lost its list_id equi-join")
+      // the packed lists are m B/vector — small enough that the static
+      // planner broadcasts them, which strands the N·nProbe·clusterRows
+      // decode+dot work on the probe side's scan partitions (measured
+      // 2.5× at 200 k vectors): the list_id join must stay shuffled
+      assert(!joins.exists(j =>
+        j.isInstanceOf[BroadcastHashJoinExec] &&
+          j.leftKeys.exists(_.references.exists(_.name == "list_id"))),
+        "packed candidate join statically broadcasts — post-join work loses shuffle parallelism")
+      assert(p.toString.contains("pq_decode"),
+        "candidate scoring no longer decodes codes inline (pq_decode missing)")
     } finally release()
   }
 

@@ -314,6 +314,46 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("knnJoinOpq: rotated-space PQ join holds the PQ recall floor on planted clusters") {
+    // the OPQ rung must behave like knnJoinPq with a rotation in
+    // front: same planted-cluster regime, same refined-recall floor
+    // (rotation can only help codebook fit, and the refine cosines
+    // are rotation-invariant), and probed-mode determinism
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(10)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    val full = Similarity.knnJoin(d, 5, targetClusterRows = 25,
+      scanFrac = Some(1.0))
+    val fullByQ = full.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    full.unpersist(blocking = false)
+    val opq = Similarity.knnJoinOpq(d, 5, targetClusterRows = 25, m = 4,
+      refine = 8, iters = 4, scanFrac = Some(1.0))
+    val opqRows = opq.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    opq.unpersist(blocking = false)
+    opqRows.foreach { case (q, _, v) => assert(q != v, s"self match $q") }
+    val byQ = opqRows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byQ.size == rows.length)
+    val recall = fullByQ.keys.toSeq.map { q =>
+      fullByQ(q).intersect(byQ(q)).size.toDouble / fullByQ(q).size
+    }.sum / fullByQ.size
+    info(s"OPQ refined recall@5 = $recall")
+    assert(recall >= 0.85, s"OPQ refined recall@5 $recall < 0.85 vs float path")
+    val p1 = Similarity.knnJoinOpq(d, 5, nProbe = 2, targetClusterRows = 25,
+      m = 4, iters = 4)
+    val r1 = p1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p1.unpersist(blocking = false)
+    val p2 = Similarity.knnJoinOpq(d, 5, nProbe = 2, targetClusterRows = 25,
+      m = 4, iters = 4)
+    val r2 = p2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    p2.unpersist(blocking = false)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("PqDecode inverts PqEncode up to quantization: reconstruction error bounded by fit distortion") {
     import graft.functions.Pq
     import org.apache.spark.sql.functions.col
@@ -327,8 +367,16 @@ class SimilaritySpec extends SparkSpec {
     val out = all.limit(50)
       .select(col("vec_id"),
         Pq.decode(Pq.encode(col("e"), flat, ks, dim / 8), flat, ks, dim / 8).as("cd"),
-        col("e"))
+        col("e"),
+        Pq.decodeBytes(Pq.pack(Pq.encode(col("e"), flat, ks, dim / 8)),
+          flat, ks, dim / 8).as("cdb"))
       .collect()
+    // the packed byte layout is a pure re-encoding: decode equality
+    // must be bit-for-bit
+    out.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](3),
+        s"vec ${r.getLong(0)}: PqDecodeBytes(PqPack(x)) != PqDecode(x)")
+    }
     out.foreach { r =>
       val e = r.getSeq[Double](2).toArray
       val n0 = math.sqrt(e.map(x => x * x).sum)
