@@ -730,6 +730,15 @@ object SparkEntry {
     // determinism pinned by SimilaritySpec
     "q154_knn_join_opq" -> ((s, d) =>
       Similarity.knnJoinOpq(embeddings(s, d), 5, m = 8)),
+    // the OPQ rung's exhaustive dial: rotation preserves dots/norms,
+    // so scanFrac = 1.0 + a corpus-covering refine pool is again the
+    // exact brute ranking — hash-green through rotation + codebooks
+    // (every rung of the corpus-side ladder now carries a green dial)
+    "q155_knn_opq_exhaustive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.knnJoinOpq(e, 5, m = 8,
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1275,6 +1284,16 @@ object SparkEntry {
     // path's float refine ranks every candidate, so the ADC stage
     // cannot change the result — only the plumbing differs
     "q153_knn_pq_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // brute oracle again: at the exhaustive dial the rotated-space
+    // refine ranks every candidate by a rotation-invariant cosine
+    "q155_knn_opq_exhaustive" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
       s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,

@@ -511,9 +511,20 @@ object Similarity {
                     knownCount: Option[Long] = None,
                     scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, knownCount)
+    val index = ivfBuild(emb, nList)
+    (knnJoinIndexed(emb, index, k, nProbe, scanFrac), () => index.release())
+  }
+
+  /** `knnJoin` against a caller-owned float index — the build-once /
+    * join-repeatedly form (`ivfBuild` or an `ivfLoad`ed store): no
+    * KMeans fit, no assignment pass; the caller releases the index.
+    * Join-after-reload equals join-after-build (`SimilaritySpec`). */
+  def knnJoinIndexed(emb: DataFrame, index: IvfIndex, k: Int,
+                     nProbe: Int = 2,
+                     scanFrac: Option[Double] = None): DataFrame = {
+    val nList = index.nList
     val probes0 = scanFrac
       .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
-    val index = ivfBuild(emb, nList)
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     // probes0 >= nList means every list is probed regardless of rank —
@@ -538,7 +549,7 @@ object Similarity {
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vid")
       .orderBy("qid", "rnk")
-    (res, () => index.release())
+    res
   }
 
   /** `knnJoin` over an SQ8-QUANTIZED index — the memory-wall form: at
@@ -642,24 +653,41 @@ object Similarity {
                       targetClusterRows: Long = 256, m: Int = 16,
                       refine: Int = 4,
                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+    val nList = autoK(emb, targetClusterRows, None)
+    val index = ivfPqBuild(emb, nList, m)
+    val (res, releasePacked) =
+      knnJoinPqIndexed(emb, index, k, nProbe, refine, scanFrac)
+    // the packed lists are materialized eagerly inside Indexed, so the
+    // build's array<int> store can drop immediately (the memory story)
+    index.release()
+    (res, releasePacked)
+  }
+
+  /** `knnJoinPq` against a caller-owned IVF,PQ index — the build-once
+    * / join-repeatedly form (`ivfPqBuild` or an `ivfPqLoad`ed store;
+    * the caller releases the index). The returned hook releases only
+    * the internally-`PqPack`ed list frame. Join-after-reload equals
+    * join-after-build (`SimilaritySpec`). */
+  def knnJoinPqIndexed(emb: DataFrame, index: IvfPqIndex, k: Int,
+                       nProbe: Int = 2, refine: Int = 4,
+                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
     import graft.functions.Pq
     val spark = emb.sparkSession
     import spark.implicits._
-    val nList = autoK(emb, targetClusterRows, None)
+    val nList = index.nList
     val probes0 = scanFrac
       .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
-    val index = ivfPqBuild(emb, nList, m)
     val flat = index.books.flatMap(_.flatMap(_.toSeq))
     val ks = index.books.map(_.length)
     require(ks.forall(_ <= 256), s"kSub > 256 cannot pack to bytes")
     // the LONG-LIVED list state is the PqPack'd byte form (1 B/code —
-    // the FAISS layout); the build's array<int> store (4 B/code in
-    // UnsafeRow) is released as soon as the packed lists materialize
+    // the FAISS layout), materialized EAGERLY so callers that own the
+    // index (build or loaded store) can release its array<int> codes
+    // (4 B/code in UnsafeRow) right after this returns
     val packed = index.coded
       .select(col("vid"), col("list_id"), Pq.pack(col("codes")).as("pc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     packed.count()
-    index.release()
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     val probes =

@@ -354,6 +354,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("knnJoinIndexed / knnJoinPqIndexed: join-after-reload equals join-after-build") {
+    // the build-once / join-repeatedly contract: a saved-then-loaded
+    // store must produce the identical corpus-wide join (same seeded
+    // build, same lists, same codes — equality is exact, not recall)
+    val rng = new scala.util.Random(29)
+    val rows = (0L until 120L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+    val d = emb(rows: _*)
+    // float store
+    val fDir = java.nio.file.Files.createTempDirectory("knn_ivf").toString
+    val built = Similarity.ivfBuild(d, nList = 4)
+    try {
+      val before = Similarity.knnJoinIndexed(d, built, 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      Similarity.ivfSave(built, fDir)
+      val loaded = Similarity.ivfLoad(spark, fDir)
+      try {
+        val after = Similarity.knnJoinIndexed(d, loaded, 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(after == before)
+      } finally loaded.release()
+    } finally built.release()
+    // PQ store
+    val pDir = java.nio.file.Files.createTempDirectory("knn_ivfpq").toString
+    val pqBuilt = Similarity.ivfPqBuild(d, nList = 4, m = 4)
+    try {
+      val (res, rel) = Similarity.knnJoinPqIndexed(d, pqBuilt, 5, nProbe = 2)
+      val before = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      rel()
+      Similarity.ivfPqSave(pqBuilt, pDir)
+      val loaded = Similarity.ivfPqLoad(spark, pDir)
+      try {
+        val (res2, rel2) = Similarity.knnJoinPqIndexed(d, loaded, 5, nProbe = 2)
+        val after = res2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        rel2()
+        assert(after == before)
+      } finally loaded.release()
+    } finally pqBuilt.release()
+  }
+
   test("PqDecode inverts PqEncode up to quantization: reconstruction error bounded by fit distortion") {
     import graft.functions.Pq
     import org.apache.spark.sql.functions.col
