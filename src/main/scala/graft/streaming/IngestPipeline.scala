@@ -22,7 +22,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   5. one per-batch quality telemetry row over the KEPT docs
   *      (`MonitorQuality.batchStats`);
   *   6. optionally (`vocabPath`, feed must carry `source`) per-source
-  *      HLL vocabulary sketches of the KEPT docs (`IngestVocab`).
+  *      HLL vocabulary sketches of the KEPT docs (`IngestVocab`);
+  *   7. optionally (`neighborsPath`) ONLINE PAIR MINING: each kept
+  *      doc's top-`neighborK` neighbors among everything ingested
+  *      BEFORE its batch (`IngestVectors.searchBatch` against the
+  *      pre-append store, any saved layout), appended as
+  *      (qid, rnk, vid, batch_id) rows — the streaming face of the
+  *      corpus-wide `knnJoin`, O(batch) per batch.
   *
   * Because every sink is fed from the same persisted kept frame inside
   * one batch closure, the stores stay MUTUALLY CONSISTENT
@@ -57,11 +63,28 @@ object IngestPipeline {
     * still holds trivially). */
   def processBatch(batch: DataFrame, batchId: Long, sigStorePath: String,
                    outPath: String, indexPath: String, telemetryPath: String,
-                   threshold: Double, vocabPath: Option[String] = None): Long = {
+                   threshold: Double, vocabPath: Option[String] = None,
+                   neighborsPath: Option[String] = None,
+                   neighborK: Int = 5, neighborProbe: Int = 2): Long = {
     val (kept, keptSigs, release) =
       IngestDedup.gateBatch(batch, sigStorePath, threshold)
     val nKept = kept.count()
     if (nKept > 0) {
+      // optional online pair mining: each KEPT doc's top-k neighbors
+      // among everything ingested BEFORE this batch. Must run before
+      // the index append both for its semantics (prior corpus only —
+      // within-batch pairs are the offline knnJoin's job) and for the
+      // refreshByPath rule (the search reads indexPath; appending
+      // first would re-execute it against a store containing the
+      // batch itself).
+      neighborsPath.foreach { np =>
+        val nb = IngestVectors.searchBatch(
+          kept.select(col("doc_id").as("vec_id"), col("embedding")),
+          indexPath, neighborK, neighborProbe)
+        nb.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(np)
+        nb.unpersist(blocking = false)
+      }
       // ORDER MATTERS: the signature-store append must come LAST.
       // Writing to sigStorePath triggers refreshByPath, which recaches
       // every plan reading that path — including `kept` (its anti-join
@@ -100,7 +123,9 @@ object IngestPipeline {
             indexPath: String, telemetryPath: String, threshold: Double,
             checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime(0L),
-            vocabPath: Option[String] = None): StreamingQuery = {
+            vocabPath: Option[String] = None,
+            neighborsPath: Option[String] = None,
+            neighborK: Int = 5, neighborProbe: Int = 2): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil)
     docs.select(cols.map(col): _*).writeStream
@@ -109,7 +134,8 @@ object IngestPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath, indexPath,
-          telemetryPath, threshold, vocabPath)
+          telemetryPath, threshold, vocabPath, neighborsPath,
+          neighborK, neighborProbe)
         ()
       }
       .start()

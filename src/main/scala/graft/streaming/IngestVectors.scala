@@ -62,6 +62,47 @@ object IngestVectors {
     n
   }
 
+  /** Search a batch of query vectors against whatever saved layout
+    * lives at `indexPath` — the read face of the ingest loop and the
+    * streaming half of online pair mining: each arriving batch can
+    * mine its top-k neighbors among EVERYTHING INGESTED SO FAR in
+    * O(batch · nProbe · clusterRows) (IVF tiers) or O(batch · m·kSub +
+    * batch · codes) ADC (flat PQ/OPQ), never touching kept text and
+    * never rescanning the corpus. Same directory-shape dispatch as
+    * `processBatch`; `nProbe` applies to the IVF layouts. Returns
+    * (qid, rnk, vid), materialized so the loaded store is released
+    * before returning — callers sink it and unpersist. */
+  def searchBatch(queries: DataFrame, indexPath: String, k: Int,
+                  nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
+    val (res, release): (DataFrame, () => Unit) =
+      if (has("assigned")) {
+        val idx = Similarity.ivfLoad(spark, indexPath)
+        val r =
+          if (idx.assigned.columns.contains("qc"))
+            Similarity.ivfSearchSq8(idx, queries, k, nProbe)
+          else Similarity.ivfSearch(idx, queries, k, nProbe)
+        (r, () => idx.release())
+      } else if (has("books") && has("centroids")) {
+        val idx = Similarity.ivfPqLoad(spark, indexPath)
+        (Similarity.ivfPqSearch(idx, queries, k, nProbe), () => idx.release())
+      } else if (has("books") && has("rot")) {
+        val idx = Similarity.opqLoad(spark, indexPath)
+        (Similarity.opqSearch(idx, queries, k), () => idx.release())
+      } else if (has("books")) {
+        val idx = Similarity.pqLoad(spark, indexPath)
+        (Similarity.pqSearch(idx, queries, k), () => idx.release())
+      } else throw new IllegalArgumentException(
+        s"$indexPath is not an ivfSave/ivfPqSave/opqSave/pqSave store")
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
   /** Skew-gated offline maintenance for an `ivfSave` IVF store — the
     * companion the append-only loop needs eventually: frozen centroids
     * keep per-batch cost O(batch) but let a drifted feed pile new

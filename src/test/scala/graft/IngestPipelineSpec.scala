@@ -109,6 +109,78 @@ class IngestPipelineSpec extends SparkSpec {
     assert(pairs1 == pairs2)
   }
 
+  test("neighbor sink: per-batch mining equals offline search on the pre-append store, prior corpus only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+
+    // one seeded build, saved to three identical stores: A (pipeline
+    // with the neighbor sink), B (replays batch 1 only — the state
+    // batch 2's search must have seen), C (never appended — the state
+    // batch 1's search must have seen)
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    val (pathA, pathB, pathC) = (tmp("nb_a"), tmp("nb_b"), tmp("nb_c"))
+    Seq(pathA, pathB, pathC).foreach(Similarity.ivfSave(seedIdx, _))
+    seedIdx.release()
+
+    val b1 = feed.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val b2 = feed.where($"doc_id" >= 350 && $"doc_id" < 400)
+    val (sigsA, outA, teleA, nbrs) =
+      (tmp("nb_sigs"), tmp("nb_out"), tmp("nb_tele"), tmp("nb_pairs"))
+    IngestPipeline.processBatch(b1, 0L, sigsA, outA, pathA, teleA, 0.5,
+      neighborsPath = Some(nbrs), neighborK = 3)
+    IngestPipeline.processBatch(b2, 1L, sigsA, outA, pathA, teleA, 0.5,
+      neighborsPath = Some(nbrs), neighborK = 3)
+
+    val mined = spark.read.parquet(nbrs)
+      .select("batch_id", "qid", "rnk", "vid").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
+    val mined0 = mined.filter(_._1 == 0L).map(_._2).toSet
+    val mined1 = mined.filter(_._1 == 1L).map(_._2).toSet
+
+    // prior-corpus-only + consume-before-append: batch 1 mines against
+    // the seed alone — no batch-1 vid can appear among its neighbors
+    assert(mined0.nonEmpty)
+    assert(mined0.forall(_._3 < 300L),
+      "batch-1 neighbors leaked post-append store state")
+
+    // replay the same gate on a separate store to learn each batch's
+    // kept set (the gate is deterministic)
+    val (sigsB, outB) = (tmp("nb_sigs_b"), tmp("nb_out_b"))
+    graft.streaming.IngestDedup.processBatch(
+      b1.select("doc_id", "text"), sigsB, outB, 0.5)
+    val kept1 = spark.read.parquet(outB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept1Vecs = feed.where($"doc_id".isin(kept1.toSeq: _*))
+      .select($"doc_id".as("vec_id"), $"embedding")
+
+    // batch 1 mining == offline search against the untouched seed store
+    val off0 = IngestVectors.searchBatch(kept1Vecs, pathC, 3)
+    val exp0 = off0.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    off0.unpersist(blocking = false)
+    assert(mined0 == exp0)
+
+    // batch 2 mining == offline search against seed + kept batch 1
+    IngestVectors.processBatch(kept1Vecs, pathB)
+    graft.streaming.IngestDedup.processBatch(
+      b2.select("doc_id", "text"), sigsB, outB, 0.5)
+    val kept2 = spark.read.parquet(outB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- kept1
+    val kept2Vecs = feed.where($"doc_id".isin(kept2.toSeq: _*))
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val off1 = IngestVectors.searchBatch(kept2Vecs, pathB, 3)
+    val exp1 = off1.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    off1.unpersist(blocking = false)
+    assert(mined1 == exp1)
+    // and batch 2 may (and on this data does) surface batch-1 docs
+    assert(mined1.exists(t => t._3 >= 300L && t._3 < 350L))
+  }
+
   test("streaming start: one foreachBatch drives all three stores consistently") {
     // tiny synthetic corpus so the MemoryStream tuple encoder stays simple
     val dim = 4
