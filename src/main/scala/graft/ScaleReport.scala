@@ -38,7 +38,7 @@ object ScaleReport {
         .foreach(_.unpersist(blocking = false))
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
-    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq) for
+    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -674,6 +674,47 @@ object ScaleReport {
       }
       val totalKept = spark.read.parquet(tmpO).count()
       println(s"""{"op":"ingest_total","kept":$totalKept,"docs":$nDocs}""")
+    }
+
+    // Online pair mining inside the unified ingest: per-batch cost of
+    // gate → mine-neighbors → land → index-append → telemetry as the
+    // store grows. The search term is O(batch · nProbe · clusterRows)
+    // with clusterRows = store/nList under the frozen seed quantizer,
+    // so per-batch time is EXPECTED to grow mildly with the store
+    // until maintenance rebalances — report store_before so the growth
+    // law is visible, not hidden.
+    if (section("pairmine")) {
+      import graft.streaming.IngestPipeline
+      val seedN = math.max(256L, nVecs / 10)
+      val idxPath = java.nio.file.Files.createTempDirectory("pm_index").toString
+      val seedIdx = Similarity.ivfBuild(
+        emb.where(col("vec_id") < seedN),
+        math.max(8L, seedN / 256).toInt)
+      Similarity.ivfSave(seedIdx, idxPath)
+      seedIdx.release()
+      val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val (sigsP, outP, teleP, nbrsP) = (
+        java.nio.file.Files.createTempDirectory("pm_sigs").toString,
+        java.nio.file.Files.createTempDirectory("pm_out").toString,
+        java.nio.file.Files.createTempDirectory("pm_tele").toString,
+        java.nio.file.Files.createTempDirectory("pm_nbrs").toString)
+      val nBatches = 5
+      val span = math.max(1L, (nVecs - seedN) / nBatches)
+      for (b <- 0 until nBatches) {
+        val lo = seedN + b * span
+        val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
+        val batch = feed.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val storeBefore = spark.read.parquet(s"$idxPath/assigned").count()
+        val t0 = System.nanoTime()
+        val kept = IngestPipeline.processBatch(batch, b.toLong, sigsP, outP,
+          idxPath, teleP, 0.5, neighborsPath = Some(nbrsP), neighborK = 10)
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        println(f"""{"op":"pairmine_batch","batch":$b,"kept":$kept,"store_before":$storeBefore,"sec":$sec%.2f}""")
+      }
+      val pairs = spark.read.parquet(nbrsP).count()
+      println(s"""{"op":"pairmine_total","pairs":$pairs}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size
