@@ -579,11 +579,25 @@ object Similarity {
   def knnJoinSq8Scoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                        targetClusterRows: Long = 256, refine: Int = 4,
                        scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
-    import graft.functions.Sq8
     val nList = autoK(emb, targetClusterRows, None)
+    val index = ivfBuildSq8(emb, nList)
+    (knnJoinSq8Indexed(emb, index, k, nProbe, refine, scanFrac),
+      () => index.release())
+  }
+
+  /** `knnJoinSq8` against a caller-owned SQ8 index — the build-once /
+    * join-repeatedly form (`ivfBuildSq8` or an `ivfLoad`ed SQ8 store;
+    * the caller releases the index). Join-after-reload equals
+    * join-after-build (`SimilaritySpec`). */
+  def knnJoinSq8Indexed(emb: DataFrame, index: IvfIndex, k: Int,
+                        nProbe: Int = 2, refine: Int = 4,
+                        scanFrac: Option[Double] = None): DataFrame = {
+    import graft.functions.Sq8
+    require(index.assigned.columns.contains("qc"),
+      "knnJoinSq8Indexed needs an SQ8 list store (qc column) — use knnJoinIndexed for float lists")
+    val nList = index.nList
     val probes0 = scanFrac
       .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
-    val index = ivfBuildSq8(emb, nList)
     val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
       .withColumn("qq", Sq8.encode(col("qe")))
@@ -618,7 +632,7 @@ object Similarity {
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vid")
       .orderBy("qid", "rnk")
-    (res, () => index.release())
+    res
   }
 
   /** `knnJoin` over a PQ-CODED store — the deepest rung of the

@@ -354,7 +354,7 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
-  test("knnJoinIndexed / knnJoinPqIndexed: join-after-reload equals join-after-build") {
+  test("knnJoin Indexed forms (float/SQ8/PQ): join-after-reload equals join-after-build") {
     // the build-once / join-repeatedly contract: a saved-then-loaded
     // store must produce the identical corpus-wide join (same seeded
     // build, same lists, same codes — equality is exact, not recall)
@@ -375,6 +375,20 @@ class SimilaritySpec extends SparkSpec {
         assert(after == before)
       } finally loaded.release()
     } finally built.release()
+    // SQ8 store (same ivfSave/ivfLoad envelope, qc lists)
+    val sDir = java.nio.file.Files.createTempDirectory("knn_ivfsq8").toString
+    val sq8Built = Similarity.ivfBuildSq8(d, nList = 4)
+    try {
+      val before = Similarity.knnJoinSq8Indexed(d, sq8Built, 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      Similarity.ivfSave(sq8Built, sDir)
+      val loaded = Similarity.ivfLoad(spark, sDir)
+      try {
+        val after = Similarity.knnJoinSq8Indexed(d, loaded, 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(after == before)
+      } finally loaded.release()
+    } finally sq8Built.release()
     // PQ store
     val pDir = java.nio.file.Files.createTempDirectory("knn_ivfpq").toString
     val pqBuilt = Similarity.ivfPqBuild(d, nList = 4, m = 4)
