@@ -68,6 +68,15 @@ case class NearestLists(child: Expression, flatCents: Array[Double],
         if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
         c += 1
       }
+      if (best < 0) {
+        // every remaining dot is NaN (NaN query component): the
+        // strict-> scan picks nothing. Degrade like the old window
+        // form (row_number ranks NaN rows too) instead of throwing —
+        // take the lowest untaken list id; one hostile vector must
+        // not kill the job. p < nOut <= nList guarantees one exists.
+        best = 0
+        while (taken(best)) best += 1
+      }
       taken(best) = true
       out(p) = listIds(best)
       p += 1
@@ -108,6 +117,12 @@ case class NearestLists(child: Expression, flatCents: Array[Double],
             if (!$taken[$c] && $dots[$c] > $bestDot) {
               $bestDot = $dots[$c]; $best = $c;
             }
+          }
+          if ($best < 0) {
+            // NaN query: no dot survives strict-> — fall back to the
+            // lowest untaken index (see nullSafeEval)
+            $best = 0;
+            while ($taken[$best]) $best++;
           }
           $taken[$best] = true;
           $out[$p] = $idsRef[$best];

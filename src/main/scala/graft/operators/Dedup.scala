@@ -947,11 +947,19 @@ object Dedup {
       .parquet(new org.apache.hadoop.fs.Path(path, "g0").toString)
   }
 
-  /** The store's sketch geometry, as written by `cmsStoreSave`. */
+  /** The store's sketch geometry, as written by `cmsStoreSave`. A
+    * store with generations but no `meta/` predates the geometry
+    * check — fail with the recovery path, not a raw
+    * path-not-found AnalysisException from the parquet reader. */
   def cmsStoreGeometry(spark: org.apache.spark.sql.SparkSession,
                        path: String): (Int, Int, Int) = {
-    val m = spark.read
-      .parquet(new org.apache.hadoop.fs.Path(path, "meta").toString)
+    val meta = new org.apache.hadoop.fs.Path(path, "meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta),
+      s"$path is a pre-geometry CMS store (generations exist but no meta/): " +
+        "rewrite it once with cmsStoreSave(cmsStoreLoad(spark, path), newPath, " +
+        "k, depth, width) using the geometry it was built with, then merge there")
+    val m = spark.read.parquet(meta.toString)
       .select(col("k"), col("depth"), col("width")).head()
     (m.getInt(0), m.getInt(1), m.getInt(2))
   }

@@ -24,11 +24,15 @@ case class ImageStats(media_id: Long, width: Int, height: Int,
   * decode actual pixels and `resizePixels` is a deterministic
   * nearest-neighbor resampler (manual raster indexing, no AWT
   * rendering pipeline, so results are bit-stable across JVMs).
-  * AUDIO/VIDEO decode remains a declared STUB (`decodeStub`) — the JDK
-  * carries no codecs for them; everything around the stub — schema,
-  * typed Dataset plumbing, partition-balanced batch shape, the
-  * frame-sampling generator — is real, and swapping the stub for a
-  * JNI/library call changes no plan shape.
+  * AUDIO decode is REAL (`decodeAudio` — PCM WAV/AIFF/AU via the
+  * JDK's `javax.sound.sampled`, exact integer statistics) and VIDEO
+  * is real for lossless payloads (`aviDemux` — uncompressed-AVI
+  * demux + per-frame raster decode). Only COMPRESSED codecs
+  * (H.264/VP9/AAC/MP3) remain a declared STUB (`decodeStub`) — the
+  * offline JDK carries no codecs for them; everything around that
+  * stub — schema, typed Dataset plumbing, partition-balanced batch
+  * shape, the frame-sampling generator — is real, and swapping the
+  * stub for a JNI/library call changes no plan shape.
   *
   * Scale notes: decode is embarrassingly parallel; `repartitionByBytes`
   * balances skewed payload sizes before the expensive step so no
@@ -150,12 +154,25 @@ object Multimodal {
     * a float in sight). None for undecodable or non-16-bit payloads. */
   def decodeAudio(bytes: Array[Byte]): Option[(Long, Int, Int, Long)] = {
     import javax.sound.sampled.AudioSystem
+    try decodeAudioStream(AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  /** Stream-level body of `decodeAudio` — separated so the frame-size
+    * guard is testable: the JDK's own WAV/AIFF/AU readers always
+    * compute a positive frame size, but `AudioFormat` admits
+    * `NOT_SPECIFIED` (-1) and third-party SPI providers do return it. */
+  private[graft] def decodeAudioStream(
+      in: javax.sound.sampled.AudioInputStream): Option[(Long, Int, Int, Long)] = {
     try {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16) { in.close(); None }
-      else {
+      // getFrameSize can be AudioSystem.NOT_SPECIFIED (-1) or 0 on a
+      // hostile/odd header — dividing by it would yield a negative
+      // n_frames (or throw), not the documented None-for-undecodable
+      if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) {
+        in.close(); None
+      } else {
         val data = in.readAllBytes()
         in.close()
         val bb = java.nio.ByteBuffer.wrap(data).order(

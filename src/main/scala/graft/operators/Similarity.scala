@@ -311,11 +311,17 @@ object Similarity {
     * the max-magnitude code is ±127 by construction, so re-encoding a
     * reconstruction regenerates the identical scale and codes
     * (`IvfRebalanceSpec` pins it bit-for-bit). */
-  def ivfReconstruct(index: IvfIndex): DataFrame = {
-    val spark = index.assigned.sparkSession
+  def ivfReconstruct(index: IvfIndex): DataFrame =
+    reconstructAssigned(index.assigned)
+
+  /** Frame-level body of `ivfReconstruct` — also reconstructs gap rows
+    * read straight off a saved store (`ivfReplayGap`), where no
+    * persisted `IvfIndex` exists. */
+  private def reconstructAssigned(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    if (index.assigned.columns.contains("qc"))
-      index.assigned.select(col("vid"), col("qc")).as[(Long, Array[Byte])]
+    if (assigned.columns.contains("qc"))
+      assigned.select(col("vid"), col("qc")).as[(Long, Array[Byte])]
         .map { case (vid, qc) =>
           var bits = 0L
           var i = 0
@@ -324,7 +330,32 @@ object Similarity {
           (vid, Array.tabulate(qc.length - 8)(j => qc(8 + j) * scale))
         }.toDF("vec_id", "embedding")
     else
-      index.assigned.select(col("vid").as("vec_id"), col("ce").as("embedding"))
+      assigned.select(col("vid").as("vec_id"), col("ce").as("embedding"))
+  }
+
+  /** Close the append gap between two generations of an `ivfSave`d
+    * store: any vid present in `srcPath` but absent from `dstPath`
+    * (an at-least-once batch that landed on the old path after the
+    * rebuild's `ivfLoad` snapshot) is reconstructed from the old
+    * store's own truth (float rows verbatim; SQ8 dequantized — exact
+    * round-trip, `IvfRebalanceSpec`) and appended to the new
+    * generation via `ivfAppendSave`. Idempotent (anti-join by vid;
+    * replay duplicates collapse first), so the supervisor can call it
+    * again at reader-swap time to close the post-rebuild tail. Cost:
+    * one vid anti-join over the old lists + O(gap) assignment —
+    * never a quantizer refit. Returns the number of replayed
+    * vectors. */
+  def ivfReplayGap(spark: org.apache.spark.sql.SparkSession,
+                   srcPath: String, dstPath: String): Long = {
+    val src = spark.read.parquet(s"$srcPath/assigned")
+    val dstVids = spark.read.parquet(s"$dstPath/assigned").select("vid")
+    val gap = reconstructAssigned(
+        src.join(dstVids, Seq("vid"), "left_anti").dropDuplicates("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = gap.count()
+    if (n > 0) ivfAppendSave(spark, dstPath, gap)
+    gap.unpersist(blocking = false)
+    n
   }
 
   /** Retrain-on-drift — the maintenance half of the append story.

@@ -111,10 +111,17 @@ object IngestVectors {
     * rebalanced generation to `dstPath` and returns true — the caller
     * (an ingest supervisor) swaps readers to the new path at its own
     * pace while the at-least-once ingest keeps appending to the OLD
-    * path until the swap, so no batch is lost mid-rebuild. Below the
-    * threshold: one nList-row aggregation, nothing written, false.
-    * IVF float/SQ8 stores only (the PQ tiers refit codebooks via
-    * their own build path). */
+    * path until the swap. The rebuild works from the `ivfLoad`
+    * SNAPSHOT, so batches that land on the old path mid-rebuild would
+    * be absent from the new generation — before returning, this
+    * replays them via `Similarity.ivfReplayGap` (vid anti-join old →
+    * new, reconstruct from the old store's own truth, frozen-centroid
+    * append). Batches that land AFTER this returns and BEFORE the
+    * reader swap are the supervisor's half of the contract: call
+    * `ivfReplayGap(old, new)` once more at swap time — it is
+    * idempotent and O(gap). Below the threshold: one nList-row
+    * aggregation, nothing written, false. IVF float/SQ8 stores only
+    * (the PQ tiers refit codebooks via their own build path). */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, maxSkew: Double,
                     dstPath: String): Boolean = {
@@ -124,6 +131,8 @@ object IngestVectors {
       val reb = Similarity.ivfRebalance(idx) // releases idx
       Similarity.ivfSave(reb, dstPath)
       reb.release()
+      // close the mid-rebuild append window (no-op when nothing landed)
+      Similarity.ivfReplayGap(spark, indexPath, dstPath)
       true
     } else {
       idx.release()

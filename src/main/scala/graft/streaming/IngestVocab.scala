@@ -24,10 +24,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * pinned by `IngestVocabSpec`).
   *
   * Same store discipline as the siblings: parquet state, O(batch)
-  * per-batch cost, at-least-once tolerated — a replayed batch appends
-  * a bit-identical sketch row, and HLL union is idempotent (merging
-  * the same sketch twice changes nothing), so replays never even
-  * perturb the estimate. Input columns: (source, text).
+  * per-batch cost, at-least-once tolerated — `mergeReport` keeps one
+  * row per (source, batch_id), so a replayed batch's row collapses
+  * BY KEY, not by byte equality. (Whole-row distinct would be wrong:
+  * DataSketches HLL serialization in sparse/list mode is
+  * insertion-order-dependent and Spark aggregation order is
+  * nondeterministic, so a replayed row need not be bit-identical —
+  * vocab_est would survive via union idempotency, but sum(n_tokens)
+  * would double-count.) Input columns: (source, text).
   */
 object IngestVocab {
 
@@ -55,9 +59,13 @@ object IngestVocab {
   /** The running audit: per source, the number of batches seen, total
     * token occurrences, and the HLL estimate of the all-time distinct
     * vocabulary — one `hll_union_agg` fold over the source's sketch
-    * rows. Replay-duplicate rows are collapsed by distinct (they are
-    * bit-identical) and would be harmless anyway (HLL union is
-    * idempotent). */
+    * rows. Replay duplicates are collapsed by (source, batch_id) KEY
+    * — sketch bytes for the same batch are not guaranteed
+    * bit-identical (HLL sparse-mode serialization depends on
+    * aggregation order), so byte-level distinct would let a replayed
+    * row double-count n_tokens. vocab_est never needed the dedup
+    * (HLL union is idempotent); the key dedup makes n_tokens and
+    * n_batches replay-exact too. */
   def report(spark: org.apache.spark.sql.SparkSession,
              storePath: String): DataFrame =
     mergeReport(spark.read.parquet(storePath))
@@ -65,7 +73,7 @@ object IngestVocab {
   /** The merge-and-estimate fold over any frame of sketch rows (the
     * q143 driver query runs it over in-session batch sketches). */
   def mergeReport(sketches: DataFrame): DataFrame =
-    sketches.distinct()
+    sketches.dropDuplicates(Seq("source", "batch_id"))
       .groupBy("source")
       .agg(countDistinct(col("batch_id")).as("n_batches"),
         sum(col("n_tokens")).as("n_tokens"),

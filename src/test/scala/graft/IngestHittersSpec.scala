@@ -76,4 +76,20 @@ class IngestHittersSpec extends SparkSpec {
     assert(sketchMap(Dedup.cmsStoreLoad(spark, dir)) ==
       sketchMap(Dedup.cmsSketch(all)))
   }
+
+  test("pre-geometry store (generations but no meta/) fails with the recovery path") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.where(col("doc_id") < 50)
+    val dir = tmp("cms_pregeom")
+    // a store written before geometry metadata existed: g0, no meta/
+    Dedup.cmsSketch(docs).write.parquet(s"$dir/g0")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.cmsStoreMerge(spark, dir, docs)
+    }
+    // actionable message, not the parquet reader's path-not-found
+    assert(ex.getMessage.contains("pre-geometry") &&
+      ex.getMessage.contains("cmsStoreSave"), ex.getMessage)
+    // reads that never needed the geometry still work
+    assert(Dedup.cmsStoreLoad(spark, dir).count() > 0)
+  }
 }

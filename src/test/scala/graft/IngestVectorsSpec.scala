@@ -145,4 +145,52 @@ class IngestVectorsSpec extends SparkSpec {
       assert(exhaust(neu) == exhaust(old))
     } finally { old.release(); neu.release() }
   }
+
+  test("ivfReplayGap: a batch landed mid-rebuild is replayed into the new generation; idempotent") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("ingv_gap")
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val base = Similarity.ivfBuild(all.where($"vec_id" >= 20 && $"vec_id" < 200), 4)
+    Similarity.ivfSave(base, src)
+    base.release()
+    // the rebuild works from a snapshot of the old path...
+    Similarity.ivfRebalanceSave(spark, src, dst)
+    // ...and an at-least-once batch lands on the OLD path meanwhile
+    val late = all.where($"vec_id" >= 200 && $"vec_id" < 210)
+      .select(($"vec_id" + 20000L).as("vec_id"), $"embedding")
+    assert(IngestVectors.processBatch(late, src) == 10)
+    assert(spark.read.parquet(s"$dst/assigned").count() == 180) // the gap
+
+    assert(Similarity.ivfReplayGap(spark, src, dst) == 10)
+    def vids(p: String) = spark.read.parquet(s"$p/assigned")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(vids(dst) == vids(src))
+    assert(Similarity.ivfReplayGap(spark, src, dst) == 0) // idempotent
+    // the replayed twin is searchable in the new generation
+    val hits = IngestVectors.searchBatch(
+      all.where($"vec_id" === 205), dst, 3, 4)
+    assert(hits.collect().map(_.getLong(2)).contains(20205L))
+    hits.unpersist()
+  }
+
+  test("ivfReplayGap on an SQ8 store: reconstruction round-trips, codes land bit-identical") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("ingv_gap8")
+    val src = s"$dir/g0"; val dst = s"$dir/g1"
+    val base = Similarity.ivfBuildSq8(all.where($"vec_id" >= 20 && $"vec_id" < 200), 4)
+    Similarity.ivfSave(base, src)
+    base.release()
+    Similarity.ivfRebalanceSave(spark, src, dst)
+    val late = all.where($"vec_id" >= 200 && $"vec_id" < 206)
+      .select(($"vec_id" + 20000L).as("vec_id"), $"embedding")
+    assert(IngestVectors.processBatch(late, src) == 6)
+    assert(Similarity.ivfReplayGap(spark, src, dst) == 6)
+    assert(Similarity.ivfReplayGap(spark, src, dst) == 0)
+    // replayed codes equal the old store's codes byte-for-byte (the
+    // exact SQ8 round-trip IvfRebalanceSpec pins, through the gap path)
+    def codes(p: String) = spark.read.parquet(s"$p/assigned")
+      .where($"vid" >= 20200L).select("vid", "qc").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes(dst) == codes(src))
+  }
 }

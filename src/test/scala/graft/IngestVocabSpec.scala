@@ -70,4 +70,28 @@ class IngestVocabSpec extends SparkSpec {
     // tiny vocabularies: HLL is exact at this cardinality
     assert(rep == Seq(("s1", 2L, 5L, 4L), ("s2", 2L, 5L, 4L)))
   }
+
+  test("replay rows collapse by (source, batch_id) KEY, not by sketch bytes") {
+    // a replayed batch's sketch row is NOT guaranteed bit-identical:
+    // HLL sparse-mode serialization depends on aggregation order.
+    // Simulate the worst case — same key, different bytes — and pin
+    // that n_tokens/n_batches still count the batch once.
+    def sk(words: Seq[String]) = words.toDF("w")
+      .agg(expr("hll_sketch_agg(w, 12)").as("s"))
+      .collect().head.getAs[Array[Byte]](0)
+    // the two rows for batch 0 carry guaranteed-different bytes (the
+    // worst-case stand-in for order-divergent serialization of the
+    // same batch); both token sets union with batch 1 to 4 distinct,
+    // so every assert below is survivor-independent
+    val a = sk(Seq("alpha", "beta", "gamma"))
+    val b = sk(Seq("alpha", "beta", "zeta"))
+    assert(!java.util.Arrays.equals(a, b),
+      "test setup: replay sketches should differ at the byte level")
+    val rows = Seq((0L, "s1", a, 3L), (0L, "s1", b, 3L), (1L, "s1", sk(Seq("delta")), 1L))
+      .toDF("batch_id", "source", "sketch", "n_tokens")
+    val rep = IngestVocab.mergeReport(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // byte-level distinct would keep both replay rows -> n_tokens 7
+    assert(rep.toSeq == Seq(("s1", 2L, 4L, 4L)), rep.mkString(","))
+  }
 }

@@ -99,6 +99,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
   }
 
+  test("decodeAudio: NOT_SPECIFIED frame size -> None (guard, not a negative n_frames)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // the JDK's own readers always compute a positive frame size, but
+    // AudioFormat admits NOT_SPECIFIED (-1) and SPI providers return
+    // it; without the guard, data.length / -1 yields a silently
+    // NEGATIVE n_frames rather than the documented None
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 16000f, 16, 1,
+      AudioSystem.NOT_SPECIFIED, 16000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt, 100L)
+    assert(Multimodal.decodeAudioStream(in).isEmpty)
+  }
+
   test("audioStats: distributed WAV decode matches the formula; non-audio rows skipped") {
     val out = Multimodal.audioStats(Multimodal.syntheticAudio(spark, 30))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
