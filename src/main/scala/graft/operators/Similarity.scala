@@ -804,16 +804,109 @@ object Similarity {
                        targetClusterRows: Long = 256, m: Int = 16,
                        refine: Int = 4, iters: Int = 8,
                        scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
-    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val nList = autoK(emb, targetClusterRows, None)
+    val index = ivfOpqBuild(emb, nList, m, 256, iters)
+    val (res, releasePacked) =
+      knnJoinOpqIndexed(emb, index, k, nProbe, refine, scanFrac)
+    // like the PQ rung: the Indexed form packs eagerly, so the build's
+    // array<int> codes can drop now (the memory story)
+    index.release()
+    (res, releasePacked)
+  }
+
+  /** A built OPQ,IVF,PQ composite — the caller-owned form behind
+    * `knnJoinOpqIndexed`/`ivfOpqSearch`: the orthonormal pretransform
+    * (row-major dim×dim, driver-held metadata) plus the `IvfPqIndex`
+    * fit on the ROTATED corpus, so centroids, codebooks and codes all
+    * live in rotated space and every query/batch rides the same
+    * `MatVec` before touching them. */
+  final case class IvfOpqIndex(rot: Array[Double], dim: Int, pq: IvfPqIndex) {
+    def release(): Unit = pq.release()
+  }
+
+  /** Fit rotation + coarse lists + codebooks once (the FAISS
+    * `OPQ{m},IVF{nList},PQ{m}` factory string): the `opqFitLocal`
+    * alternation on a bounded driver sample yields the rotation, then
+    * `ivfPqBuild` refits coarse centroids AND codebooks on the rotated
+    * corpus (the alternation's books are only its fitting scaffold). */
+  def ivfOpqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 16,
+                  kSub: Int = 256, iters: Int = 8): IvfOpqIndex = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    // rotation from the bounded driver sample (the ivfPqBuild inside
-    // re-fits codebooks on the rotated corpus — the alternation's
-    // books are only its fitting scaffold)
-    val (rot, _) = opqFitLocal(pqSamplePoints(base), m, 256, dim / m, iters)
+    val (rot, _) = opqFitLocal(pqSamplePoints(base), m, kSub, dim / m, iters)
     val rotated = base.select(col("vec_id"),
       graft.functions.MatVecF(col("e"), rot, dim).as("embedding"))
-    knnJoinPqScoped(rotated, k, nProbe, targetClusterRows, m, refine, scanFrac)
+    IvfOpqIndex(rot, dim, ivfPqBuild(rotated, nList, m, kSub))
+  }
+
+  /** `knnJoinOpq` against a caller-owned index — completing the
+    * build-once / join-repeatedly quartet (float `knnJoinIndexed`,
+    * SQ8, PQ, now OPQ). The probe side rides the index's frozen
+    * rotation (one codegen `MatVec` per row), then the whole
+    * `knnJoinPqIndexed` machinery — packed-byte lists, `NearestLists`
+    * probes, `shuffle_hash`-pinned candidate join, float refine —
+    * runs unchanged in rotated space; rotation is orthonormal, so the
+    * refine cosines are the same quantities as the un-rotated path.
+    * The returned hook releases the internally-packed list frame;
+    * the caller releases the index (`ivfOpqBuild` or `ivfOpqLoad`).
+    * Join-after-reload equals join-after-build (`OpqSpec`). */
+  def knnJoinOpqIndexed(emb: DataFrame, index: IvfOpqIndex, k: Int,
+                        nProbe: Int = 2, refine: Int = 4,
+                        scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+    val rotated = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"),
+        graft.functions.MatVecF(col("e"), index.rot, index.dim).as("embedding"))
+    knnJoinPqIndexed(rotated, index.pq, k, nProbe, refine, scanFrac)
+  }
+
+  /** Persist: `ivfPqSave` layout plus the `rot/` table (`opqSave`'s
+    * convention — dim rows, metadata-sized). The store carries
+    * centroids + books + codes + rot, which is how the ingest
+    * dispatch recognizes the tier. */
+  def ivfOpqSave(index: IvfOpqIndex, path: String): Unit = {
+    val spark = index.pq.coded.sparkSession
+    import spark.implicits._
+    ivfPqSave(index.pq, path)
+    val d = index.dim
+    (0 until d).map(i =>
+        (i, index.rot.slice(i * d, (i + 1) * d).toSeq)).toDF("i", "row")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/rot")
+  }
+
+  def ivfOpqLoad(spark: org.apache.spark.sql.SparkSession,
+                 path: String): IvfOpqIndex = {
+    val rot = opqLoadRot(spark, path)
+    val dim = math.sqrt(rot.length.toDouble).toInt
+    IvfOpqIndex(rot, dim, ivfPqLoad(spark, path))
+  }
+
+  /** FROZEN-transform append: rotate the batch under the saved
+    * rotation, then `ivfPqAppendSave` assigns against the saved
+    * (rotated-space) centroids and encodes with the saved books —
+    * O(batch), nothing refit. */
+  def ivfOpqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame): Unit = {
+    val rot = opqLoadRot(spark, path)
+    val dim = math.sqrt(rot.length.toDouble).toInt
+    val rotated = newVecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"),
+        graft.functions.MatVecF(col("e"), rot, dim).as("embedding"))
+    ivfPqAppendSave(spark, path, rotated)
+  }
+
+  /** Probe + ADC over an OPQ,IVF,PQ index: queries ride the rotation,
+    * then `ivfPqSearch` unchanged (rotated-space centroids and LUTs
+    * score the original cosine — A orthonormal). */
+  def ivfOpqSearch(index: IvfOpqIndex, queries: DataFrame, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    val rotated = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"),
+        graft.functions.MatVecF(col("e"), index.rot, index.dim).as("embedding"))
+    ivfPqSearch(index.pq, rotated, k, nProbe)
   }
 
   /** Scalar-quantized (int8) brute-force cosine top-k — `cosineTopK`

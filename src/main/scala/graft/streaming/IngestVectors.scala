@@ -36,11 +36,12 @@ object IngestVectors {
     * layout lives at `indexPath` — detected from the store's own
     * directory shape, so one ingest loop serves every tier:
     * `assigned/` = IVF (float or SQ8, `ivfAppendSave` re-encodes from
-    * the store schema); `books/` + `centroids/` = IVF,PQ; `books/` +
-    * `rot/` = OPQ (batch rides the frozen rotation); `books/`
-    * alone = flat PQ. Returns the batch row count. Factored out of the
-    * foreachBatch closure so batch specs can drive it without a
-    * streaming query. */
+    * the store schema); `rot/` + `centroids/` = OPQ,IVF,PQ (batch
+    * rides the frozen rotation, then the frozen lists/books);
+    * `books/` + `centroids/` = IVF,PQ; `books/` + `rot/` = flat OPQ;
+    * `books/` alone = flat PQ. Returns the batch row count. Factored
+    * out of the foreachBatch closure so batch specs can drive it
+    * without a streaming query. */
   def processBatch(batch: DataFrame, indexPath: String): Long = {
     val spark = batch.sparkSession
     val n = batch.count()
@@ -51,13 +52,15 @@ object IngestVectors {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
       if (has("assigned")) Similarity.ivfAppendSave(spark, indexPath, batch)
+      else if (has("rot") && has("centroids"))
+        Similarity.ivfOpqAppendSave(spark, indexPath, batch)
       else if (has("books") && has("centroids"))
         Similarity.ivfPqAppendSave(spark, indexPath, batch)
       else if (has("books") && has("rot"))
         Similarity.opqAppendSave(spark, indexPath, batch)
       else if (has("books")) Similarity.pqAppendSave(spark, indexPath, batch)
       else throw new IllegalArgumentException(
-        s"$indexPath is not an ivfSave/ivfPqSave/opqSave/pqSave store")
+        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave store")
     }
     n
   }
@@ -86,6 +89,9 @@ object IngestVectors {
             Similarity.ivfSearchSq8(idx, queries, k, nProbe)
           else Similarity.ivfSearch(idx, queries, k, nProbe)
         (r, () => idx.release())
+      } else if (has("rot") && has("centroids")) {
+        val idx = Similarity.ivfOpqLoad(spark, indexPath)
+        (Similarity.ivfOpqSearch(idx, queries, k, nProbe), () => idx.release())
       } else if (has("books") && has("centroids")) {
         val idx = Similarity.ivfPqLoad(spark, indexPath)
         (Similarity.ivfPqSearch(idx, queries, k, nProbe), () => idx.release())
@@ -96,7 +102,7 @@ object IngestVectors {
         val idx = Similarity.pqLoad(spark, indexPath)
         (Similarity.pqSearch(idx, queries, k), () => idx.release())
       } else throw new IllegalArgumentException(
-        s"$indexPath is not an ivfSave/ivfPqSave/opqSave/pqSave store")
+        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave store")
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()

@@ -87,6 +87,21 @@ class IngestVectorsSpec extends SparkSpec {
       assert(self == Seq((22L, 10022L)), s"twin not nearest: $self")
     } finally opqLoaded.release()
 
+    // OPQ,IVF,PQ store: rot/ + centroids/ dispatches to the rotated
+    // append, and the appended twin is searchable through searchBatch
+    val iopqDir = tmp("ingv_ivfopq")
+    val iopqIdx = Similarity.ivfOpqBuild(
+      all.where($"vec_id" >= 25 && $"vec_id" < 400), 4)
+    try Similarity.ivfOpqSave(iopqIdx, iopqDir) finally iopqIdx.release()
+    val iopqBase = spark.read.parquet(s"$iopqDir/codes").count()
+    assert(IngestVectors.processBatch(batch, iopqDir) == 5)
+    assert(spark.read.parquet(s"$iopqDir/codes").count() == iopqBase + 5)
+    val iopqHits = IngestVectors.searchBatch(
+      all.where($"vec_id" === 22), iopqDir, 1, nProbe = 4)
+    assert(iopqHits.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      == Seq((22L, 10022L)), "twin not nearest through the OPQ,IVF,PQ tier")
+    iopqHits.unpersist(blocking = false)
+
     val ivfpqDir = tmp("ingv_ivfpq")
     val ipqIdx = Similarity.ivfPqBuild(all.where($"vec_id" >= 25 && $"vec_id" < 400), 4)
     try Similarity.ivfPqSave(ipqIdx, ivfpqDir) finally ipqIdx.release()

@@ -354,7 +354,7 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
-  test("knnJoin Indexed forms (float/SQ8/PQ): join-after-reload equals join-after-build") {
+  test("knnJoin Indexed forms (float/SQ8/PQ/OPQ): join-after-reload equals join-after-build") {
     // the build-once / join-repeatedly contract: a saved-then-loaded
     // store must produce the identical corpus-wide join (same seeded
     // build, same lists, same codes — equality is exact, not recall)
@@ -405,6 +405,33 @@ class SimilaritySpec extends SparkSpec {
         assert(after == before)
       } finally loaded.release()
     } finally pqBuilt.release()
+    // OPQ store (rotation + IVF,PQ — the quartet's fourth member)
+    val oDir = java.nio.file.Files.createTempDirectory("knn_ivfopq").toString
+    val opqBuilt = Similarity.ivfOpqBuild(d, nList = 4, m = 4, iters = 4)
+    try {
+      val (res, rel) = Similarity.knnJoinOpqIndexed(d, opqBuilt, 5, nProbe = 2)
+      val before = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      rel()
+      // the one-call scoped form must agree with its own build when the
+      // dials match (targetClusterRows sized so autoK lands on nList=4
+      // is corpus-dependent, so pin indexed-vs-indexed reload instead)
+      Similarity.ivfOpqSave(opqBuilt, oDir)
+      val loaded = Similarity.ivfOpqLoad(spark, oDir)
+      try {
+        assert(loaded.dim == opqBuilt.dim &&
+          loaded.rot.toSeq == opqBuilt.rot.toSeq)
+        val (res2, rel2) = Similarity.knnJoinOpqIndexed(d, loaded, 5, nProbe = 2)
+        val after = res2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        rel2()
+        assert(after == before)
+        // ivfOpqSearch is reload-stable too (same rotation, lists, LUTs)
+        val qs = d.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+        def srch(ix: Similarity.IvfOpqIndex) =
+          Similarity.ivfOpqSearch(ix, qs, 3, nProbe = 4)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(srch(loaded) == srch(opqBuilt))
+      } finally loaded.release()
+    } finally opqBuilt.release()
   }
 
   test("PqDecode inverts PqEncode up to quantization: reconstruction error bounded by fit distortion") {
