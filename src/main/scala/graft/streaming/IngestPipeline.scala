@@ -28,7 +28,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      BEFORE its batch (`IngestVectors.searchBatch` against the
   *      pre-append store, any saved layout), appended as
   *      (qid, rnk, vid, batch_id) rows — the streaming face of the
-  *      corpus-wide `knnJoin`, O(batch) per batch.
+  *      corpus-wide `knnJoin`, O(batch) per batch. Prefer
+  *      `neighborScanFrac` over the fixed `neighborProbe` when index
+  *      maintenance may swap in a generation with more lists: the
+  *      fraction is resolved against each generation's own nList
+  *      (`IngestVectors.searchBatch`), so mining recall does not
+  *      silently decay as the store grows.
   *
   * Because every sink is fed from the same persisted kept frame inside
   * one batch closure, the stores stay MUTUALLY CONSISTENT
@@ -65,7 +70,8 @@ object IngestPipeline {
                    outPath: String, indexPath: String, telemetryPath: String,
                    threshold: Double, vocabPath: Option[String] = None,
                    neighborsPath: Option[String] = None,
-                   neighborK: Int = 5, neighborProbe: Int = 2): Long = {
+                   neighborK: Int = 5, neighborProbe: Int = 2,
+                   neighborScanFrac: Option[Double] = None): Long = {
     val (kept, keptSigs, release) =
       IngestDedup.gateBatch(batch, sigStorePath, threshold)
     val nKept = kept.count()
@@ -80,7 +86,7 @@ object IngestPipeline {
       neighborsPath.foreach { np =>
         val nb = IngestVectors.searchBatch(
           kept.select(col("doc_id").as("vec_id"), col("embedding")),
-          indexPath, neighborK, neighborProbe)
+          indexPath, neighborK, neighborProbe, neighborScanFrac)
         nb.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").parquet(np)
         nb.unpersist(blocking = false)
@@ -125,7 +131,8 @@ object IngestPipeline {
             trigger: Trigger = Trigger.ProcessingTime(0L),
             vocabPath: Option[String] = None,
             neighborsPath: Option[String] = None,
-            neighborK: Int = 5, neighborProbe: Int = 2): StreamingQuery = {
+            neighborK: Int = 5, neighborProbe: Int = 2,
+            neighborScanFrac: Option[Double] = None): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil)
     docs.select(cols.map(col): _*).writeStream
@@ -135,7 +142,7 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath, indexPath,
           telemetryPath, threshold, vocabPath, neighborsPath,
-          neighborK, neighborProbe)
+          neighborK, neighborProbe, neighborScanFrac)
         ()
       }
       .start()

@@ -74,27 +74,43 @@ object IngestVectors {
     * never rescanning the corpus. Same directory-shape dispatch as
     * `processBatch`; `nProbe` applies to the IVF layouts. Returns
     * (qid, rnk, vid), materialized so the loaded store is released
-    * before returning — callers sink it and unpersist. */
+    * before returning — callers sink it and unpersist.
+    *
+    * `scanFrac` is the recall-stable dial for LONG-LIVED callers (the
+    * ingest loop's pair mining): a fixed `nProbe` silently shrinks the
+    * scanned share of the corpus when a maintenance rebuild grows
+    * nList with the store (the SCALE.md round-6 law, 0.88 → 0.29
+    * recall across an 8× growth). When set, the effective probe count
+    * is ⌈nList·scanFrac⌉ AGAINST THE STORE'S OWN CURRENT nList — read
+    * from the loaded generation, so recall tracks the same corpus
+    * fraction across generation swaps with no caller-side re-tuning.
+    * Ignored by the flat PQ/OPQ layouts (they ADC-scan every code;
+    * there is no list dial to hold). */
   def searchBatch(queries: DataFrame, indexPath: String, k: Int,
-                  nProbe: Int = 2): DataFrame = {
+                  nProbe: Int = 2,
+                  scanFrac: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
+    def probes(nList: Int): Int = scanFrac
+      .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
     val (res, release): (DataFrame, () => Unit) =
       if (has("assigned")) {
         val idx = Similarity.ivfLoad(spark, indexPath)
         val r =
           if (idx.assigned.columns.contains("qc"))
-            Similarity.ivfSearchSq8(idx, queries, k, nProbe)
-          else Similarity.ivfSearch(idx, queries, k, nProbe)
+            Similarity.ivfSearchSq8(idx, queries, k, probes(idx.nList))
+          else Similarity.ivfSearch(idx, queries, k, probes(idx.nList))
         (r, () => idx.release())
       } else if (has("rot") && has("centroids")) {
         val idx = Similarity.ivfOpqLoad(spark, indexPath)
-        (Similarity.ivfOpqSearch(idx, queries, k, nProbe), () => idx.release())
+        (Similarity.ivfOpqSearch(idx, queries, k, probes(idx.pq.nList)),
+          () => idx.release())
       } else if (has("books") && has("centroids")) {
         val idx = Similarity.ivfPqLoad(spark, indexPath)
-        (Similarity.ivfPqSearch(idx, queries, k, nProbe), () => idx.release())
+        (Similarity.ivfPqSearch(idx, queries, k, probes(idx.nList)),
+          () => idx.release())
       } else if (has("books") && has("rot")) {
         val idx = Similarity.opqLoad(spark, indexPath)
         (Similarity.opqSearch(idx, queries, k), () => idx.release())

@@ -181,6 +181,72 @@ class IngestPipelineSpec extends SparkSpec {
     assert(mined1.exists(t => t._3 >= 300L && t._3 < 350L))
   }
 
+  test("neighborScanFrac: mining holds its scan fraction across a mid-stream generation swap") {
+    // the supervisor pattern: maintenance rebuilds the index into a
+    // generation with MORE lists mid-stream; a fixed neighborProbe
+    // would silently scan a shrinking corpus share (round-6 law), while
+    // neighborScanFrac re-resolves against the new generation's nList
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 2)
+    val g0 = tmp("gen_g0")
+    Similarity.ivfSave(seedIdx, g0)
+    seedIdx.release()
+
+    val b1 = feed.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val b2 = feed.where($"doc_id" >= 350 && $"doc_id" < 400)
+    val (sigsA, outA, teleA, nbrs) =
+      (tmp("gen_sigs"), tmp("gen_out"), tmp("gen_tele"), tmp("gen_pairs"))
+    IngestPipeline.processBatch(b1, 0L, sigsA, outA, g0, teleA, 0.5,
+      neighborsPath = Some(nbrs), neighborK = 3, neighborScanFrac = Some(1.0))
+
+    // supervisor swaps generations: the grown store rebalances to 2×
+    // the lists; batch 2 is pointed at the new path
+    val liveIdx = Similarity.ivfLoad(spark, g0)
+    val reb = Similarity.ivfRebalance(liveIdx, nList = 4) // releases liveIdx
+    val g1 = tmp("gen_g1")
+    Similarity.ivfSave(reb, g1)
+    reb.release()
+
+    // learn batch 2's kept set by replaying the deterministic gate
+    val (sigsB, outB) = (tmp("gen_sigs_b"), tmp("gen_out_b"))
+    graft.streaming.IngestDedup.processBatch(
+      b1.select("doc_id", "text"), sigsB, outB, 0.5)
+    val kept1 = spark.read.parquet(outB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.streaming.IngestDedup.processBatch(
+      b2.select("doc_id", "text"), sigsB, outB, 0.5)
+    val kept2 = spark.read.parquet(outB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- kept1
+    val kept2Vecs = feed.where($"doc_id".isin(kept2.toSeq: _*))
+      .select($"doc_id".as("vec_id"), $"embedding")
+
+    // offline expectation against the PRE-append new generation: the
+    // fraction must resolve to the new nList (4), i.e. equal explicit
+    // nProbe = 4 — not the pre-swap generation's 2
+    val offF = IngestVectors.searchBatch(kept2Vecs, g1, 3, scanFrac = Some(1.0))
+    val expF = offF.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    offF.unpersist(blocking = false)
+    val offP = IngestVectors.searchBatch(kept2Vecs, g1, 3, nProbe = 4)
+    val expP = offP.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    offP.unpersist(blocking = false)
+    assert(expF == expP, "scanFrac did not resolve against the new generation's nList")
+
+    IngestPipeline.processBatch(b2, 1L, sigsA, outA, g1, teleA, 0.5,
+      neighborsPath = Some(nbrs), neighborK = 3, neighborScanFrac = Some(1.0))
+    val mined1 = spark.read.parquet(nbrs)
+      .where($"batch_id" === 1L).select("qid", "rnk", "vid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mined1 == expF)
+  }
+
   test("streaming start: one foreachBatch drives all three stores consistently") {
     // tiny synthetic corpus so the MemoryStream tuple encoder stays simple
     val dim = 4

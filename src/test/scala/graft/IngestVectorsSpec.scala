@@ -208,4 +208,39 @@ class IngestVectorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(codes(dst) == codes(src))
   }
+
+  test("searchBatch scanFrac: constant scan fraction across a generation swap") {
+    // the round-6 law: a fixed nProbe silently shrinks the scanned
+    // corpus share when maintenance grows nList with the store. The
+    // scanFrac dial must resolve against EACH GENERATION'S OWN nList.
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = all.where($"vec_id" >= 10 && $"vec_id" < 400)
+    val qs = all.where($"vec_id" < 5)
+    val dir = tmp("ingv_frac")
+    val g0 = s"$dir/g0"; val g1 = s"$dir/g1"
+    val base = Similarity.ivfBuild(corpus, 2)
+    Similarity.ivfSave(base, g0)
+    base.release()
+    // maintenance swaps in a generation with 2× the lists
+    val old = Similarity.ivfLoad(spark, g0)
+    val reb = Similarity.ivfRebalance(old, nList = 4) // releases old
+    Similarity.ivfSave(reb, g1)
+    reb.release()
+
+    def run(path: String, nProbe: Int = 2, frac: Option[Double] = None) = {
+      val r = IngestVectors.searchBatch(qs, path, 5, nProbe, frac)
+      val out = r.collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+      r.unpersist(blocking = false)
+      out
+    }
+    // scanFrac resolves to ⌈nList·f⌉ against the loaded store: half the
+    // lists on both generations == the explicitly-probed equivalent
+    assert(run(g0, frac = Some(0.5)) == run(g0, nProbe = 1))
+    assert(run(g1, frac = Some(0.5)) == run(g1, nProbe = 2))
+    // the exhaustive dial stays exhaustive across the swap: same answer
+    // from both generations without the caller changing anything
+    val ex0 = run(g0, frac = Some(1.0))
+    assert(ex0 == run(g0, nProbe = 2))
+    assert(run(g1, frac = Some(1.0)) == ex0)
+  }
 }
