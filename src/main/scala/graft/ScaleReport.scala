@@ -38,7 +38,8 @@ object ScaleReport {
         .foreach(_.unpersist(blocking = false))
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
-    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine) for
+    // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
+    // ivfbuild,pairmaint) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -715,6 +716,104 @@ object ScaleReport {
       }
       val pairs = spark.read.parquet(nbrsP).count()
       println(s"""{"op":"pairmine_total","pairs":$pairs}""")
+    }
+
+    // Coarse-quantizer fit cost at corpus-scaled nList: the MLlib
+    // distributed KMeans (N×nList×iters — the remaining super-unit
+    // term of the r7 campaign) vs ivfBuild(sampleFit = true) (bounded
+    // driver Lloyd + one codegen assignment pass). Probed recall on a
+    // hash-sampled query set shows the cheap fit separates the corpus
+    // as well as the full one; the exhaustive dial is fit-invariant by
+    // construction (SimilaritySpec pins it bit-equal).
+    if (section("ivfbuild")) {
+      val nList = math.max(8L, nVecs / 256).toInt
+      val all = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) e")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val step = math.max(1L, nVecs / 50)
+      val qids = all.map(_._1).filter(_ % step == 0).toSet
+      def cosL(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { s += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        s / math.sqrt(na * nb)
+      }
+      val gold = qids.toSeq.sorted.map { q =>
+        val qe = all.find(_._1 == q).get._2
+        q -> all.iterator.filter(_._1 != q)
+          .map { case (v, ve) => (v, cosL(qe, ve)) }.toArray
+          .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      }.toMap
+      val qDf = emb.where(col("vec_id").isin(qids.toSeq: _*))
+      for (sample <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val idx = Similarity.ivfBuild(emb, nList, sampleFit = sample)
+        idx.assigned.count()
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val got = Similarity.ivfSearch(idx, qDf, 11, 2)
+          .select("qid", "vid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val rec = qids.toSeq.map(q =>
+          gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size)
+        idx.release(); release()
+        println(f"""{"op":"ivf_build","fit":"${if (sample) "sample" else "mllib"}","nlist":$nList,"sec":$buildSec%.2f,"recall_at_10_nprobe2":${rec.sum / rec.size}%.3f}""")
+      }
+    }
+
+    // Online pair mining WITH the supervisor loop: growth-gated
+    // maintenance (maintainIndex targetClusterRows + sampleFit)
+    // interleaved between batches, generation swaps via new paths +
+    // ivfReplayGap. The claim under test: per-batch cost returns
+    // toward flat after each rebalance instead of growing linearly
+    // with the store (the frozen-quantizer law the plain `pairmine`
+    // section measures).
+    if (section("pairmaint")) {
+      import graft.streaming.{IngestPipeline, IngestVectors}
+      val target = 256L
+      val seedN = math.max(256L, nVecs / 10)
+      var idxPath = java.nio.file.Files.createTempDirectory("pmm_index").toString
+      val seedIdx = Similarity.ivfBuild(
+        emb.where(col("vec_id") < seedN),
+        math.max(8L, seedN / target).toInt)
+      Similarity.ivfSave(seedIdx, idxPath)
+      seedIdx.release()
+      val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val (sigsP, outP, teleP, nbrsP) = (
+        java.nio.file.Files.createTempDirectory("pmm_sigs").toString,
+        java.nio.file.Files.createTempDirectory("pmm_out").toString,
+        java.nio.file.Files.createTempDirectory("pmm_tele").toString,
+        java.nio.file.Files.createTempDirectory("pmm_nbrs").toString)
+      val nBatches = 5
+      val span = math.max(1L, (nVecs - seedN) / nBatches)
+      var gen = 0
+      for (b <- 0 until nBatches) {
+        val lo = seedN + b * span
+        val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
+        val batch = feed.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val storeBefore = spark.read.parquet(s"$idxPath/assigned").count()
+        val nListNow = spark.read.parquet(s"$idxPath/centroids").count()
+        val t0 = System.nanoTime()
+        val kept = IngestPipeline.processBatch(batch, b.toLong, sigsP, outP,
+          idxPath, teleP, 0.5, neighborsPath = Some(nbrsP), neighborK = 10)
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        println(f"""{"op":"pairmaint_batch","batch":$b,"kept":$kept,"store_before":$storeBefore,"nlist":$nListNow,"gen":$gen,"sec":$sec%.2f}""")
+        // supervisor: growth-gated maintenance between batches; the
+        // swap is a path move + one idempotent gap replay
+        val t1 = System.nanoTime()
+        val dst = java.nio.file.Files.createTempDirectory(s"pmm_gen${gen + 1}_").toString
+        if (IngestVectors.maintainIndex(spark, idxPath, maxSkew = 2.0, dst,
+            targetClusterRows = target, sampleFit = true)) {
+          Similarity.ivfReplayGap(spark, idxPath, dst) // supervisor's half of the contract
+          idxPath = dst; gen += 1
+          val mSec = (System.nanoTime() - t1) / 1e9
+          val newList = spark.read.parquet(s"$idxPath/centroids").count()
+          release()
+          println(f"""{"op":"pairmaint_rebalance","after_batch":$b,"gen":$gen,"nlist":$newList,"sec":$mSec%.2f}""")
+        } else release()
+      }
+      val pairs = spark.read.parquet(nbrsP).count()
+      println(s"""{"op":"pairmaint_total","pairs":$pairs,"generations":$gen}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

@@ -104,34 +104,174 @@ object Similarity {
     def release(): Unit = assigned.unpersist(blocking = false)
   }
 
-  /** Train the IVF coarse quantizer on `corpus` (seeded MLlib KMeans —
-    * deterministic per build) and assign every corpus vector to its
-    * nearest list. Assignment is one distributed `model.transform`;
-    * the result persists partitioned by access pattern (list-id
-    * shuffle happens once, at first search). */
-  def ivfBuild(corpus: DataFrame, nList: Int = 8): IvfIndex = {
+  /** Sample-bounded coarse-quantizer fit — the `pqFitBooks` pattern
+    * applied to the IVF centroids: seeded driver-side Lloyd on a
+    * hash-sampled bounded slice (`xxhash64(vec_id)`-keyed, raw
+    * un-normalized vectors — the MLlib fit's space), via
+    * `pqFitBooksLocal` with one "subspace" of width `dim`. Centroids
+    * are statistics, not indexes (FAISS `Clustering` trains on
+    * ≤ max_points_per_centroid·k sampled points for exactly this
+    * reason), so the fit cost is O(sampleCap·nList·dim·iters) on the
+    * driver INDEPENDENT OF CORPUS SIZE — this removes the N×nList×iters
+    * distributed-KMeans term that dominated sf10 index builds
+    * (SCALE_r07_knnfix). Deterministic bit-for-bit: seeded init,
+    * lowest-index ties, empty clusters keep their previous center. */
+  private[graft] def coarseFitSample(base: DataFrame, nList: Int,
+                                     sampleCap: Int = 65536,
+                                     maxIter: Int = 20): Array[Array[Double]] = {
+    val pts = pqSamplePoints(base, sampleCap, normalize = false)
+    require(pts.length >= nList,
+      s"sample (${pts.length}) smaller than nList=$nList — lower nList or raise sampleCap")
+    coarseLloyd(pts, nList, maxIter)
+  }
+
+  /** Full-width seeded Lloyd over the driver sample — bit-identical
+    * math to `pqFitBooksLocal(pts, 1, k, dim)` (same seeded init, same
+    * strict-`<` lowest-index ties, same keep-previous-center rule for
+    * empty clusters), but with the argmin ASSIGNMENT loop chunked
+    * across a thread pool: unlike the PQ case (m subspaces already
+    * train in parallel), the coarse fit is ONE subspace of full width,
+    * so without this the whole sample×k×dim hot loop runs on a single
+    * core. Determinism holds because per-point argmin is independent
+    * (no FP accumulation crosses points) and the center UPDATE
+    * accumulates sequentially in point order. */
+  private[graft] def coarseLloyd(pts: Array[Array[Double]], k: Int,
+                                 maxIter: Int = 20): Array[Array[Double]] = {
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(42L)
+    val cents = Array.tabulate(k)(_ => new Array[Double](dim))
+    val seedIdx = rnd.shuffle(pts.indices.toVector).take(k)
+    for (c <- 0 until k) System.arraycopy(pts(seedIdx(c)), 0, cents(c), 0, dim)
+    val assign = new Array[Int](pts.length)
+    val nT = math.max(1, Runtime.getRuntime.availableProcessors())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nT)
+    try {
+      var iter = 0
+      var moved = true
+      while (iter < maxIter && moved) {
+        val it0 = iter == 0
+        val cN2 = cents.map(c => c.map(v => v * v).sum)
+        val chunk = math.max(1024, (pts.length + nT - 1) / nT)
+        val tasks = (0 until pts.length by chunk).map { lo =>
+          val hi = math.min(pts.length, lo + chunk)
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              var m0 = it0
+              var i = lo
+              while (i < hi) {
+                val x = pts(i)
+                var best = 0
+                var bestD = Double.PositiveInfinity
+                var c = 0
+                while (c < k) {
+                  val cc = cents(c)
+                  var dotXC = 0.0
+                  var t = 0
+                  while (t < dim) { dotXC += x(t) * cc(t); t += 1 }
+                  val d = cN2(c) - 2.0 * dotXC
+                  if (d < bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                if (assign(i) != best) { assign(i) = best; m0 = true }
+                i += 1
+              }
+              m0
+            }
+          })
+        }
+        moved = tasks.map(_.get()).exists(identity)
+        if (moved) {
+          val sums = Array.tabulate(k)(_ => new Array[Double](dim))
+          val counts = new Array[Int](k)
+          var i = 0
+          while (i < pts.length) {
+            val c = assign(i); counts(c) += 1
+            var t = 0
+            while (t < dim) { sums(c)(t) += pts(i)(t); t += 1 }
+            i += 1
+          }
+          var c = 0
+          while (c < k) {
+            if (counts(c) > 0) {
+              var t = 0
+              while (t < dim) { cents(c)(t) = sums(c)(t) / counts(c); t += 1 }
+            }
+            c += 1
+          }
+        }
+        iter += 1
+      }
+    } finally pool.shutdown()
+    cents
+  }
+
+  /** Frozen-centroid Euclidean assignment in codegen: argmin‖x−c‖² =
+    * argmax(x·c − ‖c‖²/2), so appending a constant-1 component to x
+    * and a −‖c‖²/2 bias to each centroid turns Euclidean argmin into
+    * exactly the max-dot/lowest-id-tie scan `NearestLists` implements.
+    * No N×nList joined intermediate, no window — the same per-row
+    * register scan as probe selection, and the SAME tie order as
+    * `assignToLists` (dist asc, list_id asc), so a later
+    * `ivfAppendSave` re-lands a replayed vector in the identical
+    * list. */
+  private def assignNearestCodegen(base: DataFrame,
+                                   cents: Array[Array[Double]]): DataFrame = {
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    val aug = cents.flatMap(c => c :+ (-0.5 * c.map(v => v * v).sum))
+    val ids = cents.indices.toArray
+    base.select(col("vec_id").as("vid"), col("e").as("ce"),
+      col("nrm").as("cn"),
+      explode(graft.functions.NearestLists(
+        concat(col("e"), array(lit(1.0d))), aug, ids, dim + 1, 1)).as("list_id"))
+  }
+
+  /** Train the IVF coarse quantizer on `corpus` and assign every
+    * corpus vector to its nearest list.
+    *
+    * `sampleFit = false` (default): seeded MLlib KMeans over the full
+    * corpus — deterministic per build, but the fit is N×nList×maxIter
+    * distributed distance evals, the super-unit scale term of the
+    * sf1→sf10 campaign. `sampleFit = true`: `coarseFitSample` fits the
+    * centroids on a bounded driver slice and the one unavoidable
+    * N×nList pass left is the ASSIGNMENT, which runs as a codegen
+    * register scan (`assignNearestCodegen`) with no joined
+    * intermediate. The exhaustive dial (scanFrac = 1.0 / nProbe =
+    * nList) is invariant to the choice BY CONSTRUCTION — every list is
+    * scanned either way, so results are bit-equal; probed recall
+    * parity is measured in `SimilaritySpec`. Assignment is one
+    * distributed pass either way; the result persists partitioned by
+    * access pattern (list-id shuffle happens once, at first search). */
+  def ivfBuild(corpus: DataFrame, nList: Int = 8,
+               sampleFit: Boolean = false): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val vecs = base.withColumn("features", array_to_vector(col("e")))
-
-    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(vecs)
-
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq.toDF("list_id", "centroid")
 
-    val assigned = model.transform(vecs)
-      .select(col("vec_id").as("vid"), col("e").as("ce"),
-        col("nrm").as("cn"), col("list_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(centDf, assigned, nList)
+    if (sampleFit) {
+      val cents = coarseFitSample(base, nList)
+      val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("list_id", "centroid")
+      val assigned = assignNearestCodegen(base, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(centDf, assigned, nList)
+    } else {
+      val vecs = base.withColumn("features", array_to_vector(col("e")))
+      val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("list_id")
+        .fit(vecs)
+      val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq.toDF("list_id", "centroid")
+      val assigned = model.transform(vecs)
+        .select(col("vec_id").as("vid"), col("e").as("ce"),
+          col("nrm").as("cn"), col("list_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(centDf, assigned, nList)
+    }
   }
 
   /** Hybrid-retrieval fusion (Cormack et al. 2009 reciprocal rank
@@ -370,12 +510,13 @@ object Similarity {
     * (`scanFrac = 1.0` / nProbe = nList) scans every list either way —
     * rebalancing restores the even occupancy the fixed-nProbe cost and
     * recall models assume. */
-  def ivfRebalance(index: IvfIndex, nList: Int = 0): IvfIndex = {
+  def ivfRebalance(index: IvfIndex, nList: Int = 0,
+                   sampleFit: Boolean = false): IvfIndex = {
     val k = if (nList > 0) nList else index.nList
     val corpus = ivfReconstruct(index)
     val rebuilt =
-      if (index.assigned.columns.contains("qc")) ivfBuildSq8(corpus, k)
-      else ivfBuild(corpus, k)
+      if (index.assigned.columns.contains("qc")) ivfBuildSq8(corpus, k, sampleFit)
+      else ivfBuild(corpus, k, sampleFit)
     rebuilt.assigned.count() // materialize before releasing the source
     index.release()
     rebuilt
@@ -392,10 +533,11 @@ object Similarity {
     * offline-compaction swap convention; readers move atomically by
     * switching paths, never observing a half-written store). */
   def ivfRebalanceSave(spark: org.apache.spark.sql.SparkSession,
-                       srcPath: String, dstPath: String): Unit = {
+                       srcPath: String, dstPath: String,
+                       sampleFit: Boolean = false): Unit = {
     require(srcPath != dstPath,
       "rebalance writes a new generation; src and dst must differ")
-    val rebuilt = ivfRebalance(ivfLoad(spark, srcPath))
+    val rebuilt = ivfRebalance(ivfLoad(spark, srcPath), sampleFit = sampleFit)
     ivfSave(rebuilt, dstPath)
     rebuilt.release()
   }
@@ -944,9 +1086,10 @@ object Similarity {
     * of the index — hold int8 codes. `ivfSave`/`ivfLoad` round-trip
     * this index unchanged (binary parquet column), so the on-disk
     * footprint drops by the same ~7× as memory. */
-  def ivfBuildSq8(corpus: DataFrame, nList: Int = 8): IvfIndex = {
+  def ivfBuildSq8(corpus: DataFrame, nList: Int = 8,
+                  sampleFit: Boolean = false): IvfIndex = {
     import graft.functions.Sq8
-    val fl = ivfBuild(corpus, nList)
+    val fl = ivfBuild(corpus, nList, sampleFit)
     val assigned = fl.assigned
       .select(col("vid"), Sq8.encode(col("ce")).as("qc"), col("list_id"))
       .withColumn("cn", sqrt(Sq8.dot(col("qc"), col("qc"))))
@@ -1102,7 +1245,8 @@ object Similarity {
     * (PQ codebooks, OPQ rotation) fits on. Deterministic: the slice is
     * keyed on `xxhash64(vec_id)`, not partition order. */
   private[graft] def pqSamplePoints(cand: DataFrame,
-                                    sampleCap: Int = 16384): Array[Array[Double]] = {
+                                    sampleCap: Int = 16384,
+                                    normalize: Boolean = true): Array[Array[Double]] = {
     val n = cand.count()
     val every = math.max(1L, n / sampleCap)
     val slice = if (every == 1L) cand
@@ -1110,9 +1254,12 @@ object Similarity {
     slice.select(col("e")).collect()
       .map { r =>
         val e = r.getSeq[Double](0).toArray
-        val n0 = math.sqrt(e.map(x => x * x).sum)
-        val nrm = if (n0 > 0) n0 else 1.0
-        e.map(_ / nrm)
+        if (!normalize) e
+        else {
+          val n0 = math.sqrt(e.map(x => x * x).sum)
+          val nrm = if (n0 > 0) n0 else 1.0
+          e.map(_ / nrm)
+        }
       }
   }
 
@@ -1687,29 +1834,45 @@ object Similarity {
     def release(): Unit = coded.unpersist(blocking = false)
   }
 
+  /** `sampleFit = true` swaps the distributed coarse KMeans for the
+    * bounded driver fit (`coarseFitSample`) with codegen Euclidean
+    * assignment — same tradeoff and same dial-invariance argument as
+    * `ivfBuild(sampleFit = true)`; the codebooks already fit on a
+    * driver sample either way. */
   def ivfPqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 16,
-                 kSub: Int = 256): IvfPqIndex = {
+                 kSub: Int = 256, sampleFit: Boolean = false): IvfPqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val withF = base.withColumn("features", array_to_vector(col("e")))
-    val coarse = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(withF)
-    val cents = coarse.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
     val books = pqFitBooks(base, m, kSub, sub)
     val flat = books.flatMap(_.flatMap(_.toSeq))
     val ks = books.map(_.length)
-    val coded = coarse.transform(withF)
+    val (cents, listed) =
+      if (sampleFit) {
+        val cs = coarseFitSample(base, nList)
+        val aug = cs.flatMap(c => c :+ (-0.5 * c.map(v => v * v).sum))
+        (cs.zipWithIndex.map { case (c, i) => (i, c) },
+          base.select(col("vec_id"), col("e"),
+            explode(graft.functions.NearestLists(
+              concat(col("e"), array(lit(1.0d))), aug,
+              cs.indices.toArray, dim + 1, 1)).as("list_id")))
+      } else {
+        val withF = base.withColumn("features", array_to_vector(col("e")))
+        val coarse = new KMeans().setK(nList).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("list_id").fit(withF)
+        (coarse.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
+          coarse.transform(withF))
+      }
+    val coded = listed
       .select(col("vec_id").as("vid"),
         graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"),
         col("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     coded.count()
-    IvfPqIndex(cents, books, sub, coded, coarse.clusterCenters.length)
+    IvfPqIndex(cents, books, sub, coded, cents.length)
   }
 
   /** Probe + ADC: per query the driver picks the `nProbe` nearest

@@ -143,14 +143,42 @@ object IngestVectors {
     * `ivfReplayGap(old, new)` once more at swap time — it is
     * idempotent and O(gap). Below the threshold: one nList-row
     * aggregation, nothing written, false. IVF float/SQ8 stores only
-    * (the PQ tiers refit codebooks via their own build path). */
+    * (the PQ tiers refit codebooks via their own build path).
+    *
+    * `targetClusterRows` adds the GROWTH gate the append-only loop
+    * needs alongside the skew gate: frozen nList means mean list
+    * occupancy — and with it every probe's scan cost — grows linearly
+    * with the store (the round-7 pairmine law, per-batch 43.9 → 80 s
+    * over an 8× store). When set, maintenance also fires once mean
+    * occupancy exceeds 2× the target, and the new generation gets
+    * nList = ⌈store / targetClusterRows⌉ (the `autoK` law), restoring
+    * fixed-`nProbe` probe cost to ~nProbe·target rows. Callers that
+    * must hold RECALL rather than cost pass `scanFrac` to
+    * `searchBatch` — the two dials are the two sides of the same
+    * tradeoff. `sampleFit` routes the retrain through the bounded
+    * driver coarse fit (`ivfBuild(sampleFit = true)`) so maintenance
+    * cost does not itself scale as store×nList. */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, maxSkew: Double,
-                    dstPath: String): Boolean = {
+                    dstPath: String, targetClusterRows: Long = 0L,
+                    sampleFit: Boolean = false): Boolean = {
     val idx = Similarity.ivfLoad(spark, indexPath)
-    val skew = Similarity.ivfSkew(idx)
-    if (skew > maxSkew) {
-      val reb = Similarity.ivfRebalance(idx) // releases idx
+    val r = Similarity.ivfListStats(idx)
+      .agg(org.apache.spark.sql.functions.max(col("n_vecs")),
+        org.apache.spark.sql.functions.sum(col("n_vecs"))).head()
+    val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val skew =
+      if (total == 0L) 1.0
+      else r.getLong(0).toDouble / (total.toDouble / idx.nList)
+    val meanOcc = if (idx.nList == 0) 0.0 else total.toDouble / idx.nList
+    val grown = targetClusterRows > 0L && meanOcc > 2.0 * targetClusterRows
+    if (skew > maxSkew || grown) {
+      val k =
+        if (targetClusterRows > 0L)
+          math.max(idx.nList,
+            math.ceil(total.toDouble / targetClusterRows).toInt)
+        else idx.nList
+      val reb = Similarity.ivfRebalance(idx, k, sampleFit) // releases idx
       Similarity.ivfSave(reb, dstPath)
       reb.release()
       // close the mid-rebuild append window (no-op when nothing landed)

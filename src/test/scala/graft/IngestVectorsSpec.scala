@@ -209,6 +209,41 @@ class IngestVectorsSpec extends SparkSpec {
     assert(codes(dst) == codes(src))
   }
 
+  test("maintainIndex growth gate: occupancy past 2×target fires a rebuild with nList scaled to the store") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = tmp("ingv_grow")
+    val g0 = s"$dir/g0"; val g1 = s"$dir/g1"
+    // 100 vectors in 4 lists (25/list), then grow the store 4× through
+    // the append path: occupancy ~100/list — balanced-ish, but far past
+    // a 30-row target, which the skew gate alone would never catch
+    val base = Similarity.ivfBuild(all.where($"vec_id" < 100), 4)
+    Similarity.ivfSave(base, g0)
+    base.release()
+    assert(IngestVectors.processBatch(
+      all.where($"vec_id" >= 100 && $"vec_id" < 400), g0) == 300)
+    // no growth target: the (possibly mildly skewed) store stays put
+    // under a generous skew ceiling
+    assert(!IngestVectors.maintainIndex(spark, g0, maxSkew = 100.0, g1))
+    // with a target: fires on occupancy, new nList = ceil(400/30) = 14
+    assert(IngestVectors.maintainIndex(spark, g0, maxSkew = 100.0, g1,
+      targetClusterRows = 30L, sampleFit = true))
+    val neu = Similarity.ivfLoad(spark, g1)
+    try {
+      assert(neu.nList == 14, s"nList ${neu.nList} != 14")
+      assert(neu.assigned.count() == 400)
+      // contents preserved: exhaustive search over the new generation
+      // equals exhaustive over the old store
+      val old = Similarity.ivfLoad(spark, g0)
+      try {
+        val qs = all.where($"vec_id" < 3)
+        def exhaust(ix: Similarity.IvfIndex) =
+          Similarity.ivfSearch(ix, qs, 5, ix.nList)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(exhaust(neu) == exhaust(old))
+      } finally old.release()
+    } finally neu.release()
+  }
+
   test("searchBatch scanFrac: constant scan fraction across a generation swap") {
     // the round-6 law: a fixed nProbe silently shrinks the scanned
     // corpus share when maintenance grows nList with the store. The

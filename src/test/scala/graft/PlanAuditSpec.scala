@@ -345,6 +345,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally release()
   }
 
+  test("q140/q154 SQ8 and OPQ kNN joins: candidate join never statically broadcasts, no cartesian") {
+    // The SQ8 and OPQ rungs share q134/q152's planner cliff: quantized
+    // list frames are SMALLER (int8 / m-byte codes), so they dip under
+    // the static broadcast threshold even earlier (~110 k vectors SQ8,
+    // ~19 k packed PQ), stranding the post-join ADC work on the probe
+    // side's scan partitions. Same pins as the float/PQ rungs: list_id
+    // equi-join present, shuffled, and no N² shapes anywhere.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val shapes = Seq(
+      "q140_sq8" -> Similarity.knnJoinSq8Scoped(emb, 5),
+      "q154_opq" -> Similarity.knnJoinOpqScoped(emb, 5, m = 8))
+    for ((name, (res, release)) <- shapes) try {
+      val p = res.queryExecution.sparkPlan
+      assert(p.collectWithSubqueries {
+        case c: CartesianProductExec => c
+      }.isEmpty, s"$name plans a cartesian product")
+      assert(p.collectWithSubqueries {
+        case b: BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$name probe regressed to a joined intermediate")
+      val listJoins = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "list_id")) => j
+      }
+      assert(listJoins.nonEmpty, s"$name lost its list_id equi-join")
+      assert(!listJoins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name candidate join statically broadcasts — post-join ADC loses shuffle parallelism")
+    } finally release()
+  }
+
   test("q146 theta overlap: no join keyed by the gram column anywhere in the plan") {
     // The sketch form exists to REPLACE the q111 gram equi-join with
     // per-source sketch algebra: the only join allowed is the S×S

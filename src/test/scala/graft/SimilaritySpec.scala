@@ -434,6 +434,69 @@ class SimilaritySpec extends SparkSpec {
     } finally opqBuilt.release()
   }
 
+  test("ivfBuild sampleFit: exhaustive dial bit-equal to the MLlib fit, recall parity, append-consistent") {
+    // the pqFitBooks pattern applied to the coarse quantizer: centroids
+    // fit on a bounded driver sample, assignment via the codegen
+    // augmented-dot Euclidean argmin. Same planted clusters as knnJoin.
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    val qs = d.where(org.apache.spark.sql.functions.col("vec_id") < 10)
+
+    val mi = Similarity.ivfBuild(d, 8)
+    val si = Similarity.ivfBuild(d, 8, sampleFit = true)
+    try {
+      def run(ix: Similarity.IvfIndex, nProbe: Int) =
+        Similarity.ivfSearch(ix, qs, 5, nProbe)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      // the exhaustive dial is fit-invariant BY CONSTRUCTION: every
+      // list is scanned either way, so results are bit-equal
+      assert(run(si, 8) == run(mi, 8))
+      // probed recall parity: the sample-fit centroids separate the
+      // planted clusters as well as the full fit does
+      val gold = run(mi, 8).groupBy(_._1).view
+        .mapValues(_.map(_._3).toSet).toMap
+      def recall(ix: Similarity.IvfIndex) = {
+        val byQ = run(ix, 2).groupBy(_._1).view
+          .mapValues(_.map(_._3).toSet).toMap
+        gold.map { case (q, g) =>
+          byQ.getOrElse(q, Set.empty[Long]).intersect(g).size.toDouble / g.size
+        }.sum / gold.size
+      }
+      assert(recall(si) >= 0.9, s"sampleFit probed recall ${recall(si)} < 0.9")
+
+      // append consistency: the build-time codegen assignment and
+      // ivfAppendSave's assignToLists share metric AND tie order, so a
+      // re-keyed twin lands in its original's list exactly
+      val dir = java.nio.file.Files.createTempDirectory("ivf_sfit").toString
+      Similarity.ivfSave(si, dir)
+      val twins = d.select(
+        (org.apache.spark.sql.functions.col("vec_id") + 10000L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      Similarity.ivfAppendSave(spark, dir, twins)
+      val lists = spark.read.parquet(s"$dir/assigned")
+        .select("vid", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (v <- 0L until 200L)
+        assert(lists(v + 10000L) == lists(v), s"twin of $v re-landed elsewhere")
+    } finally { mi.release(); si.release() }
+
+    // IVF,PQ: codes depend only on the (sample-fit) books, so the
+    // exhaustive ADC ranking is coarse-fit-invariant bit-for-bit
+    val mp = Similarity.ivfPqBuild(d, 4, m = 4)
+    val sp = Similarity.ivfPqBuild(d, 4, m = 4, sampleFit = true)
+    try {
+      def run(ix: Similarity.IvfPqIndex) =
+        Similarity.ivfPqSearch(ix, qs, 5, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(run(sp) == run(mp))
+    } finally { mp.release(); sp.release() }
+  }
+
   test("PqDecode inverts PqEncode up to quantization: reconstruction error bounded by fit distortion") {
     import graft.functions.Pq
     import org.apache.spark.sql.functions.col
