@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * so the dedup family has real work; embeddings get 10 cluster centers
   * plus 2% near-duplicate vectors for the ANN/near-dup family.
   *
-  * Usage: runMain graft.GenData <outDir> <sf> — e.g. `graft.GenData
-  * /root/repo/testdata-gen/sf1 1.0`.
+  * Usage: runMain graft.GenData <outDir> <sf> [tables] — e.g.
+  * `graft.GenData /root/repo/testdata-gen/sf1 1.0`, or
+  * `graft.GenData /root/repo/testdata-gen/sf100 100 embeddings,documents`
+  * to generate only the vector/dedup tables at extreme SF without
+  * paying for 600 M lineitem rows.
   */
 object GenData {
 
@@ -64,10 +67,14 @@ object GenData {
     val nDocs = n(50000)
     val nVecs = n(20000)
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[gendata] wrote $name")
-    }
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set.empty
+    def write(df: DataFrame, name: String): Unit =
+      if (only.isEmpty || only(name)) {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[gendata] wrote $name")
+      }
     def range(rows: Long): DataFrame =
       spark.range(0, rows, 1, math.min(64, math.max(4, rows / 100000)).toInt)
         .toDF("id")

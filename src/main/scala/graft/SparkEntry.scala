@@ -739,6 +739,15 @@ object SparkEntry {
       Similarity.knnJoinOpq(e, 5, m = 8,
         refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
     }),
+    // q138's brute-force contract through the SAMPLE-FIT coarse
+    // quantizer (round-8): centroids train on a bounded driver slice
+    // (`coarseLloyd`) and assignment is the codegen augmented-dot
+    // argmin — the exhaustive dial scans every list regardless of
+    // where the cheap fit put them, so the green-dial invariance the
+    // spec pins is proven in the gate too (hash-green, same oracle)
+    "q156_knn_exhaustive_samplefit" -> ((s, d) =>
+      Similarity.knnJoin(embeddings(s, d), 5, scanFrac = Some(1.0),
+        sampleFit = true)),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1273,6 +1282,16 @@ object SparkEntry {
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q138_knn_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // same brute oracle: the sample-fit coarse quantizer moves WHERE
+    // vectors live, not what the exhaustive scan ranks
+    "q156_knn_exhaustive_samplefit" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
       s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,

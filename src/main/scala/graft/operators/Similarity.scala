@@ -349,7 +349,13 @@ object Similarity {
     * INDEX rather than a copy of the corpus. */
   def ivfSave(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.assigned.write.mode("overwrite")
+    // cluster whole lists into tasks before the partitioned write:
+    // without it every scan partition writes a sliver into every list
+    // directory — up to partitions×nList files — and with maintenance
+    // scaling nList to the store, save + first-list cost turned
+    // superlinear (the 336 s rebalance measured in the round-8 sf10
+    // campaign was mostly this). One balanced shuffle → nList files.
+    index.assigned.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/assigned")
   }
 
@@ -404,6 +410,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
     val sq8 = spark.read.parquet(s"$path/assigned").schema.fieldNames.contains("qc")
     assignToLists(cents, newVecs, sq8)
+      .repartition(col("list_id")) // one file per touched list, not per task
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
@@ -543,18 +550,32 @@ object Similarity {
   }
 
   /** New-batch list assignment shared by the append paths: nearest
-    * centroid by the quantizer metric, then rows in the index's
-    * list-frame layout (float `ce` or SQ8 `qc`). */
+    * centroid by the quantizer metric (Euclidean argmin), then rows in
+    * the index's list-frame layout (float `ce` or SQ8 `qc`).
+    *
+    * The argmin runs as the same codegen register scan the build and
+    * probe paths use (`NearestLists` through the augmented-dot trick —
+    * argmin‖x−c‖² = argmax(x·c − ‖c‖²/2) with ties to the lower list
+    * id): the old broadcast crossJoin + per-vid ranking window
+    * MATERIALIZED batch×nList rows, which turns into a
+    * batch×(store/target) term once maintenance scales nList with the
+    * store — measured as the dominant growth in the round-8 sf10
+    * supervised pair-mining campaign (appends at nList 488 cost more
+    * than the mining they feed). Centroids are nList rows of driver
+    * metadata by contract. */
   private def assignToLists(centroids: DataFrame, newVecs: DataFrame,
                             sq8: Boolean): DataFrame = {
-    val cents = centroids.withColumn("cc", dot(col("centroid"), col("centroid")))
+    val rows = centroids
+      .select(col("list_id").cast("int").as("list_id"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val dim = if (rows.isEmpty) 0 else rows(0)._2.length
+    val aug = rows.flatMap { case (_, c) => c :+ (-0.5 * c.map(v => v * v).sum) }
+    val ids = rows.map(_._1)
     val assigned = newVecs
       .select(col("vec_id").as("vid"), asDouble(col("embedding")).as("e"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", col("cc") - lit(2.0) * dot(col("e"), col("centroid")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("vid").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("pr") === 1)
+      .withColumn("list_id", explode(graft.functions.NearestLists(
+        concat(col("e"), array(lit(1.0d))), aug, ids, dim + 1, 1)))
     if (sq8) {
       import graft.functions.Sq8
       assigned.select(col("vid"), Sq8.encode(col("e")).as("qc"), col("list_id"))
@@ -662,9 +683,11 @@ object Similarity {
     * (SCALE.md round 6) — size it to the corpus's cluster structure. */
   def knnJoin(emb: DataFrame, k: Int, nProbe: Int = 2,
               targetClusterRows: Long = 256,
-              scanFrac: Option[Double] = None): DataFrame = {
+              scanFrac: Option[Double] = None,
+              sampleFit: Boolean = false): DataFrame = {
     val (res, release) =
-      knnJoinScoped(emb, k, nProbe, targetClusterRows, scanFrac = scanFrac)
+      knnJoinScoped(emb, k, nProbe, targetClusterRows, scanFrac = scanFrac,
+        sampleFit = sampleFit)
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
@@ -682,9 +705,10 @@ object Similarity {
   def knnJoinScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                     targetClusterRows: Long = 256,
                     knownCount: Option[Long] = None,
-                    scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+                    scanFrac: Option[Double] = None,
+                    sampleFit: Boolean = false): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, knownCount)
-    val index = ivfBuild(emb, nList)
+    val index = ivfBuild(emb, nList, sampleFit)
     (knnJoinIndexed(emb, index, k, nProbe, scanFrac), () => index.release())
   }
 
@@ -740,9 +764,11 @@ object Similarity {
     * corpus on vid — pool-sized, never corpus×corpus. */
   def knnJoinSq8(emb: DataFrame, k: Int, nProbe: Int = 2,
                  targetClusterRows: Long = 256, refine: Int = 4,
-                 scanFrac: Option[Double] = None): DataFrame = {
+                 scanFrac: Option[Double] = None,
+                 sampleFit: Boolean = false): DataFrame = {
     val (res, release) =
-      knnJoinSq8Scoped(emb, k, nProbe, targetClusterRows, refine, scanFrac)
+      knnJoinSq8Scoped(emb, k, nProbe, targetClusterRows, refine, scanFrac,
+        sampleFit)
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
@@ -751,9 +777,10 @@ object Similarity {
 
   def knnJoinSq8Scoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                        targetClusterRows: Long = 256, refine: Int = 4,
-                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+                       scanFrac: Option[Double] = None,
+                       sampleFit: Boolean = false): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, None)
-    val index = ivfBuildSq8(emb, nList)
+    val index = ivfBuildSq8(emb, nList, sampleFit)
     (knnJoinSq8Indexed(emb, index, k, nProbe, refine, scanFrac),
       () => index.release())
   }
@@ -827,9 +854,11 @@ object Similarity {
     * target corpus, per the round-6 law. */
   def knnJoinPq(emb: DataFrame, k: Int, nProbe: Int = 2,
                 targetClusterRows: Long = 256, m: Int = 16,
-                refine: Int = 4, scanFrac: Option[Double] = None): DataFrame = {
+                refine: Int = 4, scanFrac: Option[Double] = None,
+                sampleFit: Boolean = false): DataFrame = {
     val (res, release) =
-      knnJoinPqScoped(emb, k, nProbe, targetClusterRows, m, refine, scanFrac)
+      knnJoinPqScoped(emb, k, nProbe, targetClusterRows, m, refine, scanFrac,
+        sampleFit)
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
@@ -839,9 +868,10 @@ object Similarity {
   def knnJoinPqScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                       targetClusterRows: Long = 256, m: Int = 16,
                       refine: Int = 4,
-                      scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+                      scanFrac: Option[Double] = None,
+                      sampleFit: Boolean = false): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, None)
-    val index = ivfPqBuild(emb, nList, m)
+    val index = ivfPqBuild(emb, nList, m, 256, sampleFit)
     val (res, releasePacked) =
       knnJoinPqIndexed(emb, index, k, nProbe, refine, scanFrac)
     // the packed lists are materialized eagerly inside Indexed, so the
@@ -933,9 +963,11 @@ object Similarity {
   def knnJoinOpq(emb: DataFrame, k: Int, nProbe: Int = 2,
                  targetClusterRows: Long = 256, m: Int = 16,
                  refine: Int = 4, iters: Int = 8,
-                 scanFrac: Option[Double] = None): DataFrame = {
+                 scanFrac: Option[Double] = None,
+                 sampleFit: Boolean = false): DataFrame = {
     val (res, release) =
-      knnJoinOpqScoped(emb, k, nProbe, targetClusterRows, m, refine, iters, scanFrac)
+      knnJoinOpqScoped(emb, k, nProbe, targetClusterRows, m, refine, iters,
+        scanFrac, sampleFit)
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
@@ -945,9 +977,10 @@ object Similarity {
   def knnJoinOpqScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
                        targetClusterRows: Long = 256, m: Int = 16,
                        refine: Int = 4, iters: Int = 8,
-                       scanFrac: Option[Double] = None): (DataFrame, () => Unit) = {
+                       scanFrac: Option[Double] = None,
+                       sampleFit: Boolean = false): (DataFrame, () => Unit) = {
     val nList = autoK(emb, targetClusterRows, None)
-    val index = ivfOpqBuild(emb, nList, m, 256, iters)
+    val index = ivfOpqBuild(emb, nList, m, 256, iters, sampleFit)
     val (res, releasePacked) =
       knnJoinOpqIndexed(emb, index, k, nProbe, refine, scanFrac)
     // like the PQ rung: the Indexed form packs eagerly, so the build's
@@ -972,14 +1005,15 @@ object Similarity {
     * `ivfPqBuild` refits coarse centroids AND codebooks on the rotated
     * corpus (the alternation's books are only its fitting scaffold). */
   def ivfOpqBuild(corpus: DataFrame, nList: Int = 8, m: Int = 16,
-                  kSub: Int = 256, iters: Int = 8): IvfOpqIndex = {
+                  kSub: Int = 256, iters: Int = 8,
+                  sampleFit: Boolean = false): IvfOpqIndex = {
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val dim = base.select(size(col("e"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val (rot, _) = opqFitLocal(pqSamplePoints(base), m, kSub, dim / m, iters)
     val rotated = base.select(col("vec_id"),
       graft.functions.MatVecF(col("e"), rot, dim).as("embedding"))
-    IvfOpqIndex(rot, dim, ivfPqBuild(rotated, nList, m, kSub))
+    IvfOpqIndex(rot, dim, ivfPqBuild(rotated, nList, m, kSub, sampleFit))
   }
 
   /** `knnJoinOpq` against a caller-owned index — completing the
@@ -1953,7 +1987,9 @@ object Similarity {
     } yield (j, c, cent.toSeq)
     bookRows.toSeq.toDF("j", "c", "cent")
       .repartition(1).write.mode("overwrite").parquet(s"$path/books")
-    index.coded.write.mode("overwrite")
+    // whole lists per task before the partitioned write (the ivfSave
+    // small-files rule: partitions×nList slivers otherwise)
+    index.coded.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/codes")
   }
 
@@ -1997,17 +2033,21 @@ object Similarity {
     val sub = books(0)(0).length
     val flat = books.flatMap(_.flatMap(_.toSeq))
     val ks = books.map(_.length)
-    val structs = cents.map { case (lid, cent) =>
-      struct((lit(cent.map(x => x * x).sum) -
-        lit(2.0) * dot(col("e"), typedLit(cent.toSeq))).as("d2"),
-        lit(lid).as("lid"))
-    }
-    val listCol =
-      element_at(array_sort(array(structs.toIndexedSeq: _*)), 1).getField("lid")
+    // Euclidean argmin via NearestLists (augmented-dot trick) — the
+    // former per-centroid struct/array_sort expression tree inlined
+    // O(nList) typedLit subtrees, the exact fresh-plan Catalyst cost
+    // cliff the round-6 q65 rule warns about, and maintenance scales
+    // nList with the store
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted(0)._2.length
+    val aug = sorted.flatMap { case (_, c) => c :+ (-0.5 * c.map(v => v * v).sum) }
+    val ids = sorted.map(_._1)
     newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .select(col("vec_id").as("vid"),
         graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"),
-        listCol.as("list_id"))
+        explode(graft.functions.NearestLists(
+          concat(col("e"), array(lit(1.0d))), aug, ids, dim + 1, 1)).as("list_id"))
+      .repartition(col("list_id")) // one file per touched list
       .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
   }
 
