@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint) for
+    // ivfbuild,pairmaint,sqrtn) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -55,9 +55,12 @@ object ScaleReport {
       rows
     }
 
-    val docs = Tables.documents(spark, sfDir)
+    // extreme-SF dirs may carry only the vector tables (GenData's
+    // table filter) — sections that need docs just aren't requested
+    val docsOpt = scala.util.Try(Tables.documents(spark, sfDir)).toOption
+    lazy val docs = docsOpt.get
     val emb = Tables.embeddings(spark, sfDir)
-    val nDocs = docs.count(); val nVecs = emb.count()
+    val nDocs = docsOpt.map(_.count()).getOrElse(0L); val nVecs = emb.count()
     println(s"""{"op":"corpus","docs":$nDocs,"vecs":$nVecs,"dir":"$sfDir"}""")
     // spill-aware partitioning (the CLAUDE.md scale rule): band-join
     // build maps must fit the per-task heap share, and band rows grow
@@ -814,6 +817,48 @@ object ScaleReport {
       }
       val pairs = spark.read.parquet(nbrsP).count()
       println(s"""{"op":"pairmaint_total","pairs":$pairs,"generations":$gen}""")
+    }
+
+    // The √N dial (Similarity.knnJoin scaladoc): at extreme N,
+    // targetClusterRows ∝ √N trades build cost (∝ N·nList, nList =
+    // N/target) against per-probe query cost (∝ N/nList). Measured
+    // here as build-vs-search seconds + recall at the two sizings —
+    // the claim was documented in round 6 but never measured. Builds
+    // use sampleFit (the bounded fit is the extreme-N path); gold is
+    // the distributed brute-force top-10 for the first 50 vectors.
+    if (section("sqrtn")) {
+      val goldDf = Similarity.cosineTopK(emb, 50, 10)
+      val gold = goldDf.select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      release()
+      val corpus = emb.where(col("vec_id") >= 50)
+      val sqrtTarget = math.max(256L, math.round(math.sqrt(nVecs.toDouble)))
+      for ((label, target) <- Seq("default" -> 256L, "sqrtN" -> sqrtTarget)) {
+        val nList = math.max(8L, nVecs / target).toInt
+        val t0 = System.nanoTime()
+        val idx = Similarity.ivfBuild(corpus, nList, sampleFit = true)
+        idx.assigned.count()
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        for (nProbe <- Seq(2, 8)) {
+          // recall on the 50 gold queries; TIME on a 2000-query batch
+          // (enough probe·clusterRows volume for the N/nList term to
+          // dominate the fixed store-scan cost)
+          val got = Similarity.ivfSearch(idx,
+              emb.where(col("vec_id") < 50), 10, nProbe)
+            .select("qid", "vid").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val rec = gold.keys.toSeq.map(q =>
+            gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size)
+          val t1 = System.nanoTime()
+          Similarity.ivfSearch(idx,
+            emb.where(col("vec_id") < 2000), 10, nProbe).count()
+          val searchSec = (System.nanoTime() - t1) / 1e9
+          println(f"""{"op":"sqrtn","sizing":"$label","target":$target,"nlist":$nList,"nprobe":$nProbe,"build_sec":$buildSec%.2f,"search2k_sec":$searchSec%.2f,"recall_at_10":${rec.sum / rec.size}%.3f}""")
+        }
+        idx.release(); release()
+      }
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

@@ -665,11 +665,15 @@ object Similarity {
     * round-7 superlinearity it removed), candidates one equi-join on
     * list_id, so the pair volume is N·nProbe·targetClusterRows — never
     * N² — and the list count scales with the corpus (`autoK`) exactly
-    * like SemDeDup's. The KMeans fit keeps the FAISS
-    * flat-coarse-quantizer cost profile (N×nList distance evals at
-    * ~256 train points per centroid); at extreme N pass
-    * `targetClusterRows ∝ √N` for the classic IVF √N build/query
-    * tradeoff.
+    * like SemDeDup's. The default fit keeps the FAISS
+    * flat-coarse-quantizer cost profile (N×nList distance evals);
+    * `sampleFit = true` bounds the fit to a driver sample and leaves
+    * only the codegen assignment pass — the extreme-N build path. At
+    * extreme N pass `targetClusterRows ∝ √N`: measured at sf100 (2 M
+    * vectors, SCALE.md round 8), √N sizing is 8× cheaper to build, no
+    * slower to search, and 10–26× better on fixed-nProbe recall than
+    * the fixed-256 target — recall tracks the scan fraction
+    * nProbe/nList, and corpus-proportional nList drives it to ~0.1 %.
     * Result is N·k rows and STAYS DISTRIBUTED (nothing collects);
     * callers release the index via the scoped pair once the result is
     * consumed or materialized. Approximate by construction (probed
