@@ -748,6 +748,20 @@ object SparkEntry {
     "q156_knn_exhaustive_samplefit" -> ((s, d) =>
       Similarity.knnJoin(embeddings(s, d), 5, scanFrac = Some(1.0),
         sampleFit = true)),
+    // the 1-bit rung (FAISS IndexBinaryFlat): sign codes, exact
+    // integer Hamming ranking — HASH-GREEN, because the oracle can
+    // recompute Hamming as the count of per-dim sign disagreements
+    // over the raw floats (no bit packing needed SQL-side)
+    "q157_bin_topk" -> ((s, d) =>
+      Similarity.binTopK(embeddings(s, d), 5, 10)),
+    // Binary,RefineFlat at ITS exhaustive dial: the refine pool covers
+    // the corpus, so the float re-rank orders every candidate and the
+    // result is the exact brute ranking through encode → Hamming →
+    // pool → refine (hash-green; sixth ANN family on the dial ladder)
+    "q158_bin_refine_exhaustive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.binTopK(e, 5, 10, refine = (e.count() / 10L + 1L).toInt)
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1289,6 +1303,29 @@ object SparkEntry {
             FROM n q JOIN n c ON q.vec_id <> c.vec_id),
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // Hamming of sign codes == count of per-dim sign disagreements
+    // over the raw floats — the integer ranking is exactly
+    // reproducible in SQL without packing a single bit
+    "q157_bin_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce FROM e WHERE vec_id >= 5),
+      s AS (SELECT qid, vid,
+              CAST(list_sum(list_transform(list_zip(qe, ce),
+                x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS INT) AS ham
+            FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // brute oracle: at a corpus-covering refine pool the float re-rank
+    // orders every candidate — the Hamming stage only feeds it
+    "q158_bin_refine_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     // same brute oracle: the sample-fit coarse quantizer moves WHERE
     // vectors live, not what the exhaustive scan ranks
     "q156_knn_exhaustive_samplefit" -> """

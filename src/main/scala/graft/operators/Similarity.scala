@@ -1118,6 +1118,107 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** The 1-bit rung of the quantization ladder — FAISS
+    * `IndexBinaryFlat` (+ `RefineFlat`) as frames: sign codes
+    * (`functions.BinEncode`, d/8 bytes per vector — 64× under the
+    * promoted float store at 64 dims) scanned by exact integer
+    * HAMMING distance (`BinHamming`, popcount of the XOR), optionally
+    * re-ranked in float for the top pool. No codebook, no training,
+    * no scale header: the cheapest code that still orders candidates
+    * by angle (Charikar 2002 sign-LSH, applied per-coordinate). The
+    * query side is the bounded broadcast side by contract (the
+    * `cosineTopK` discipline); corpus-side joins should quantize the
+    * IVF lists instead (`knnJoinSq8`/`knnJoinPq`). */
+  final case class BinIndex(coded: DataFrame) {
+    def release(): Unit = coded.unpersist(blocking = false)
+  }
+
+  def binBuild(corpus: DataFrame): BinIndex = {
+    val coded = corpus.select(col("vec_id").as("vid"),
+        graft.functions.Bin.encode(asDouble(col("embedding"))).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count()
+    BinIndex(coded)
+  }
+
+  /** Hamming top-k over a built/loaded binary index: (qid, rnk, vid),
+    * rank by distance asc then vid — the integer ordering the DuckDB
+    * oracle reproduces exactly (q157 is hash-green: Hamming of sign
+    * codes == count of per-dim sign disagreements, no bit packing
+    * needed oracle-side). */
+  def binSearch(index: BinIndex, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      graft.functions.Bin.encode(asDouble(col("embedding"))).as("qb"))
+    index.coded.crossJoin(broadcast(q))
+      .select(col("qid"), col("vid"),
+        graft.functions.Bin.hamming(col("qb"), col("bc")).as("ham"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** `Binary,RefineFlat`: Hamming retrieves `k × refine` candidates,
+    * the float store re-scores only those — same repair economics as
+    * `ivfSearchSq8Refine`. At `refine` covering the corpus the float
+    * re-rank orders EVERY candidate, so the result is the exact brute
+    * ranking through the binary plumbing (q158's hash-green dial). */
+  def binSearchRefine(index: BinIndex, emb: DataFrame, queries: DataFrame,
+                      k: Int, refine: Int = 4): DataFrame = {
+    val cand = binSearch(index, queries, k * refine).select("qid", "vid")
+    val flo = emb.select(col("vec_id").as("vid"), asDouble(col("embedding")).as("ve"))
+      .withColumn("vn", sqrt(dot(col("ve"), col("ve"))))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    cand.join(flo, Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Self-contained query form (the q157/q158 shape): vectors below
+    * `nQueries` query the rest. `refine = 0` returns the raw Hamming
+    * ranking; `refine > 0` float-re-ranks the top pool. */
+  def binTopK(emb: DataFrame, nQueries: Int, k: Int,
+              refine: Int = 0): DataFrame = {
+    val index = binBuild(emb.where(col("vec_id") >= nQueries))
+    try {
+      val qs = emb.where(col("vec_id") < nQueries)
+      val res =
+        if (refine > 0)
+          binSearchRefine(index, emb.where(col("vec_id") >= nQueries), qs, k, refine)
+        else binSearch(index, qs, k)
+      val rows = res.collect().toIndexedSeq
+      val spark = emb.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally index.release()
+  }
+
+  /** Persist / reload / frozen append for the binary store —
+    * `bincodes/` is the layout key the ingest dispatch recognizes.
+    * Append is O(batch): encode and write, nothing refit (there is
+    * nothing TO refit — the code is the sign pattern itself). */
+  def binSave(index: BinIndex, path: String): Unit =
+    index.coded.write.mode("overwrite").parquet(s"$path/bincodes")
+
+  def binLoad(spark: org.apache.spark.sql.SparkSession, path: String): BinIndex = {
+    val coded = spark.read.parquet(s"$path/bincodes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    BinIndex(coded)
+  }
+
+  def binAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit =
+    newVecs.select(col("vec_id").as("vid"),
+        graft.functions.Bin.encode(asDouble(col("embedding"))).as("bc"))
+      .write.mode("append").parquet(s"$path/bincodes")
+
   /** IVF with scalar-quantized inverted lists — the FAISS `IVF,SQ8`
     * composite: the coarse quantizer trains on floats (centroid math
     * stays exact), but the ASSIGNED LISTS — the big, long-lived side

@@ -39,9 +39,10 @@ object IngestVectors {
     * the store schema); `rot/` + `centroids/` = OPQ,IVF,PQ (batch
     * rides the frozen rotation, then the frozen lists/books);
     * `books/` + `centroids/` = IVF,PQ; `books/` + `rot/` = flat OPQ;
-    * `books/` alone = flat PQ. Returns the batch row count. Factored
-    * out of the foreachBatch closure so batch specs can drive it
-    * without a streaming query. */
+    * `books/` alone = flat PQ; `bincodes/` = the 1-bit sign store
+    * (`binSave`, Hamming-ranked search face). Returns the batch row
+    * count. Factored out of the foreachBatch closure so batch specs
+    * can drive it without a streaming query. */
   def processBatch(batch: DataFrame, indexPath: String): Long = {
     val spark = batch.sparkSession
     val n = batch.count()
@@ -59,8 +60,9 @@ object IngestVectors {
       else if (has("books") && has("rot"))
         Similarity.opqAppendSave(spark, indexPath, batch)
       else if (has("books")) Similarity.pqAppendSave(spark, indexPath, batch)
+      else if (has("bincodes")) Similarity.binAppendSave(spark, indexPath, batch)
       else throw new IllegalArgumentException(
-        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave store")
+        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave/binSave store")
     }
     n
   }
@@ -117,8 +119,11 @@ object IngestVectors {
       } else if (has("books")) {
         val idx = Similarity.pqLoad(spark, indexPath)
         (Similarity.pqSearch(idx, queries, k), () => idx.release())
+      } else if (has("bincodes")) {
+        val idx = Similarity.binLoad(spark, indexPath)
+        (Similarity.binSearch(idx, queries, k), () => idx.release())
       } else throw new IllegalArgumentException(
-        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave store")
+        s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave/binSave store")
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
