@@ -235,7 +235,13 @@ object ScaleReport {
         .selectExpr("CAST(sum(octet_length(pc) + 8 + 8 + 4) AS BIGINT)")
         .head().getLong(0)
       pqi.release()
-      println(f"""{"op":"knn_list_bytes","float":$flBytes,"sq8":$q8Bytes,"pq":$pqBytes,"pq_packed":$pqPackedBytes,"ratio":${flBytes.toDouble / q8Bytes}%.2f,"pq_ratio":${flBytes.toDouble / pqBytes}%.2f,"pq_packed_ratio":${flBytes.toDouble / pqPackedBytes}%.2f}""")
+      // the 1-bit rung closes the ladder: d/8 B of sign code per vector
+      val bi = Similarity.binBuild(emb)
+      val binBytes = bi.coded
+        .selectExpr("CAST(sum(octet_length(bc) + 8) AS BIGINT)")
+        .head().getLong(0)
+      bi.release()
+      println(f"""{"op":"knn_list_bytes","float":$flBytes,"sq8":$q8Bytes,"pq":$pqBytes,"pq_packed":$pqPackedBytes,"bin":$binBytes,"ratio":${flBytes.toDouble / q8Bytes}%.2f,"pq_ratio":${flBytes.toDouble / pqBytes}%.2f,"pq_packed_ratio":${flBytes.toDouble / pqPackedBytes}%.2f,"bin_ratio":${flBytes.toDouble / binBytes}%.2f}""")
     }
 
     // Text-analysis family over the FULL corpus (the driver queries cap
@@ -773,12 +779,15 @@ object ScaleReport {
       import graft.streaming.{IngestPipeline, IngestVectors}
       val target = 256L
       val seedN = math.max(256L, nVecs / 10)
-      var idxPath = java.nio.file.Files.createTempDirectory("pmm_index").toString
+      val idxPath0 = java.nio.file.Files.createTempDirectory("pmm_index").toString
       val seedIdx = Similarity.ivfBuild(
         emb.where(col("vec_id") < seedN),
         math.max(8L, seedN / target).toInt)
-      Similarity.ivfSave(seedIdx, idxPath)
+      Similarity.ivfSave(seedIdx, idxPath0)
       seedIdx.release()
+      val sup = new IngestVectors.IndexSupervisor(spark, idxPath0,
+        java.nio.file.Files.createTempDirectory("pmm_gens").toString,
+        maxSkew = 2.0, targetClusterRows = target, sampleFit = true)
       val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"), col("text"), col("embedding"))
       val (sigsP, outP, teleP, nbrsP) = (
@@ -788,35 +797,31 @@ object ScaleReport {
         java.nio.file.Files.createTempDirectory("pmm_nbrs").toString)
       val nBatches = 5
       val span = math.max(1L, (nVecs - seedN) / nBatches)
-      var gen = 0
       for (b <- 0 until nBatches) {
         val lo = seedN + b * span
         val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
         val batch = feed.where(col("doc_id") >= lo && col("doc_id") < hi)
-        val storeBefore = spark.read.parquet(s"$idxPath/assigned").count()
-        val nListNow = spark.read.parquet(s"$idxPath/centroids").count()
+        val cur = sup.currentPath
+        val storeBefore = spark.read.parquet(s"$cur/assigned").count()
+        val nListNow = spark.read.parquet(s"$cur/centroids").count()
         val t0 = System.nanoTime()
         val kept = IngestPipeline.processBatch(batch, b.toLong, sigsP, outP,
-          idxPath, teleP, 0.5, neighborsPath = Some(nbrsP), neighborK = 10)
+          cur, teleP, 0.5, neighborsPath = Some(nbrsP), neighborK = 10)
         val sec = (System.nanoTime() - t0) / 1e9
         release()
-        println(f"""{"op":"pairmaint_batch","batch":$b,"kept":$kept,"store_before":$storeBefore,"nlist":$nListNow,"gen":$gen,"sec":$sec%.2f}""")
-        // supervisor: growth-gated maintenance between batches; the
-        // swap is a path move + one idempotent gap replay
+        println(f"""{"op":"pairmaint_batch","batch":$b,"kept":$kept,"store_before":$storeBefore,"nlist":$nListNow,"gen":${sup.generation},"sec":$sec%.2f}""")
+        // the supervisor gates growth/skew and performs the swap
+        // contract (rebuild + idempotent gap replay + path move)
         val t1 = System.nanoTime()
-        val dst = java.nio.file.Files.createTempDirectory(s"pmm_gen${gen + 1}_").toString
-        if (IngestVectors.maintainIndex(spark, idxPath, maxSkew = 2.0, dst,
-            targetClusterRows = target, sampleFit = true)) {
-          Similarity.ivfReplayGap(spark, idxPath, dst) // supervisor's half of the contract
-          idxPath = dst; gen += 1
+        if (sup.maintain()) {
           val mSec = (System.nanoTime() - t1) / 1e9
-          val newList = spark.read.parquet(s"$idxPath/centroids").count()
+          val newList = spark.read.parquet(s"${sup.currentPath}/centroids").count()
           release()
-          println(f"""{"op":"pairmaint_rebalance","after_batch":$b,"gen":$gen,"nlist":$newList,"sec":$mSec%.2f}""")
+          println(f"""{"op":"pairmaint_rebalance","after_batch":$b,"gen":${sup.generation},"nlist":$newList,"sec":$mSec%.2f}""")
         } else release()
       }
       val pairs = spark.read.parquet(nbrsP).count()
-      println(s"""{"op":"pairmaint_total","pairs":$pairs,"generations":$gen}""")
+      println(s"""{"op":"pairmaint_total","pairs":$pairs,"generations":${sup.generation}}""")
     }
 
     // The √N dial (Similarity.knnJoin scaladoc): at extreme N,

@@ -147,4 +147,40 @@ object IngestPipeline {
       }
       .start()
   }
+
+  /** `start` with a MAINTAINED index: each micro-batch runs against
+    * the supervisor's current generation, then the supervisor gates a
+    * rebuild (growth/skew) before the next batch — maintenance
+    * serializes with appends inside the foreachBatch, which is the
+    * simplest policy that needs no replay at all; a concurrent
+    * offline `supervisor.maintain()` is also legal (the gap-replay
+    * contract covers racing appends). This is the loop that keeps
+    * per-batch mining cost flat as the store grows (SCALE.md round 8:
+    * 38–43 s across an 8× store vs 43 → 87 s frozen). Pair
+    * `neighborScanFrac` with it when mining must hold RECALL instead
+    * of cost across the generation swaps. */
+  def startSupervised(docs: DataFrame, sigStorePath: String, outPath: String,
+                      supervisor: IngestVectors.IndexSupervisor,
+                      telemetryPath: String, threshold: Double,
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.ProcessingTime(0L),
+                      vocabPath: Option[String] = None,
+                      neighborsPath: Option[String] = None,
+                      neighborK: Int = 5, neighborProbe: Int = 2,
+                      neighborScanFrac: Option[Double] = None): StreamingQuery = {
+    val cols = Seq("doc_id", "text", "embedding") ++
+      (if (vocabPath.isDefined) Seq("source") else Nil)
+    docs.select(cols.map(col): _*).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, id, sigStorePath, outPath,
+          supervisor.currentPath, telemetryPath, threshold, vocabPath,
+          neighborsPath, neighborK, neighborProbe, neighborScanFrac)
+        supervisor.maintain()
+        ()
+      }
+      .start()
+  }
 }

@@ -289,6 +289,62 @@ class IngestPipelineSpec extends SparkSpec {
     assert(tRows == Seq(1L, 2L))            // batch1 kept 2, batch2 kept 1
   }
 
+  test("startSupervised: the supervisor swaps generations inside the stream; kept == indexed across swaps") {
+    // growth-gated: seed 16 vecs in 4 lists (occupancy 4, target 4);
+    // batch 1 lands 24 more (occupancy 10 > 2×target) → the supervisor
+    // must rebuild to ⌈40/4⌉ = 10 lists between batches, and batch 2
+    // must append to (and mine against) the NEW generation
+    val dim = 4
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(j => (((seed * 31 + j * 7) % 13) - 6).toFloat / 13f)
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, (0 until 12).map(t => s"w${i}x$t").mkString(" "), vec(i)))
+    val seedVecs = (0L until 16L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val g0 = tmp("sup_g0")
+    val idx = Similarity.ivfBuild(seedVecs, 4)
+    Similarity.ivfSave(idx, g0)
+    idx.release()
+    val sup = new graft.streaming.IngestVectors.IndexSupervisor(
+      spark, g0, tmp("sup_gens"), maxSkew = 100.0, targetClusterRows = 4L)
+
+    val (sigs, out, tele, ckpt, nbrs) = (tmp("sup_sigs"), tmp("sup_out"),
+      tmp("sup_tele"), tmp("sup_ckpt"), tmp("sup_nbrs"))
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val q = IngestPipeline.startSupervised(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      sigs, out, sup, tele, 0.5, ckpt,
+      neighborsPath = Some(nbrs), neighborK = 2, neighborScanFrac = Some(1.0))
+    input.addData(rows(100 until 124): _*)
+    q.processAllAvailable()
+    val genAfterB1 = sup.generation
+    input.addData(rows(200 until 205): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(genAfterB1 >= 1, "growth gate never fired inside the stream")
+    assert(sup.currentPath != g0)
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((100L until 124L) ++ (200L until 205L)).toSet)
+    // the final generation holds seed + every kept doc exactly once
+    val fin = Similarity.ivfLoad(spark, sup.currentPath)
+    try {
+      assert(fin.nList >= 10)
+      val vids = fin.assigned.select("vid").collect().map(_.getLong(0)).toSeq
+      assert(vids.sorted == ((0L until 16L) ++ kept.toSeq.sorted).toSeq.sorted)
+    } finally fin.release()
+    // batch 2 mined against the NEW generation at scanFrac 1.0 — its
+    // neighbor rows must equal exhaustive search on the pre-batch-2
+    // store content (seed + batch 1), for a probe vector we control
+    val mined = spark.read.parquet(nbrs).where($"batch_id" === 1L)
+      .select("qid", "rnk", "vid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mined.nonEmpty)
+    assert(mined.forall(t => t._3 < 124L), "batch-2 mining leaked batch-2 vids")
+  }
+
   test("generation swap mid-ingest: maintenance rebuild preserves kept == indexed across the swap") {
     // the supervisor pattern maintainIndex is written for: ingest into
     // g0, drift skews it, maintenance writes g1 (rebuilt from g0's FULL
