@@ -762,6 +762,20 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.binTopK(e, 5, 10, refine = (e.count() / 10L + 1L).toInt)
     }),
+    // the binary rung lifted to the corpus side: 1-bit inverted lists,
+    // Hamming candidate pool, float refine. Rows-only (seeded lists);
+    // BinSpec pins refined recall and determinism
+    "q159_knn_join_bin" -> ((s, d) =>
+      Similarity.knnJoinBin(embeddings(s, d), 5)),
+    // q159 at the exhaustive dial (every list + corpus-covering pool):
+    // the float refine ranks all candidates — the brute ranking through
+    // build → sign-encode → Hamming → refine (hash-green; the corpus-
+    // side ladder's fifth green dial)
+    "q160_knn_bin_exhaustive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.knnJoinBin(e, 5,
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1326,6 +1340,16 @@ object SparkEntry {
       s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // brute oracle: the exhaustive dial's float refine ranks every
+    // candidate — the sign codes only fed the pool
+    "q160_knn_bin_exhaustive" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
+      SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     // same brute oracle: the sample-fit coarse quantizer moves WHERE
     // vectors live, not what the exhaustive scan ranks
     "q156_knn_exhaustive_samplefit" -> """

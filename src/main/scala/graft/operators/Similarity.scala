@@ -368,14 +368,18 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
     val nList = cents.count().toInt
     val raw = spark.read.parquet(s"$path/assigned")
-    // float lists carry `ce` (array<double>), SQ8 lists `qc` (binary) —
-    // both round-trip through the same save/load
-    val dataCol = if (raw.columns.contains("qc")) "qc" else "ce"
+    // float lists carry `ce` (array<double>), SQ8 lists `qc` (binary),
+    // 1-bit lists `bc` (binary, no norm column — Hamming needs none) —
+    // all round-trip through the same save/load
+    val cols =
+      if (raw.columns.contains("bc")) Seq(col("vid"), col("bc"))
+      else if (raw.columns.contains("qc")) Seq(col("vid"), col("qc"), col("cn"))
+      else Seq(col("vid"), col("ce"), col("cn"))
     val assigned = raw
       // partitionBy moved list_id to the end and widened it; restore the
-      // build-time column order and type so the two index forms are
+      // build-time column order and type so the index forms are
       // interchangeable frame-for-frame
-      .select(col("vid"), col(dataCol), col("cn"), col("list_id").cast("int").as("list_id"))
+      .select(cols :+ col("list_id").cast("int").as("list_id"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(cents, assigned, nList)
   }
@@ -408,8 +412,9 @@ object Similarity {
   def ivfAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVecs: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val sq8 = spark.read.parquet(s"$path/assigned").schema.fieldNames.contains("qc")
-    assignToLists(cents, newVecs, sq8)
+    val fields = spark.read.parquet(s"$path/assigned").schema.fieldNames
+    assignToLists(cents, newVecs, sq8 = fields.contains("qc"),
+        bin = fields.contains("bc"))
       .repartition(col("list_id")) // one file per touched list, not per task
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
@@ -467,6 +472,8 @@ object Similarity {
   private def reconstructAssigned(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    require(!assigned.columns.contains("bc"),
+      "binary (sign-code) lists are not reconstructible — rebuild from the source corpus (the PQ-tier rule)")
     if (assigned.columns.contains("qc"))
       assigned.select(col("vid"), col("qc")).as[(Long, Array[Byte])]
         .map { case (vid, qc) =>
@@ -564,7 +571,7 @@ object Similarity {
     * than the mining they feed). Centroids are nList rows of driver
     * metadata by contract. */
   private def assignToLists(centroids: DataFrame, newVecs: DataFrame,
-                            sq8: Boolean): DataFrame = {
+                            sq8: Boolean, bin: Boolean = false): DataFrame = {
     val rows = centroids
       .select(col("list_id").cast("int").as("list_id"), col("centroid"))
       .collect().sortBy(_.getInt(0))
@@ -576,7 +583,10 @@ object Similarity {
       .select(col("vec_id").as("vid"), asDouble(col("embedding")).as("e"))
       .withColumn("list_id", explode(graft.functions.NearestLists(
         concat(col("e"), array(lit(1.0d))), aug, ids, dim + 1, 1)))
-    if (sq8) {
+    if (bin)
+      assigned.select(col("vid"),
+        graft.functions.Bin.encode(col("e")).as("bc"), col("list_id"))
+    else if (sq8) {
       import graft.functions.Sq8
       assigned.select(col("vid"), Sq8.encode(col("e")).as("qc"), col("list_id"))
         .withColumn("cn", sqrt(Sq8.dot(col("qc"), col("qc"))))
@@ -837,6 +847,117 @@ object Similarity {
       .select("qid", "rnk", "vid")
       .orderBy("qid", "rnk")
     res
+  }
+
+  /** IVF with 1-BIT lists — the binary rung lifted to the corpus
+    * side: probe selection on float centroids (tiny, exact), inverted
+    * lists of d/8-byte sign codes (33× under the float lists at 64
+    * dims — the `knn_list_bytes` ladder's bottom row), candidates
+    * ranked by integer Hamming, and the top pool repaired in float.
+    * Sign codes are NOT reconstructible (unlike SQ8), so
+    * `ivfRebalance`/`ivfReconstruct` reject these stores — rebuild
+    * from the source corpus like the PQ tiers. `ivfSave`/`ivfLoad`
+    * round-trip the (vid, bc, list_id) layout; `ivfAppendSave`
+    * encodes appends against the frozen centroids. */
+  def ivfBuildBin(corpus: DataFrame, nList: Int = 8,
+                  sampleFit: Boolean = false): IvfIndex = {
+    val fl = ivfBuild(corpus, nList, sampleFit)
+    val assigned = fl.assigned
+      .select(col("vid"), graft.functions.Bin.encode(col("ce")).as("bc"),
+        col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize codes, then drop the float lists
+    fl.release()
+    IvfIndex(fl.centroids, assigned, fl.nList)
+  }
+
+  /** Probe + Hamming scan over an `ivfBuildBin` index: probe selection
+    * on float centroids, candidate ranking by `BinHamming` (distance
+    * asc, vid asc — the q157 integer ordering, list-scoped). */
+  def ivfSearchBin(index: IvfIndex, queries: DataFrame, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    require(index.assigned.columns.contains("bc"),
+      "ivfSearchBin needs a binary list store (bc column)")
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qb", graft.functions.Bin.encode(col("qe")))
+    val probes = probeTopLists(q, Seq("qid", "qb"), index.centroids, nProbe)
+    probes.join(index.assigned, Seq("list_id"))
+      .select(col("qid"), col("vid"),
+        graft.functions.Bin.hamming(col("qb"), col("bc")).as("ham"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Corpus-wide kNN join over 1-bit lists + float refine — the
+    * cheapest-storage rung of the corpus-side ladder (float → SQ8 →
+    * PQ/OPQ → binary). Same dials, same `shuffle_hash`-pinned
+    * candidate shape; the Hamming pool absorbs into the float re-rank
+    * exactly like the ADC pools, and the exhaustive dial (scanFrac =
+    * 1.0 + corpus-covering refine) IS the brute ranking (q160,
+    * hash-green). */
+  def knnJoinBin(emb: DataFrame, k: Int, nProbe: Int = 2,
+                 targetClusterRows: Long = 256, refine: Int = 4,
+                 scanFrac: Option[Double] = None,
+                 sampleFit: Boolean = false): DataFrame = {
+    val (res, release) =
+      knnJoinBinScoped(emb, k, nProbe, targetClusterRows, refine, scanFrac,
+        sampleFit)
+    val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
+
+  def knnJoinBinScoped(emb: DataFrame, k: Int, nProbe: Int = 2,
+                       targetClusterRows: Long = 256, refine: Int = 4,
+                       scanFrac: Option[Double] = None,
+                       sampleFit: Boolean = false): (DataFrame, () => Unit) = {
+    val nList = autoK(emb, targetClusterRows, None)
+    val index = ivfBuildBin(emb, nList, sampleFit)
+    (knnJoinBinIndexed(emb, index, k, nProbe, refine, scanFrac),
+      () => index.release())
+  }
+
+  def knnJoinBinIndexed(emb: DataFrame, index: IvfIndex, k: Int,
+                        nProbe: Int = 2, refine: Int = 4,
+                        scanFrac: Option[Double] = None): DataFrame = {
+    require(index.assigned.columns.contains("bc"),
+      "knnJoinBinIndexed needs a binary list store (bc column) — use knnJoinIndexed for float lists")
+    val nList = index.nList
+    val probes0 = scanFrac
+      .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
+    val q = emb.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qb", graft.functions.Bin.encode(col("qe")))
+    val probes =
+      if (probes0 >= nList)
+        q.crossJoin(broadcast(index.centroids.select("list_id")))
+          .select(col("qid"), col("qe"), col("qn"), col("qb"), col("list_id"))
+      else probeTopLists(q, Seq("qid", "qe", "qn", "qb"),
+        index.centroids, probes0)
+    // binary lists dip under the broadcast threshold earlier than any
+    // other rung (d/8 B/vector) — the shuffle_hash pin matters most here
+    val pool = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("qe"), col("qn"), col("vid"),
+        graft.functions.Bin.hamming(col("qb"), col("bc")).as("ham"))
+      .withColumn("rh", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vid").asc)))
+      .where(col("rh") <= k * refine)
+    val cvec = emb.select(col("vec_id").as("vid"),
+        asDouble(col("embedding")).as("ce"))
+      .withColumn("cnf", sqrt(dot(col("ce"), col("ce"))))
+    pool.join(cvec, Seq("vid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cnf"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vid")
+      .orderBy("qid", "rnk")
   }
 
   /** `knnJoin` over a PQ-CODED store — the deepest rung of the

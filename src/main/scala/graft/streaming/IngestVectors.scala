@@ -35,8 +35,8 @@ object IngestVectors {
   /** Run one micro-batch: append the batch to whichever saved index
     * layout lives at `indexPath` — detected from the store's own
     * directory shape, so one ingest loop serves every tier:
-    * `assigned/` = IVF (float or SQ8, `ivfAppendSave` re-encodes from
-    * the store schema); `rot/` + `centroids/` = OPQ,IVF,PQ (batch
+    * `assigned/` = IVF (float, SQ8, or 1-bit — `ivfAppendSave`
+    * re-encodes from the store schema); `rot/` + `centroids/` = OPQ,IVF,PQ (batch
     * rides the frozen rotation, then the frozen lists/books);
     * `books/` + `centroids/` = IVF,PQ; `books/` + `rot/` = flat OPQ;
     * `books/` alone = flat PQ; `bincodes/` = the 1-bit sign store
@@ -101,7 +101,9 @@ object IngestVectors {
       if (has("assigned")) {
         val idx = Similarity.ivfLoad(spark, indexPath)
         val r =
-          if (idx.assigned.columns.contains("qc"))
+          if (idx.assigned.columns.contains("bc"))
+            Similarity.ivfSearchBin(idx, queries, k, probes(idx.nList))
+          else if (idx.assigned.columns.contains("qc"))
             Similarity.ivfSearchSq8(idx, queries, k, probes(idx.nList))
           else Similarity.ivfSearch(idx, queries, k, probes(idx.nList))
         (r, () => idx.release())

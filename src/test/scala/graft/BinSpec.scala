@@ -80,6 +80,77 @@ class BinSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("knnJoinBin: exhaustive dial equals the float brute join; probed recall holds on planted clusters") {
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.toSeq.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }
+    val d = emb(rows: _*)
+    // exhaustive dial: every list probed + corpus-covering pool ⇒ the
+    // float refine ranks everything — bit-equal to the float brute join
+    val full = Similarity.knnJoinBin(d, 5, refine = 41, scanFrac = Some(1.0))
+    val fullRows = full.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    full.unpersist(blocking = false)
+    val brute = Similarity.knnJoin(d, 5, targetClusterRows = 25, scanFrac = Some(1.0))
+    val bruteRows = brute.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    brute.unpersist(blocking = false)
+    assert(fullRows == bruteRows)
+    // probed mode: Hamming pool + refine holds recall on the clusters
+    val gold = bruteRows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val got = Similarity.knnJoinBin(d, 5, nProbe = 2, targetClusterRows = 25)
+    val byQ = got.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.unpersist(blocking = false)
+    val recall = gold.map { case (q, g) =>
+      byQ.getOrElse(q, Set.empty[Long]).intersect(g).size.toDouble / g.size
+    }.sum / gold.size
+    assert(recall >= 0.85, s"binary refined recall@5 $recall < 0.85")
+    // deterministic run-to-run
+    val again = Similarity.knnJoinBin(d, 5, nProbe = 2, targetClusterRows = 25)
+    val a2 = again.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    again.unpersist(blocking = false)
+    val g1 = Similarity.knnJoinBin(d, 5, nProbe = 2, targetClusterRows = 25)
+    val a1 = g1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    g1.unpersist(blocking = false)
+    assert(a1 == a2)
+  }
+
+  test("binary IVF store: save/load/append round-trip, searchBatch dispatch, rebalance rejected") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("binivf").toString
+    val idx = Similarity.ivfBuildBin(all.where($"vec_id" >= 20 && $"vec_id" < 400), 4)
+    val qs = all.where($"vec_id" < 5)
+    try {
+      val before = Similarity.ivfSearchBin(idx, qs, 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      Similarity.ivfSave(idx, dir)
+      val loaded = Similarity.ivfLoad(spark, dir)
+      try {
+        val after = Similarity.ivfSearchBin(loaded, qs, 5, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        assert(after == before)
+        // sign codes are not reconstructible: rebalance must refuse
+        val err = intercept[IllegalArgumentException] {
+          Similarity.ivfRebalance(Similarity.ivfLoad(spark, dir))
+        }
+        assert(err.getMessage.contains("not reconstructible"))
+      } finally loaded.release()
+    } finally idx.release()
+    // frozen-centroid append re-encodes the batch; twin is searchable
+    // through the layout dispatch (assigned/ + bc)
+    val twins = all.where($"vec_id" >= 20 && $"vec_id" < 25)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    assert(IngestVectors.processBatch(twins, dir) == 5)
+    val hits = IngestVectors.searchBatch(all.where($"vec_id" === 22), dir, 2,
+      nProbe = 4)
+    val got = hits.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    hits.unpersist(blocking = false)
+    assert(got.head == ((1, 22L)) && got.map(_._2).contains(10022L),
+      s"twin not found through the binary IVF tier: $got")
+  }
+
   test("binSave/binLoad/binAppendSave: reload parity, O(batch) append, ingest dispatch") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("bin_store").toString
