@@ -213,6 +213,24 @@ object ScaleReport {
         }
         println(f"""{"op":"knn_join_pq_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
       }
+      // 1-bit rung: Hamming pool + float refine — the cheapest-storage
+      // corpus-side join (round 8)
+      for (nProbe <- Seq(2, 8)) {
+        var knnRows: Array[(Long, Long)] = Array.empty
+        timed(s"knn_join_bin_nprobe$nProbe") {
+          val knn = Similarity.knnJoinBin(emb, 10, nProbe = nProbe)
+          knnRows = knn.select("qid", "vid").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          knn.unpersist(blocking = false)
+          knnRows.length.toLong
+        }
+        val got = knnRows.filter(p => qids(p._1)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val rec = qids.toSeq.map { q =>
+          gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size
+        }
+        println(f"""{"op":"knn_join_bin_recall_at_10","nprobe":$nProbe,"queries":${qids.size},"recall":${rec.sum / rec.size}%.3f}""")
+      }
       val nList = math.max(8L, nVecs / 256).toInt
       val fl = Similarity.ivfBuild(emb, nList)
       val flBytes = fl.assigned
