@@ -2322,12 +2322,19 @@ object Similarity {
   def ivfPqMaintainIfDrifted(spark: org.apache.spark.sql.SparkSession,
                              path: String, recent: DataFrame,
                              corpus: DataFrame, maxSkew: Double,
-                             maxRatio: Double, dstPath: String): Boolean = {
+                             maxRatio: Double, dstPath: String,
+                             targetClusterRows: Long = 0L,
+                             sampleFit: Boolean = false): Boolean = {
     require(path != dstPath,
       "refit writes a new generation; src and dst must differ")
     val (cents, books) = ivfPqMeta(spark, path)
     val sub = books(0)(0).length
-    val drifted = ivfPqSkew(spark, path) > maxSkew || {
+    // growth gate (the maintainIndex rule applied to the composite
+    // tier): frozen nList means probe cost grows with the store
+    val storeRows = spark.read.parquet(s"$path/codes").count()
+    val grown = targetClusterRows > 0L &&
+      storeRows.toDouble / cents.length > 2.0 * targetClusterRows
+    val drifted = grown || ivfPqSkew(spark, path) > maxSkew || {
       val base = recent.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       val pts = pqSamplePoints(base, 2048)
       require(pts.nonEmpty, "ivfPqMaintainIfDrifted needs a non-empty recent batch")
@@ -2337,8 +2344,13 @@ object Similarity {
       fresh > 0.0 && frozen / fresh > maxRatio
     }
     if (drifted) {
-      val idx = ivfPqBuild(corpus, nList = cents.length, m = books.length,
-        kSub = books.map(_.length).max)
+      val k =
+        if (targetClusterRows > 0L)
+          math.max(cents.length,
+            math.ceil(storeRows.toDouble / targetClusterRows).toInt)
+        else cents.length
+      val idx = ivfPqBuild(corpus, nList = k, m = books.length,
+        kSub = books.map(_.length).max, sampleFit = sampleFit)
       ivfPqSave(idx, dstPath)
       idx.release()
       true

@@ -22,7 +22,7 @@ class EntrySpec extends SparkSpec {
       "q134_knn_join", "q135_cross_near_dups", "q140_knn_join_sq8",
       "q143_vocab_incremental", "q145_length_sketch",
       "q146_source_overlap_sketch", "q147_hitters_sketch", "q151_text_ann",
-      "q152_knn_join_pq", "q154_knn_join_opq")
+      "q152_knn_join_pq", "q154_knn_join_opq", "q159_knn_join_bin")
     val declared = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(declared), s"orphan oracles: ${oracled -- declared}")

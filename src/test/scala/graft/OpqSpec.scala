@@ -180,5 +180,20 @@ class OpqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfPqMaintainIfDrifted(spark, src, burst, a, 1.5, 50.0, src)
     }
+
+    // growth gate (round 8): a balanced, in-distribution store whose
+    // occupancy passed 2×target still refits, with nList scaled to the
+    // store (280 rows → ⌈280/30⌉ = 10) through the bounded sample fit
+    val more = emb(region(0, 300 until 340, 35) ++ region(1, 340 until 380, 36))
+    Similarity.ivfPqAppendSave(spark, dst, more)
+    val g2 = s"$dir/g2"
+    val all2 = a.union(burst).union(more)
+    assert(!Similarity.ivfPqMaintainIfDrifted(spark, dst, more, all2,
+      maxSkew = 100.0, maxRatio = 1e9, dstPath = g2))
+    assert(Similarity.ivfPqMaintainIfDrifted(spark, dst, more, all2,
+      maxSkew = 100.0, maxRatio = 1e9, dstPath = g2,
+      targetClusterRows = 30L, sampleFit = true))
+    assert(Similarity.ivfPqListStats(spark, g2).collect().length == 10)
+    assert(spark.read.parquet(s"$g2/codes").count() == 280)
   }
 }
