@@ -431,6 +431,29 @@ object Similarity {
     graft.core.Stores.rewriteDeduped(spark, s"$path/assigned",
       Seq("vid"), Seq("list_id"))
 
+  /** Offline compaction for the CODE stores the at-least-once ingest
+    * can duplicate (`ivfCompact` covers the `assigned/` layouts):
+    * flat PQ/OPQ `codes/`, IVF,PQ and OPQ,IVF,PQ `codes/`
+    * (list_id-partitioned), and the binary `bincodes/`. A replayed
+    * batch re-encodes bit-identically under the frozen
+    * books/rotation/sign patterns, so any survivor is the row —
+    * same staged-swap semantics as the rest of the compaction
+    * family (`core.Stores.rewriteDeduped`). Returns rows after
+    * compaction. */
+  def codesCompact(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
+    if (has("bincodes"))
+      graft.core.Stores.rewriteDeduped(spark, s"$path/bincodes", Seq("vid"))
+    else if (has("centroids") && has("books"))
+      graft.core.Stores.rewriteDeduped(spark, s"$path/codes",
+        Seq("vid"), Seq("list_id"))
+    else
+      graft.core.Stores.rewriteDeduped(spark, s"$path/codes", Seq("vid"))
+  }
+
   /** Per-list occupancy of an IVF index, INCLUDING empty lists — a
     * drift-skewed index typically pairs one swollen list with several
     * starved ones, and the starved ones vanish from a bare groupBy.

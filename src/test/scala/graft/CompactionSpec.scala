@@ -41,6 +41,47 @@ class CompactionSpec extends SparkSpec {
     assert(after == dupSearch)
   }
 
+  test("codesCompact: replayed appends dedupe across all three code-store layouts") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = all.where($"vec_id" >= 400 && $"vec_id" < 450)
+
+    // binary flat store
+    val binDir = tmp("cmp_bin")
+    val bi = Similarity.binBuild(all.where($"vec_id" < 400))
+    try Similarity.binSave(bi, binDir) finally bi.release()
+    IngestVectors.processBatch(batch, binDir)
+    IngestVectors.processBatch(batch, binDir)        // the replay
+    assert(spark.read.parquet(s"$binDir/bincodes").count() == 500)
+    assert(Similarity.codesCompact(spark, binDir) == 450)
+    val loaded = Similarity.binLoad(spark, binDir)
+    try {
+      val hits = Similarity.binSearch(loaded, all.where($"vec_id" === 405), 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(hits == Seq((405L, 405L))) // self is Hamming-0 nearest
+    } finally loaded.release()
+
+    // flat PQ store
+    val pqDir = tmp("cmp_pq")
+    val pi = Similarity.pqBuild(all.where($"vec_id" < 400))
+    try Similarity.pqSave(pi, pqDir) finally pi.release()
+    IngestVectors.processBatch(batch, pqDir)
+    IngestVectors.processBatch(batch, pqDir)
+    assert(spark.read.parquet(s"$pqDir/codes").count() == 500)
+    assert(Similarity.codesCompact(spark, pqDir) == 450)
+
+    // IVF,PQ store (list_id-partitioned codes): layout survives
+    val ipqDir = tmp("cmp_ipq")
+    val ii = Similarity.ivfPqBuild(all.where($"vec_id" < 400), 4)
+    try Similarity.ivfPqSave(ii, ipqDir) finally ii.release()
+    IngestVectors.processBatch(batch, ipqDir)
+    IngestVectors.processBatch(batch, ipqDir)
+    assert(spark.read.parquet(s"$ipqDir/codes").count() == 500)
+    assert(Similarity.codesCompact(spark, ipqDir) == 450)
+    val reload = Similarity.ivfPqLoad(spark, ipqDir)
+    try assert(reload.coded.select("vid").distinct().count() == 450)
+    finally reload.release()
+  }
+
   test("ivfCompact preserves SQ8 stores (codes survive the rewrite)") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmp("cmp_idx8")
