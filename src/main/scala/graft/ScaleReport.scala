@@ -753,33 +753,27 @@ object ScaleReport {
     // as well as the full one; the exhaustive dial is fit-invariant by
     // construction (SimilaritySpec pins it bit-equal).
     if (section("ivfbuild")) {
+      // gold computed DISTRIBUTED (the sqrtn pattern) — collecting the
+      // corpus to the driver is an OOM/stall at the sf100 scale this
+      // report targets (2M × 64-dim doubles ≈ 1 GB + O(q·N) scans)
       val nList = math.max(8L, nVecs / 256).toInt
-      val all = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) e")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val step = math.max(1L, nVecs / 50)
-      val qids = all.map(_._1).filter(_ % step == 0).toSet
-      def cosL(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { s += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
-        s / math.sqrt(na * nb)
-      }
-      val gold = qids.toSeq.sorted.map { q =>
-        val qe = all.find(_._1 == q).get._2
-        q -> all.iterator.filter(_._1 != q)
-          .map { case (v, ve) => (v, cosL(qe, ve)) }.toArray
-          .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
-      }.toMap
-      val qDf = emb.where(col("vec_id").isin(qids.toSeq: _*))
+      val gold = Similarity.cosineTopK(emb, 50, 10)
+        .select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      release()
+      val corpus = emb.where(col("vec_id") >= 50)
+      val qDf = emb.where(col("vec_id") < 50)
       for (sample <- Seq(false, true)) {
         val t0 = System.nanoTime()
-        val idx = Similarity.ivfBuild(emb, nList, sampleFit = sample)
+        val idx = Similarity.ivfBuild(corpus, nList, sampleFit = sample)
         idx.assigned.count()
         val buildSec = (System.nanoTime() - t0) / 1e9
-        val got = Similarity.ivfSearch(idx, qDf, 11, 2)
+        val got = Similarity.ivfSearch(idx, qDf, 10, 2)
           .select("qid", "vid").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-        val rec = qids.toSeq.map(q =>
+        val rec = gold.keys.toSeq.map(q =>
           gold(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / gold(q).size)
         idx.release(); release()
         println(f"""{"op":"ivf_build","fit":"${if (sample) "sample" else "mllib"}","nlist":$nList,"sec":$buildSec%.2f,"recall_at_10_nprobe2":${rec.sum / rec.size}%.3f}""")

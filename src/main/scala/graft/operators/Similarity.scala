@@ -445,8 +445,18 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
+    // same directory-shape dispatch as IngestVectors.processBatch —
+    // reject unrecognized layouts explicitly instead of surfacing a
+    // raw path-not-found mid-rewrite on a typo or an IVF store
     if (has("bincodes"))
       graft.core.Stores.rewriteDeduped(spark, s"$path/bincodes", Seq("vid"))
+    else if (has("assigned"))
+      throw new IllegalArgumentException(
+        s"$path holds an IVF 'assigned/' list store — use ivfCompact")
+    else if (!has("codes"))
+      throw new IllegalArgumentException(
+        s"$path is not a pqSave/opqSave/ivfPqSave/ivfOpqSave/binSave code store " +
+          "(expected a codes/ or bincodes/ directory)")
     else if (has("centroids") && has("books"))
       graft.core.Stores.rewriteDeduped(spark, s"$path/codes",
         Seq("vid"), Seq("list_id"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length, size}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Similarity
@@ -97,12 +97,32 @@ object IngestVectors {
     val has = (d: String) => fs.exists(new org.apache.hadoop.fs.Path(root, d))
     def probes(nList: Int): Int = scanFrac
       .map(f => math.max(1, math.ceil(nList * f).toInt)).getOrElse(nProbe)
+    // BinHamming min-clamps mismatched code lengths (the DotProduct
+    // discipline), so a query dim that differs from the store's code
+    // width would yield a truncated-but-plausible ranking with no
+    // error anywhere. In the ingest path that is always a
+    // misconfiguration — fail loudly before searching. One limit-1
+    // scan per side; skipped when either side is empty.
+    def requireBinDim(codes: DataFrame): Unit = {
+      val storeLen = codes.select(length(col("bc"))).limit(1).collect()
+      val qDim = queries.select(size(col("embedding"))).limit(1).collect()
+      if (storeLen.nonEmpty && qDim.nonEmpty) {
+        val sl = storeLen(0).getInt(0)
+        val qd = qDim(0).getInt(0)
+        require((qd + 7) / 8 == sl,
+          s"query embedding dim $qd encodes to ${(qd + 7) / 8}-byte sign " +
+            s"codes but the store at $indexPath holds $sl-byte codes — " +
+            "store/query dimensionality mismatch")
+      }
+    }
     val (res, release): (DataFrame, () => Unit) =
       if (has("assigned")) {
         val idx = Similarity.ivfLoad(spark, indexPath)
         val r =
-          if (idx.assigned.columns.contains("bc"))
+          if (idx.assigned.columns.contains("bc")) {
+            requireBinDim(idx.assigned)
             Similarity.ivfSearchBin(idx, queries, k, probes(idx.nList))
+          }
           else if (idx.assigned.columns.contains("qc"))
             Similarity.ivfSearchSq8(idx, queries, k, probes(idx.nList))
           else Similarity.ivfSearch(idx, queries, k, probes(idx.nList))
@@ -123,6 +143,7 @@ object IngestVectors {
         (Similarity.pqSearch(idx, queries, k), () => idx.release())
       } else if (has("bincodes")) {
         val idx = Similarity.binLoad(spark, indexPath)
+        requireBinDim(idx.coded)
         (Similarity.binSearch(idx, queries, k), () => idx.release())
       } else throw new IllegalArgumentException(
         s"$indexPath is not an ivfSave/ivfPqSave/ivfOpqSave/opqSave/pqSave/binSave store")
@@ -213,27 +234,51 @@ object IngestVectors {
     * retention schedule). `maintain()` is safe to call between any two
     * batches — or from a separate maintenance thread, because appends
     * that land on the old path after the rebuild snapshot are replayed
-    * into the new generation before the path swap, and the
-    * at-least-once store tolerates the (vid, list) duplicates a racing
-    * append can leave (compaction reclaims them). */
+    * into the new generation before the path swap, the at-least-once
+    * store tolerates the (vid, list) duplicates a racing append can
+    * leave (compaction reclaims them), and the one remaining
+    * concurrent-mode window — an appender that read `currentPath`
+    * BEFORE a swap and finished its write AFTER the swap's final
+    * replay, landing vectors on the retired generation — is closed by
+    * the NEXT maintain(), which starts with one more idempotent
+    * `ivfReplayGap(previousGeneration, current)` before gate-checking
+    * (O(gap): a vid anti-join over the old lists, never a refit).
+    * Callers that retire the supervisor while such an appender may
+    * still be in flight should call `catchUp()` once after the last
+    * append completes. */
   final class IndexSupervisor(spark: org.apache.spark.sql.SparkSession,
                               initialPath: String, genDir: String,
                               maxSkew: Double = 2.0,
                               targetClusterRows: Long = 0L,
                               sampleFit: Boolean = true) {
     @volatile private var cur = initialPath
+    @volatile private var prev: String = null
     @volatile private var gen = 0
     def currentPath: String = cur
     def generation: Int = gen
+    /** Replay any vectors a straggling appender left on the PREVIOUS
+      * generation into the current one (idempotent, O(gap), no-op
+      * before the first swap). Called automatically at the start of
+      * every `maintain()`; exposed for callers retiring the supervisor
+      * with appends possibly still in flight. */
+    def catchUp(): Long = synchronized {
+      if (prev == null) 0L
+      else graft.operators.Similarity.ivfReplayGap(spark, prev, cur)
+    }
     /** Gate-check the current generation; on a rebuild, replay the
       * append gap and swap. Returns true when a swap happened. */
     def maintain(): Boolean = synchronized {
+      // close the previous swap's straggler window first: an appender
+      // that read the old currentPath before the swap and landed its
+      // write after the final replay would otherwise be lost silently
+      catchUp()
       val dst = s"$genDir/gen${gen + 1}"
       if (IngestVectors.maintainIndex(spark, cur, maxSkew, dst,
           targetClusterRows, sampleFit)) {
         // the supervisor's half of the contract: close the window
         // between maintainIndex's return and this swap (idempotent)
         graft.operators.Similarity.ivfReplayGap(spark, cur, dst)
+        prev = cur
         cur = dst
         gen += 1
         true

@@ -82,6 +82,21 @@ class CompactionSpec extends SparkSpec {
     finally reload.release()
   }
 
+  test("codesCompact rejects IVF assigned/ stores and unrecognized layouts explicitly") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivfDir = tmp("cmp_rej_ivf")
+    val idx = Similarity.ivfBuild(all.where($"vec_id" < 100), 4)
+    try Similarity.ivfSave(idx, ivfDir) finally idx.release()
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.codesCompact(spark, ivfDir)
+    }
+    assert(e1.getMessage.contains("ivfCompact"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.codesCompact(spark, tmp("cmp_rej_empty"))
+    }
+    assert(e2.getMessage.contains("not a"))
+  }
+
   test("ivfCompact preserves SQ8 stores (codes survive the rewrite)") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = tmp("cmp_idx8")

@@ -278,4 +278,72 @@ class IngestVectorsSpec extends SparkSpec {
     assert(ex0 == run(g0, nProbe = 2))
     assert(run(g1, frac = Some(1.0)) == ex0)
   }
+
+  test("IndexSupervisor: stragglers on the retired generation are replayed by the next maintain()") {
+    // the concurrent-mode window: an appender reads currentPath before
+    // a swap and lands its write AFTER the swap's final replay — those
+    // vectors sit on the retired path. maintain() (and catchUp()) must
+    // recover them into the current generation.
+    val dim = 4
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(j => (((seed * 31 + j * 7) % 13) - 6).toFloat / 13f)
+    val seed = (0L until 16L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val g0 = tmp("sup_strag_g0")
+    val idx = Similarity.ivfBuild(seed, 4)
+    Similarity.ivfSave(idx, g0)
+    idx.release()
+    val sup = new IngestVectors.IndexSupervisor(
+      spark, g0, tmp("sup_strag_gens"), maxSkew = 100.0, targetClusterRows = 4L)
+
+    // batch A pushes occupancy past 2×target → first maintain() swaps
+    val batchA = (100L until 120L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    IngestVectors.processBatch(batchA, sup.currentPath)
+    assert(sup.maintain(), "growth gate should have fired")
+    val gen1 = sup.currentPath
+    assert(gen1 != g0)
+
+    // the straggler: an appender that captured g0 BEFORE the swap and
+    // finished after it — lands on the retired generation
+    val straggler = (200L until 205L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    IngestVectors.processBatch(straggler, g0)
+    def vids(path: String): Set[Long] = {
+      val i = Similarity.ivfLoad(spark, path)
+      try i.assigned.select("vid").collect().map(_.getLong(0)).toSet
+      finally i.release()
+    }
+    assert(vids(gen1).intersect((200L until 205L).toSet).isEmpty,
+      "straggler must be invisible to the new generation until replayed")
+
+    // next maintain() opens with the straggler replay — whether or not
+    // the gates fire, the retired generation's gap lands in current
+    sup.maintain()
+    assert((200L until 205L).toSet.subsetOf(vids(sup.currentPath)))
+    // idempotent: a second catch-up replays nothing new
+    assert(sup.catchUp() == 0L)
+  }
+
+  test("searchBatch rejects a query dim that mismatches a binary store's code width") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = tmp("bin_dim_flat")
+    val bi = Similarity.binBuild(all.where($"vec_id" < 100))
+    try Similarity.binSave(bi, flat) finally bi.release()
+    val ivf = tmp("bin_dim_ivf")
+    val iv = Similarity.ivfBuildBin(all.where($"vec_id" < 100), 4)
+    try Similarity.ivfSave(iv, ivf) finally iv.release()
+
+    val good = all.where($"vec_id" === 0).select($"vec_id", $"embedding")
+    val bad = Seq((0L, Seq.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    for (dir <- Seq(flat, ivf)) {
+      val ok = IngestVectors.searchBatch(good, dir, 3)
+      assert(ok.count() == 3)
+      ok.unpersist(blocking = false)
+      val e = intercept[IllegalArgumentException] {
+        IngestVectors.searchBatch(bad, dir, 3)
+      }
+      assert(e.getMessage.contains("dimensionality mismatch"))
+    }
+  }
 }
