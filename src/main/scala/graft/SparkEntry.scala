@@ -776,6 +776,24 @@ object SparkEntry {
       Similarity.knnJoinBin(e, 5,
         refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
     }),
+    // fuzzy-key similarity join: ALL head-32 pairs within Levenshtein
+    // distance 4, blocked by the rarest-first q-gram prefix filter —
+    // exact recall by the Gravano/Ed-Join bound, so the DuckDB
+    // levenshtein oracle hash-matches end-to-end (no recall dial)
+    "q161_edit_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        documents(s, d).selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"),
+        4)),
+    // fuzzy-key dedup closure: edit-distance edges → connected
+    // components → keep-min representative (the q72 pattern over
+    // typo-distance edges instead of jaccard edges)
+    "q162_fuzzy_key_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val edges = Dedup.editDistancePairs(
+        docs.selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"), 4)
+        .selectExpr("id_a AS a", "id_b AS b")
+      Dedup.nearDupComponents(docs, edges, Long.MaxValue)
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1350,6 +1368,31 @@ object SparkEntry {
             FROM n q JOIN n c ON q.vec_id <> c.vec_id),
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // the q-gram prefix filter has exact recall (Gravano/Ed-Join
+    // bound), so the brute pairwise levenshtein IS the oracle — the
+    // length band mirrors the |Δlen| <= d pruning identity
+    "q161_edit_pairs" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s FROM documents)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM h a JOIN h b ON a.id < b.id
+        AND abs(length(a.s) - length(b.s)) <= 4
+      WHERE levenshtein(a.s, b.s) <= 4
+      ORDER BY id_a, id_b""",
+    // q72's recursive-closure oracle over typo-distance edges
+    "q162_fuzzy_key_dedup" -> """
+      WITH RECURSIVE h AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents),
+      pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM h a JOIN h b
+                ON a.doc_id < b.doc_id
+                AND abs(length(a.s) - length(b.s)) <= 4
+                WHERE levenshtein(a.s, b.s) <= 4),
+      e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM h
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, MIN(dst) AS component
+      FROM reach GROUP BY 1 ORDER BY doc_id""",
     // same brute oracle: the sample-fit coarse quantizer moves WHERE
     // vectors live, not what the exhaustive scan ranks
     "q156_knn_exhaustive_samplefit" -> """

@@ -1091,4 +1091,91 @@ object Dedup {
       .orderBy("doc_id")
     (res, () => grams.unpersist(blocking = false))
   }
+
+  /** Edit-distance similarity join: ALL pairs of strings within
+    * Levenshtein distance `maxDist`, without an all-pairs comparison —
+    * the fuzzy-key flavor of the near-dup family (entity/URL/title
+    * resolution, typo-clustering), exact by construction so the DuckDB
+    * `levenshtein` oracle hash-matches it end-to-end (no recall dial).
+    *
+    * Blocking is the q-gram prefix filter (Gravano et al. 2001's
+    * count-filter bound; Xiao, Wang & Lin 2008 "Ed-Join"'s prefix
+    * form): an edit operation destroys at most `q` of a string's
+    * `len − q + 1` positional q-grams, so two strings within distance
+    * d share ≥ max(len) − q + 1 − d·q gram occurrences — and with all
+    * grams ordered by (global frequency asc, gram asc), any such pair
+    * must collide inside each side's first d·q + 1 grams (the RAREST
+    * ones, which is what keeps per-gram candidate lists small at
+    * corpus scale). Strings too short for the bound to bite
+    * (len < q·(d+1)) pair through a length-band equi-join instead —
+    * within the band ∣Δlen∣ ≤ d, since d edits can't move length more
+    * — and a long↔sub-q pair is impossible outright (Δlen alone
+    * exceeds d). Every candidate is verified with the exact
+    * `levenshtein` (codegen'd builtin), so false candidates cost time,
+    * never correctness.
+    *
+    * Shape for scale: gram explode → two hash aggs (per-string gram
+    * counts, global gram df) → one keyed window for the per-string
+    * prefix rank → an equi-join on the gram key (never a cross join;
+    * prefix grams are globally rare, AQE splits a skewed one) → pair
+    * distinct → verify join. The short-string band join touches only
+    * the len < q·(d+1) slice, bounded-length by definition.
+    *
+    * Input contract: (id: long, s: string); null strings drop. Output
+    * (id_a < id_b, dist), deterministic order. */
+  def editDistancePairs(strs: DataFrame, maxDist: Int, q: Int = 3): DataFrame =
+    editDistancePairsScoped(strs, maxDist, q)._1
+
+  def editDistancePairsScoped(strs: DataFrame, maxDist: Int,
+                              q: Int = 3): (DataFrame, () => Unit) = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 2, "q-gram length must be >= 2")
+    val base = strs.where(col("s").isNotNull)
+      .select(col("id").cast("long").as("id"), col("s"))
+      .withColumn("len", length(col("s")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val shortCut = q * (maxDist + 1) // below this, the gram bound is vacuous
+
+    // short×short: length-band equi-join (the shorter string probes
+    // [len, len+d]; the longer anchors at its own length)
+    val shorts = base.where(col("len") < shortCut)
+    val shortPairs = shorts
+      .select(col("id").as("pid"),
+        explode(expr(s"sequence(len, len + $maxDist)")).as("k"))
+      .join(shorts.select(col("id").as("aid"), col("len").as("k")), Seq("k"))
+      .where(col("pid") =!= col("aid"))
+      .select(least(col("pid"), col("aid")).as("id_a"),
+        greatest(col("pid"), col("aid")).as("id_b"))
+
+    // long-involved pairs: rarest-first q-gram prefixes must collide
+    val gramCounts = base.where(col("len") >= q)
+      .select(col("id"), col("len"), col("s"),
+        explode(expr(s"sequence(1, len - ${q - 1})")).as("p"))
+      .select(col("id"), col("len"), expr(s"substring(s, p, $q)").as("g"))
+      .groupBy("id", "len", "g").agg(count(lit(1)).as("c"))
+    val dfreq = gramCounts.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = gramCounts.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("g").asc)))
+      .where(col("rn") <= maxDist * q + 1)
+      .select(col("id"), col("len"), col("g"))
+    val longPairs = prefix
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("g"))
+      .join(prefix.select(col("id").as("id_b"), col("len").as("len_b"), col("g")),
+        Seq("g"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        greatest(col("len_a"), col("len_b")) >= shortCut) // both-short → band join
+      .select("id_a", "id_b")
+
+    val res = longPairs.unionByName(shortPairs).distinct()
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+    (res, () => base.unpersist(blocking = false))
+  }
 }
