@@ -784,6 +784,24 @@ object SparkEntry {
       Dedup.editDistancePairs(
         documents(s, d).selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"),
         4)),
+    // fastText-shaped linear token classifier, fixed-point: per-token
+    // smoothed class-conditional difference weights (hash-green — the
+    // q100 integer-ppm discipline; the MLlib qualityClassifier's
+    // oracle-exact sibling). Label: language-ID en-vs-rest on the
+    // doc_id < 250 labeled slice
+    "q163_nb_model" -> ((s, d) => {
+      val docs = documents(s, d)
+      TrainingData.nbTokenWeights(docs,
+        docs.selectExpr("doc_id", "lang = 'en' AS label").where("doc_id < 250"))
+    }),
+    // train-and-score: every doc scored by the fixed-point token
+    // weights (unseen tokens back off through the smoothed formula);
+    // all-integer score, prior-free threshold — hash-green end-to-end
+    "q164_nb_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      TrainingData.tokenClassifier(docs,
+        docs.selectExpr("doc_id", "lang = 'en' AS label").where("doc_id < 250"))
+    }),
     // fuzzy-key dedup closure: edit-distance edges → connected
     // components → keep-min representative (the q72 pattern over
     // typo-distance edges instead of jaccard edges)
@@ -1379,6 +1397,41 @@ object SparkEntry {
         AND abs(length(a.s) - length(b.s)) <= 4
       WHERE levenshtein(a.s, b.s) <= 4
       ORDER BY id_a, id_b""",
+    // fixed-point NB-surrogate weights: integer division of exact
+    // longs, so the model reproduces bit-for-bit in any engine
+    "q163_nb_model" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+                   FROM documents WHERE doc_id < 250),
+      lab AS (SELECT doc_id, (lang = 'en') AS lab FROM documents WHERE doc_id < 250),
+      counts AS (SELECT w,
+          CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+          CAST(SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+        FROM tok JOIN lab USING (doc_id) GROUP BY 1),
+      tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM counts)
+      SELECT w, c_pos, c_neg,
+        CAST(((c_pos + 1) * 1000000) // (np + v)
+             - ((c_neg + 1) * 1000000) // (nn + v) AS BIGINT) AS w_ppm
+      FROM counts CROSS JOIN tot
+      ORDER BY w""",
+    // same weights applied corpus-wide; unseen tokens back off through
+    // the smoothed formula (COALESCE 0) — all-integer scores
+    "q164_nb_score" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+                   FROM documents),
+      tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      lab AS (SELECT doc_id, (lang = 'en') AS lab FROM documents WHERE doc_id < 250),
+      counts AS (SELECT w,
+          CAST(SUM(CASE WHEN lab THEN c ELSE 0 END) AS BIGINT) AS c_pos,
+          CAST(SUM(CASE WHEN NOT lab THEN c ELSE 0 END) AS BIGINT) AS c_neg
+        FROM tc JOIN lab USING (doc_id) GROUP BY 1),
+      tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM counts),
+      sc AS (SELECT t.doc_id,
+          CAST(SUM(t.c) AS BIGINT) AS n_tok,
+          CAST(SUM(t.c * (((COALESCE(m.c_pos, 0) + 1) * 1000000) // (tot.np + tot.v)
+                        - ((COALESCE(m.c_neg, 0) + 1) * 1000000) // (tot.nn + tot.v))) AS BIGINT) AS score
+        FROM tc t LEFT JOIN counts m USING (w) CROSS JOIN tot
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_tok, score, score > 0 AS pred FROM sc ORDER BY doc_id""",
     // q72's recursive-closure oracle over typo-distance edges
     "q162_fuzzy_key_dedup" -> """
       WITH RECURSIVE h AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents),

@@ -845,6 +845,85 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Bag-of-tokens LINEAR classifier weights in fixed point — the
+    * oracle-exact counterpart of `qualityClassifier` (which is MLlib
+    * logistic regression, rows-only by nature) and the engine's
+    * fastText-shaped stage (Joulin et al. 2017: linear text
+    * classifiers match deep ones on corpus-curation-scale tasks;
+    * CCNet/GPT-3 route quality and language filtering through exactly
+    * this kind of model). Each token's weight is the DIFFERENCE of its
+    * Laplace-smoothed class conditionals, materialized fixed-point:
+    * w = (c_pos+1)·10⁶ div (N_pos+V) − (c_neg+1)·10⁶ div (N_neg+V) —
+    * integer division of exact longs (the q100 `lmQualityScore`
+    * discipline: libm `ln` differs across engines in the last ulp, so
+    * the NB log-odds is replaced by the probability difference, a
+    * log-free linear surrogate that ranks identically when classes
+    * separate on vocabulary). Output: one row per training token,
+    * (w, c_pos, c_neg, w_ppm), deterministic order.
+    *
+    * Shape for scale: one explode → one hash agg per (token) with
+    * map-side combine; totals ride a broadcast 1-row frame. The model
+    * is vocabulary-sized — the broadcastable side of every consumer. */
+  def nbTokenWeights(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = docs.join(labels, Seq("doc_id"))
+      .select(col("label"), explode(toks(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg"))
+    val tot = counts.agg(sum(col("c_pos")).as("np"),
+      sum(col("c_neg")).as("nn"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("c_pos"), col("c_neg"),
+        expr("((c_pos + 1L) * 1000000L) div (np + v) - ((c_neg + 1L) * 1000000L) div (nn + v)")
+          .as("w_ppm"))
+      .orderBy("w")
+  }
+
+  /** Train-and-score face of `nbTokenWeights`: fit the fixed-point
+    * token weights on the LABELED slice, score EVERY document as
+    * score = Σ c_t · w_ppm(t) (a long — no floating point anywhere),
+    * predict positive when score > 0 (the prior-free threshold).
+    * Unseen tokens back off through the same smoothed formula
+    * (c_pos = c_neg = 0), so held-out text scores without special
+    * cases — the `lmQualityScore` unseen-bigram pattern.
+    *
+    * Shape for scale: per-(doc, token) counts reduce BEFORE the model
+    * join (map-side combine); the model is vocabulary-sized and
+    * BROADCAST; one final per-doc hash agg. The scored corpus is never
+    * shuffled on anything but doc_id. */
+  def tokenClassifier(docs: DataFrame, labels: DataFrame): DataFrame =
+    tokenClassifierScoped(docs, labels)._1
+
+  def tokenClassifierScoped(docs: DataFrame,
+                            labels: DataFrame): (DataFrame, () => Unit) = {
+    val tc = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tc.count()
+    val counts = tc.join(labels, Seq("doc_id"))
+      .groupBy("w")
+      .agg(sum(when(col("label"), col("c")).otherwise(0L)).as("c_pos"),
+        sum(when(!col("label"), col("c")).otherwise(0L)).as("c_neg"))
+    val tot = counts.agg(sum(col("c_pos")).as("np"),
+      sum(col("c_neg")).as("nn"), count(lit(1)).as("v"))
+    val weights = counts.select(col("w"), col("c_pos"), col("c_neg"))
+    val res = tc
+      .join(broadcast(weights), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        expr("""((coalesce(c_pos, 0L) + 1L) * 1000000L) div (np + v)
+                - ((coalesce(c_neg, 0L) + 1L) * 1000000L) div (nn + v)""")
+          .as("w_ppm"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("w_ppm")).as("score"))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        (col("score") > 0L).as("pred"))
+      .orderBy("doc_id")
+    (res, () => tc.unpersist(blocking = false))
+  }
+
   /** Per-doc quality features for `qualityClassifier`: two-level agg
     * (token counts per doc first) so max-token frequency needs no
     * window; emits (doc_id, f: array<double>). */

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainingData
+
+/** Fixed-point linear token classifier (nbTokenWeights /
+  * tokenClassifier): exact integer weights, smoothed backoff for
+  * unseen tokens, and real learning on vocabulary-separated classes. */
+class TokenClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed weights on a tiny corpus") {
+    // pos: "a a b", neg: "c c b" → np = nn = 3, v = 3 (a, b, c)
+    val docs = Seq((1L, "a a b"), (2L, "c c b")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "label")
+    val m = TrainingData.nbTokenWeights(docs, labels)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ppm(c, n) = ((c+1)*1e6) div (n + 3)
+    def ppm(c: Long) = ((c + 1L) * 1000000L) / 6L
+    assert(m.toSeq == Seq(
+      ("a", 2L, 0L, ppm(2) - ppm(0)),
+      ("b", 1L, 1L, 0L),
+      ("c", 0L, 2L, ppm(0) - ppm(2))))
+  }
+
+  test("vocabulary-separated classes: held-out prediction is perfect") {
+    // class-pos docs speak {red, crimson, scarlet}; class-neg docs
+    // speak {blue, azure, navy}. Train on ids < 40, predict the rest.
+    def doc(i: Long): (Long, String) = {
+      val vocab = if (i % 2 == 0) Seq("red", "crimson", "scarlet")
+                  else Seq("blue", "azure", "navy")
+      (i, (0 until 12).map(t => vocab(((i + t) % 3).toInt)).mkString(" "))
+    }
+    val docs = (0L until 80L).map(doc).toDF("doc_id", "text")
+    val labels = docs.where($"doc_id" < 40)
+      .select($"doc_id", ($"doc_id" % 2 === 0).as("label"))
+    val scored = TrainingData.tokenClassifier(docs, labels)
+    val preds = scored.collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert((0L until 80L).forall(i => preds(i) == (i % 2 == 0)))
+    // n_tok and all-integer score present
+    val row = scored.where($"doc_id" === 41L).head()
+    assert(row.getLong(1) == 12L)
+    assert(row.getLong(2) < 0L)
+  }
+
+  test("unseen tokens back off through the smoothed formula") {
+    val docs = Seq((1L, "a a"), (2L, "b b"), (3L, "zz qq")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "label")
+    // np = nn = 2, v = 2 → w_unseen = (1e6 div 4) - (1e6 div 4) = 0
+    val r3 = TrainingData.tokenClassifier(docs, labels)
+      .where($"doc_id" === 3L).head()
+    assert(r3.getLong(2) == 0L && !r3.getBoolean(3))
+  }
+
+  test("deterministic across runs on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labels = docs.selectExpr("doc_id", "lang = 'en' AS label")
+      .where("doc_id < 50")
+    def run() = TrainingData.tokenClassifier(docs, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(run() == run())
+  }
+}
