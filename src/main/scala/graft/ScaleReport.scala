@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn) for
+    // ivfbuild,pairmaint,sqrtn,editjoin) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -876,6 +876,31 @@ object ScaleReport {
         }
         idx.release(); release()
       }
+    }
+
+    // Edit-distance join family (q161/q162): the scale story is
+    // blocking SELECTIVITY, which tracks key entropy — and this
+    // synthetic corpus (31-word vocabulary, word-soup heads) is the
+    // adversarial case: the rarest q-grams are still common, so
+    // prefix-filter candidate lists grow with the corpus, while the
+    // PassJoin segment variant's exact 6-to-8-char positional matches
+    // prune harder on the same keys. Report candidates vs verified
+    // for both families at the q161 dials (head-32, d = 4), plus
+    // end-to-end time.
+    if (section("editjoin") && docsOpt.nonEmpty) {
+      val heads = docs.selectExpr("doc_id AS id", "substring(text, 1, 32) AS s")
+      val base = Dedup.edBase(heads)
+      val candPfx = Dedup.edPrefixCandidates(base, 4, 3).distinct().count()
+      val candSeg = Dedup.edSegCandidates(base, 4, 3).distinct().count()
+      base.unpersist(blocking = false); release()
+      val possible = nDocs * (nDocs - 1) / 2
+      println(s"""{"op":"edit_join_candidates","prefix":$candPfx,"seg":$candSeg,"possible":$possible}""")
+      var verified = 0L
+      timed("edit_join_prefix") {
+        verified = Dedup.editDistancePairs(heads, 4).count(); verified
+      }
+      timed("edit_join_seg")(Dedup.editDistancePairsSeg(heads, 4).count())
+      println(s"""{"op":"edit_join_ratio","verified":$verified,"cand_per_verified_prefix":${if (verified > 0) candPfx / verified else -1},"cand_per_verified_seg":${if (verified > 0) candSeg / verified else -1}}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

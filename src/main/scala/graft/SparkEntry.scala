@@ -782,7 +782,8 @@ object SparkEntry {
     // levenshtein oracle hash-matches end-to-end (no recall dial)
     "q161_edit_pairs" -> ((s, d) =>
       Dedup.editDistancePairs(
-        documents(s, d).selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"),
+        documents(s, d).where("doc_id < 2000")
+          .selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"),
         4)),
     // fastText-shaped linear token classifier, fixed-point: per-token
     // smoothed class-conditional difference weights (hash-green — the
@@ -804,13 +805,15 @@ object SparkEntry {
     }),
     // fuzzy-key dedup closure: edit-distance edges → connected
     // components → keep-min representative (the q72 pattern over
-    // typo-distance edges instead of jaccard edges)
+    // typo-distance edges instead of jaccard edges). Edges come from
+    // the SEGMENT blocking (PassJoin pigeonhole) so both exact-recall
+    // families run under the driver gate (q161 is the prefix filter)
     "q162_fuzzy_key_dedup" -> ((s, d) => {
-      val docs = documents(s, d)
-      val edges = Dedup.editDistancePairs(
+      val docs = documents(s, d).where("doc_id < 2000")
+      val edges = Dedup.editDistancePairsSeg(
         docs.selectExpr("doc_id AS id", "substring(text, 1, 32) AS s"), 4)
         .selectExpr("id_a AS a", "id_b AS b")
-      Dedup.nearDupComponents(docs, edges, Long.MaxValue)
+      Dedup.nearDupComponents(docs, edges, 2000L)
     }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
@@ -1390,7 +1393,8 @@ object SparkEntry {
     // bound), so the brute pairwise levenshtein IS the oracle — the
     // length band mirrors the |Δlen| <= d pruning identity
     "q161_edit_pairs" -> """
-      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s FROM documents)
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s
+                 FROM documents WHERE doc_id < 2000)
       SELECT a.id AS id_a, b.id AS id_b,
              CAST(levenshtein(a.s, b.s) AS INT) AS dist
       FROM h a JOIN h b ON a.id < b.id
@@ -1434,7 +1438,8 @@ object SparkEntry {
       SELECT doc_id, n_tok, score, score > 0 AS pred FROM sc ORDER BY doc_id""",
     // q72's recursive-closure oracle over typo-distance edges
     "q162_fuzzy_key_dedup" -> """
-      WITH RECURSIVE h AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents),
+      WITH RECURSIVE h AS (SELECT doc_id, substr(text, 1, 32) AS s
+                           FROM documents WHERE doc_id < 2000),
       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM h a JOIN h b
                 ON a.doc_id < b.doc_id
                 AND abs(length(a.s) - length(b.s)) <= 4

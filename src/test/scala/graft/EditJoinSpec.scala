@@ -23,6 +23,10 @@ class EditJoinSpec extends SparkSpec {
     Dedup.editDistancePairs(strs, d, q)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
 
+  private def seg(strs: org.apache.spark.sql.DataFrame, d: Int, minSeg: Int = 3) =
+    Dedup.editDistancePairsSeg(strs, d, minSeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
   test("planted typos: equals brute-force pairwise levenshtein") {
     val strs = Seq(
       1L -> "deduplication pipeline", 2L -> "deduplicaton pipeline", // 1 del
@@ -34,7 +38,9 @@ class EditJoinSpec extends SparkSpec {
       8L -> "deduplication pipeline"                                 // exact dup
     ).toDF("id", "s")
     for (d <- Seq(0, 1, 2, 4)) {
-      assert(fuzzy(strs, d) == brute(strs, d), s"mismatch at maxDist=$d")
+      val b = brute(strs, d)
+      assert(fuzzy(strs, d) == b, s"prefix mismatch at maxDist=$d")
+      assert(seg(strs, d) == b, s"seg mismatch at maxDist=$d")
     }
   }
 
@@ -44,7 +50,9 @@ class EditJoinSpec extends SparkSpec {
     val strs = Seq(1L -> "abc", 2L -> "xyz", 3L -> "abd", 4L -> "ab",
       5L -> "", 6L -> "a", 7L -> "abcdabcd", 8L -> "xyzxy").toDF("id", "s")
     for (d <- Seq(0, 1, 2, 3)) {
-      assert(fuzzy(strs, d) == brute(strs, d), s"mismatch at maxDist=$d")
+      val b = brute(strs, d)
+      assert(fuzzy(strs, d) == b, s"prefix mismatch at maxDist=$d")
+      assert(seg(strs, d) == b, s"seg mismatch at maxDist=$d")
     }
   }
 
@@ -57,15 +65,20 @@ class EditJoinSpec extends SparkSpec {
       5L -> "aaaaaaaaabaaaaaaaaaa"
     ).toDF("id", "s")
     for (d <- Seq(1, 2, 3)) {
-      assert(fuzzy(strs, d) == brute(strs, d), s"mismatch at maxDist=$d")
+      val b = brute(strs, d)
+      assert(fuzzy(strs, d) == b, s"prefix mismatch at maxDist=$d")
+      assert(seg(strs, d) == b, s"seg mismatch at maxDist=$d")
     }
   }
 
   test("document heads at sf0.001: blocked join equals brute force; nulls drop") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id AS id", "substring(text, 1, 32) AS s")
-    assert(fuzzy(docs, 4) == brute(docs, 4))
+    val b = brute(docs, 4)
+    assert(fuzzy(docs, 4) == b)
+    assert(seg(docs, 4) == b)
     val withNull = docs.unionByName(Seq((99999L, null: String)).toDF("id", "s"))
     assert(fuzzy(withNull, 4) == brute(withNull.where($"s".isNotNull), 4))
+    assert(seg(withNull, 4) == brute(withNull.where($"s".isNotNull), 4))
   }
 }
