@@ -557,6 +557,22 @@ object SparkEntry {
     // is the rare high-idf term that dominates the ranking
     "q107_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(documents(s, d), Seq("spark", "merge", "dup"), 20)),
+    // the persisted inverted index: save → bucket-pruned search must
+    // reproduce the in-memory BM25 ranking bit-for-bit (q107's oracle)
+    "q165_bm25_store" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q165_lex").toString
+      Lexical.lexSave(s, documents(s, d), dir)
+      Lexical.lexSearch(s, dir, Seq("spark", "merge", "dup"), 20)
+    }),
+    // incremental lexical ingest: build on half the corpus, append the
+    // rest O(batch), search — still the full-corpus q107 ranking
+    "q166_lex_incremental" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q166_lex").toString
+      val docs = documents(s, d)
+      Lexical.lexSave(s, docs.where("doc_id < 250"), dir)
+      Lexical.lexAppendSave(s, dir, docs.where("doc_id >= 250"), 1L)
+      Lexical.lexSearch(s, dir, Seq("spark", "merge", "dup"), 20)
+    }),
     // stride 30 < maxLen 40: overlapping RAG-style passage windows
     "q92_sliding_chunks" -> ((s, d) =>
       TrainingData.chunkSplit(documents(s, d), 40, 30)),
@@ -2142,6 +2158,66 @@ object SparkEntry {
               + tf2 * (n_docs / greatest(df2, 1)) > 0
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
     "q107_bm25_topk" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               COUNT(CASE WHEN w = 'spark' THEN 1 END) AS tf0,
+               COUNT(CASE WHEN w = 'merge' THEN 1 END) AS tf1,
+               COUNT(CASE WHEN w = 'dup' THEN 1 END) AS tf2
+        FROM tok GROUP BY 1),
+      c AS (
+        SELECT COUNT(*) AS nd, SUM(dl) AS ta,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+               COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+               COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        FROM tf),
+      sel AS (
+        SELECT doc_id,
+               ((CAST((2*nd - 2*df0 + 1) * 22 * tf0 * ta AS HUGEINT) * 1000000)
+                  // ((2*df0 + 1) * (10*ta*tf0 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df1 + 1) * 22 * tf1 * ta AS HUGEINT) * 1000000)
+                  // ((2*df1 + 1) * (10*ta*tf1 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df2 + 1) * 22 * tf2 * ta AS HUGEINT) * 1000000)
+                  // ((2*df2 + 1) * (10*ta*tf2 + 3*ta + 9*dl*nd)))
+               AS score_ppm
+        FROM tf CROSS JOIN c)
+      SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+      FROM sel WHERE score_ppm > 0
+      ORDER BY score_ppm DESC, doc_id ASC LIMIT 20""",
+    // the store-backed searches must reproduce the same ranking —
+    // q107's oracle verbatim
+    "q165_bm25_store" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               COUNT(CASE WHEN w = 'spark' THEN 1 END) AS tf0,
+               COUNT(CASE WHEN w = 'merge' THEN 1 END) AS tf1,
+               COUNT(CASE WHEN w = 'dup' THEN 1 END) AS tf2
+        FROM tok GROUP BY 1),
+      c AS (
+        SELECT COUNT(*) AS nd, SUM(dl) AS ta,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+               COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+               COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        FROM tf),
+      sel AS (
+        SELECT doc_id,
+               ((CAST((2*nd - 2*df0 + 1) * 22 * tf0 * ta AS HUGEINT) * 1000000)
+                  // ((2*df0 + 1) * (10*ta*tf0 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df1 + 1) * 22 * tf1 * ta AS HUGEINT) * 1000000)
+                  // ((2*df1 + 1) * (10*ta*tf1 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df2 + 1) * 22 * tf2 * ta AS HUGEINT) * 1000000)
+                  // ((2*df2 + 1) * (10*ta*tf2 + 3*ta + 9*dl*nd)))
+               AS score_ppm
+        FROM tf CROSS JOIN c)
+      SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+      FROM sel WHERE score_ppm > 0
+      ORDER BY score_ppm DESC, doc_id ASC LIMIT 20""",
+    "q166_lex_incremental" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
         FROM documents),

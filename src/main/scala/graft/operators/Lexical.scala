@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the LEXICAL serving store, completing
+  * the store family next to the vector side (`ivfSave`/`pqSave`/...):
+  * BM25 retrieval over a parquet postings layout that supports
+  * save / load / O(batch) append / streaming ingest / offline
+  * compaction, with searches that read only the queried terms'
+  * partitions instead of re-scanning the corpus (what `bm25TopK`
+  * does per call).
+  *
+  * Layout at `path/`:
+  *   - `postings/` — (w, doc_id, tf), partitioned by
+  *     `bucket = pmod(xxhash64(w), nBuckets)`: a query for a handful
+  *     of terms prunes to a handful of bucket partitions, and all
+  *     postings of one term live in one bucket, so per-term document
+  *     frequencies computed from the pruned read are EXACT.
+  *   - `docstats/` — (doc_id, dl): per-document token length, joined
+  *     only against the candidate slice at query time.
+  *   - `stats/` — (batch_id, n_docs, sum_dl): one row per ingested
+  *     batch; corpus constants N and avgdl aggregate this
+  *     generations-sized frame, never the corpus. Keyed by batch_id so
+  *     an at-least-once replay dedupes EXACTLY (the CMS-store
+  *     discipline) — searches on an uncompacted store stay bit-equal.
+  *   - `meta/` — (n_buckets): the partitioning geometry, require()d
+  *     consistent on append (the round-8 store-hardening rule).
+  *
+  * Scoring is `bm25TopK`'s fixed-point integer BM25 (k1 = 1.2,
+  * b = 0.75, linear Robertson idf, DECIMAL(38,0)-widened ppm
+  * division) computed from the postings form — the q107 oracle
+  * hash-matches a store-backed search end-to-end, including across
+  * incremental appends (q166).
+  *
+  * Shape for scale: save/append shuffle once on the bucket column
+  * (one file per touched bucket — the round-8 sliver-file rule);
+  * search reads |terms| buckets, dedupes the slice (at-least-once
+  * tolerance: (w, doc_id) replays collapse before df counting), joins
+  * dl for candidates only, and TakeOrdereds at k. Nothing ever scans
+  * text at query time.
+  *
+  * Reference analog: the reference greps full text per query
+  * (search/handler.py's LIKE filters); this is the indexed form. */
+object Lexical {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(lower(trim(c)), " ")
+
+  private def hadoopExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Postings + docstats + one stats row for a batch of documents. */
+  private def derive(docs: DataFrame, nBuckets: Int, batchId: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val postings = tok.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+    val docstats = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docstats.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(lit(batchId).as("batch_id"), col("n_docs"), col("sum_dl"))
+    (postings, docstats, stats)
+  }
+
+  /** Build and persist the index for `docs` (one "batch 0"). */
+  def lexSave(spark: SparkSession, docs: DataFrame, path: String,
+              nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val (postings, docstats, stats) = derive(docs, nBuckets, 0L)
+    postings
+      .repartition(col("bucket")) // one file per bucket, not per task
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    docstats.write.mode("overwrite").parquet(s"$path/docstats")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a batch of NEW documents — O(batch), independent of the
+    * store size (the `ivfAppendSave` contract for text). `batchId`
+    * keys the stats row so an at-least-once replay of the same batch
+    * collapses exactly; streaming passes the micro-batch id. */
+  def lexAppendSave(spark: SparkSession, path: String, batch: DataFrame,
+                    batchId: Long): Unit = {
+    require(hadoopExists(spark, s"$path/meta"),
+      s"$path is not a lexSave store (missing meta/)")
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (postings, docstats, stats) = derive(batch, nBuckets, batchId)
+    postings
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    docstats.write.mode("append").parquet(s"$path/docstats")
+    stats.write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k over the saved store: reads ONLY the query terms'
+    * bucket partitions (+ the tiny stats frame + the candidates' dl
+    * rows). Same fixed-point score as `TextAnalysis.bm25TopK` — the
+    * q107 oracle reproduces it bit-for-bit. Tolerates an uncompacted
+    * at-least-once store: posting/docstat replays dedupe on read,
+    * stats rows dedupe on batch_id. */
+  /** The bucket-pruned postings read behind `lexSearch` — exposed
+    * within the package so PlanAuditSpec can pin that the term
+    * buckets reach the scan as PARTITION filters (the store exists so
+    * a search never lists, let alone reads, the other buckets). */
+  private[graft] def lexSlice(spark: SparkSession, path: String,
+                              terms: Seq[String]): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val buckets = terms.map(t =>
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong).toInt)
+      .distinct
+    spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+  }
+
+  def lexSearch(spark: SparkSession, path: String, terms: Seq[String],
+                k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "terms must be a small literal set")
+    val slice = lexSlice(spark, path, terms)
+      .dropDuplicates("w", "doc_id") // at-least-once replays collapse
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      slice.count()
+      val corpus = spark.read.parquet(s"$path/stats")
+        .dropDuplicates("batch_id")
+        .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("ta"))
+      val dfs = slice.groupBy().agg(
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("w") === t, 1L).otherwise(0L)).as(s"df$i")
+        }.head,
+        terms.zipWithIndex.drop(1).map { case (t, i) =>
+          sum(when(col("w") === t, 1L).otherwise(0L)).as(s"df$i")
+        }: _*)
+      val cand = slice.groupBy("doc_id")
+        .agg(terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("w") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+          }.head,
+          terms.zipWithIndex.drop(1).map { case (t, i) =>
+            sum(when(col("w") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+          }: _*)
+      val dl = spark.read.parquet(s"$path/docstats")
+        .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id")
+      val scorePpm = terms.indices.map { i =>
+        expr(s"CAST((CAST((2L*nd - 2L*df$i + 1L) * 22L * tf$i * ta AS DECIMAL(38,0))" +
+          s" * 1000000) div ((2L*df$i + 1L) * (10L*ta*tf$i + 3L*ta + 9L*dl*nd))" +
+          " AS BIGINT)")
+      }.reduce(_ + _)
+      val res = cand.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .crossJoin(broadcast(dfs))
+        .withColumn("score_ppm", scorePpm)
+        .where(col("score_ppm") > 0)
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(k)
+        .select(col("doc_id"), col("score_ppm"))
+      // bounded at k: localize, then release (the bm25TopK pattern)
+      val rows = res.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
+    } finally slice.unpersist(blocking = false)
+  }
+
+  /** Offline compaction: drop the duplicate rows an at-least-once
+    * replay appends in all three frames (searches already dedupe on
+    * read — this reclaims the space). Returns postings rows after. */
+  def lexCompact(spark: SparkSession, path: String): Long = {
+    require(hadoopExists(spark, s"$path/meta"),
+      s"$path is not a lexSave store (missing meta/)")
+    graft.core.Stores.rewriteDeduped(spark, s"$path/docstats", Seq("doc_id"))
+    graft.core.Stores.rewriteDeduped(spark, s"$path/stats", Seq("batch_id"))
+    graft.core.Stores.rewriteDeduped(spark, s"$path/postings",
+      Seq("w", "doc_id"), Seq("bucket"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Lexical, TextAnalysis}
+import graft.streaming.IngestLexical
+
+/** Persisted inverted index: store-backed BM25 equals the in-memory
+  * scorer, appends are incremental, replays collapse exactly, and the
+  * streaming ingest equals the batch fold. */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  private val terms = Seq("spark", "merge", "dup")
+
+  private def asSeq(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("store-backed search equals bm25TopK bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_eq")
+    Lexical.lexSave(spark, docs, dir)
+    val store = asSeq(Lexical.lexSearch(spark, dir, terms, 20))
+    val direct = asSeq(TextAnalysis.bm25TopK(docs, terms, 20))
+    assert(store == direct && store.nonEmpty)
+  }
+
+  test("incremental append: two batches equal the one-shot store; geometry is enforced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_inc")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 250), dir)
+    Lexical.lexAppendSave(spark, dir, docs.where($"doc_id" >= 250), 1L)
+    val inc = asSeq(Lexical.lexSearch(spark, dir, terms, 20))
+    assert(inc == asSeq(TextAnalysis.bm25TopK(docs, terms, 20)))
+    val e = intercept[IllegalArgumentException] {
+      Lexical.lexAppendSave(spark, tmp("lex_not_a_store"), docs, 2L)
+    }
+    assert(e.getMessage.contains("not a lexSave store"))
+  }
+
+  test("at-least-once replay: searches unchanged before AND after compaction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_replay")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 400), dir)
+    val batch = docs.where($"doc_id" >= 400)
+    Lexical.lexAppendSave(spark, dir, batch, 1L)
+    Lexical.lexAppendSave(spark, dir, batch, 1L) // the replay
+    val want = asSeq(TextAnalysis.bm25TopK(docs, terms, 20))
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == want)
+    val docRows = spark.read.parquet(s"$dir/docstats").count()
+    assert(Lexical.lexCompact(spark, dir) > 0)
+    assert(spark.read.parquet(s"$dir/docstats").count() < docRows)
+    assert(spark.read.parquet(s"$dir/stats").count() == 2)
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == want)
+  }
+
+  test("streaming ingest equals the batch fold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_stream")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 200), dir)
+    val b1 = docs.where($"doc_id" >= 200 && $"doc_id" < 350)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val b2 = docs.where($"doc_id" >= 350)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = IngestLexical.start(
+      input.toDF().toDF("doc_id", "text"), dir, tmp("lex_ckpt"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) ==
+      asSeq(TextAnalysis.bm25TopK(docs, terms, 20)))
+  }
+}

@@ -439,4 +439,22 @@ class PlanAuditSpec extends SparkSpec {
     // input (sf0.001 is one file) the planner elides even that
     assert(exchanges.length <= 1, p.toString.take(500))
   }
+
+  test("lexSearch: query terms prune the postings read to their bucket PARTITIONS") {
+    // the store's whole point: a 3-term search lists and reads ≤ 3 of
+    // the nBuckets partition directories, never the corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("audit_lex").toString
+    graft.operators.Lexical.lexSave(spark, docs, store, nBuckets = 16)
+    val slice = graft.operators.Lexical.lexSlice(
+      spark, store, Seq("spark", "merge", "dup"))
+    val ss = scans(slice.queryExecution.sparkPlan)
+    assert(ss.length == 1)
+    assert(ss.head.partitionFilters.nonEmpty,
+      "bucket predicate must be a partition filter, not a data filter")
+    assert(ss.head.selectedPartitions.partitionCount <= 3,
+      s"read ${ss.head.selectedPartitions.partitionCount} bucket partitions for 3 terms")
+    // and the term predicate still pushes into the parquet row groups
+    assert(ss.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
+  }
 }
