@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -901,6 +901,31 @@ object ScaleReport {
       }
       timed("edit_join_seg")(Dedup.editDistancePairsSeg(heads, 4).count())
       println(s"""{"op":"edit_join_ratio","verified":$verified,"cand_per_verified_prefix":${if (verified > 0) candPfx / verified else -1},"cand_per_verified_seg":${if (verified > 0) candSeg / verified else -1}}""")
+    }
+
+    // Lexical serving store (q165/q166): the claim under test is the
+    // serving economics — a store-backed search reads |terms| bucket
+    // partitions where the in-memory scorer re-tokenizes the corpus
+    // per call, and appends stay O(batch). Build amortizes over
+    // searches; the crossover is the search count where the store
+    // pays for itself.
+    if (section("lex") && docsOpt.nonEmpty) {
+      import graft.operators.Lexical
+      val dir = java.nio.file.Files.createTempDirectory("scale_lex").toString
+      val terms = Seq("spark", "merge", "dup")
+      timed("lex_build") {
+        Lexical.lexSave(spark, docs, dir)
+        spark.read.parquet(s"$dir/postings").count()
+      }
+      timed("lex_search_store")(Lexical.lexSearch(spark, dir, terms, 20).count())
+      timed("bm25_rescan")(
+        graft.operators.TextAnalysis.bm25TopK(docs, terms, 20).count())
+      val batch = docs.where(col("doc_id") < nDocs / 100 + 1)
+        .selectExpr("doc_id + 10000000 AS doc_id", "text")
+      timed("lex_append_1pct") {
+        Lexical.lexAppendSave(spark, dir, batch, 1L); batch.count()
+      }
+      timed("lex_compact")(Lexical.lexCompact(spark, dir))
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

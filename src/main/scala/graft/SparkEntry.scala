@@ -379,6 +379,21 @@ object SparkEntry {
     "q108_rrf_fusion" -> ((s, d) =>
       Similarity.rrfFusion(embeddings(s, d), documents(s, d),
         Seq("spark", "merge", "dup"), 5, 10)),
+    // q108 served from the PERSISTED stores: exhaustive-dial dense
+    // ranking from an ivfSave store + bucket-pruned BM25 from the
+    // lexSave store, same fixed-point RRF — the store round-trip must
+    // not move a single rank (hash-green against q108's oracle)
+    "q167_hybrid_store" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val vdir = java.nio.file.Files.createTempDirectory("q167_vec").toString
+      val ldir = java.nio.file.Files.createTempDirectory("q167_lex").toString
+      val idx = Similarity.ivfBuild(e.where("vec_id >= 5"), 16)
+      Similarity.ivfSave(idx, vdir)
+      idx.release()
+      Lexical.lexSave(s, documents(s, d).where("doc_id >= 5"), ldir)
+      Similarity.rrfFusionStores(s, vdir, ldir, e.where("vec_id < 5"),
+        Seq("spark", "merge", "dup"), 10)
+    }),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d), 5, 10)),
     // int8 scalar-quantized brute top-k (FAISS SQ8 codec as native
     // codegen expressions). Rows-only: quantized ranks can differ from
@@ -1574,6 +1589,58 @@ object SparkEntry {
       r AS (SELECT qid, vid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk FROM s)
       SELECT qid, rnk, vid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q108_rrf_fusion" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
+      q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      c AS (SELECT vec_id AS vid, e AS ce, nrm AS cn FROM n WHERE vec_id >= 5),
+      s AS (SELECT qid, vid, list_dot_product(qe, ce) / (qn * cn) AS cos FROM c CROSS JOIN q),
+      r AS (SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rnk FROM s),
+      dpts AS (SELECT qid, vid, 1000000 // (60 + rnk) AS pts FROM r WHERE rnk <= 20),
+      btok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents WHERE doc_id >= 5),
+      btf AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               COUNT(CASE WHEN w = 'spark' THEN 1 END) AS tf0,
+               COUNT(CASE WHEN w = 'merge' THEN 1 END) AS tf1,
+               COUNT(CASE WHEN w = 'dup' THEN 1 END) AS tf2
+        FROM btok GROUP BY 1),
+      bc AS (
+        SELECT COUNT(*) AS nd, SUM(dl) AS ta,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+               COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+               COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        FROM btf),
+      bsel AS (
+        SELECT doc_id,
+               ((CAST((2*nd - 2*df0 + 1) * 22 * tf0 * ta AS HUGEINT) * 1000000)
+                  // ((2*df0 + 1) * (10*ta*tf0 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df1 + 1) * 22 * tf1 * ta AS HUGEINT) * 1000000)
+                  // ((2*df1 + 1) * (10*ta*tf1 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df2 + 1) * 22 * tf2 * ta AS HUGEINT) * 1000000)
+                  // ((2*df2 + 1) * (10*ta*tf2 + 3*ta + 9*dl*nd)))
+               AS score_ppm
+        FROM btf CROSS JOIN bc),
+      brank AS (
+        SELECT doc_id AS vid,
+               ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS lrnk
+        FROM bsel WHERE score_ppm > 0
+        ORDER BY score_ppm DESC, doc_id ASC LIMIT 20),
+      lpts AS (
+        SELECT qs.qid, b.vid, 1000000 // (60 + b.lrnk) AS pts
+        FROM brank b CROSS JOIN (SELECT DISTINCT qid FROM dpts) qs),
+      allp AS (SELECT qid, vid, pts FROM dpts
+               UNION ALL SELECT qid, vid, pts FROM lpts),
+      agg AS (SELECT qid, vid, CAST(SUM(pts) AS BIGINT) AS rrf_ppm
+              FROM allp GROUP BY 1, 2),
+      fr AS (SELECT qid, vid, rrf_ppm,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY rrf_ppm DESC, vid ASC) AS INT) AS rnk
+             FROM agg)
+      SELECT qid, rnk, vid, rrf_ppm FROM fr WHERE rnk <= 10
+      ORDER BY qid, rnk""",
+    // the stores must reproduce the in-memory fusion — q108's oracle
+    "q167_hybrid_store" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM e),
       q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),

@@ -312,6 +312,43 @@ object Similarity {
     fused
   }
 
+  /** Hybrid retrieval over the PERSISTED stores — `rrfFusion`'s
+    * serving face, tying the two store families together: the dense
+    * ranking comes from an `ivfSave` store searched at the exhaustive
+    * dial (nProbe = nList, bit-equal to brute — the q141/q156
+    * discipline), the lexical ranking from the `lexSave` postings
+    * store (bucket-pruned, q165), fused with the same fixed-point RRF
+    * (Cormack et al. 2009; 10⁶ div (60 + rank)). The store round-trip
+    * must not move a single rank: q167 hash-matches q108's oracle.
+    * Result is bounded at queries×k rows — localized so both loaded
+    * stores release deterministically. */
+  def rrfFusionStores(spark: org.apache.spark.sql.SparkSession,
+                      vecPath: String, lexPath: String, queries: DataFrame,
+                      terms: Seq[String], k: Int): DataFrame = {
+    val idx = ivfLoad(spark, vecPath)
+    try {
+      val dense = ivfSearch(idx, queries, 2 * k, idx.nList)
+        .select(col("qid"), col("vid"),
+          expr("1000000L div (60L + rnk)").as("pts"))
+      val lex = Lexical.lexSearch(spark, lexPath, terms, 2 * k)
+        .withColumn("lrnk", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("vid"),
+          expr("1000000L div (60L + lrnk)").as("pts"))
+      val qids = dense.select("qid").distinct()
+      val fused = dense.unionByName(qids.crossJoin(lex))
+        .groupBy("qid", "vid")
+        .agg(sum(col("pts")).as("rrf_ppm"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("vid").asc)))
+        .where(col("rnk") <= k)
+        .select(col("qid"), col("rnk"), col("vid"), col("rrf_ppm"))
+        .orderBy("qid", "rnk")
+      val rows = fused.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fused.schema)
+    } finally idx.release()
+  }
+
   /** Cluster-balanced diversity sampling — the embedding-space analog
     * of `TrainingData.quotaSample`: k-means the corpus with the IVF
     * coarse quantizer (seeded, deterministic), then keep up to

@@ -54,6 +54,23 @@ class LexicalSpec extends SparkSpec {
     assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == want)
   }
 
+  test("rrfFusionStores equals the in-memory rrfFusion rank-for-rank") {
+    import graft.operators.Similarity
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vdir = tmp("lex_fus_vec"); val ldir = tmp("lex_fus_lex")
+    val idx = Similarity.ivfBuild(emb.where($"vec_id" >= 5), 8)
+    Similarity.ivfSave(idx, vdir)
+    idx.release()
+    Lexical.lexSave(spark, docs.where($"doc_id" >= 5), ldir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val store = rows(Similarity.rrfFusionStores(
+      spark, vdir, ldir, emb.where($"vec_id" < 5), terms, 10))
+    val direct = rows(Similarity.rrfFusion(emb, docs, terms, 5, 10))
+    assert(store == direct && store.nonEmpty)
+  }
+
   test("streaming ingest equals the batch fold") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmp("lex_stream")
