@@ -925,6 +925,20 @@ object ScaleReport {
       timed("lex_append_1pct") {
         Lexical.lexAppendSave(spark, dir, batch, 1L); batch.count()
       }
+      // the SELECTIVE-term law: store search cost tracks Σ df(term) —
+      // the postings actually read — where the rescan always pays the
+      // full corpus tokenize. The 31-word corpus has no selective
+      // terms (every term matches ~every doc, so the common-term rows
+      // above are corpus-bound BOTH ways); plant one via an appended
+      // batch and measure the asymmetry directly.
+      val rare = spark.range(100).selectExpr("id + 20000000 AS doc_id",
+        "'zzqx rare signal zzqx' AS text")
+      Lexical.lexAppendSave(spark, dir, rare, 2L)
+      val withRare = docs.selectExpr("doc_id", "text").unionByName(rare)
+      timed("lex_search_store_rare")(
+        Lexical.lexSearch(spark, dir, Seq("zzqx"), 20).count())
+      timed("bm25_rescan_rare")(
+        graft.operators.TextAnalysis.bm25TopK(withRare, Seq("zzqx"), 20).count())
       timed("lex_compact")(Lexical.lexCompact(spark, dir))
     }
 

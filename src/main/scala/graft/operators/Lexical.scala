@@ -127,7 +127,8 @@ object Lexical {
       .dropDuplicates("w", "doc_id") // at-least-once replays collapse
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      slice.count()
+      // no eager count: the df subquery populates the cache and the
+      // candidate agg reads it — one fewer job on the serving path
       val corpus = spark.read.parquet(s"$path/stats")
         .dropDuplicates("batch_id")
         .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("ta"))
