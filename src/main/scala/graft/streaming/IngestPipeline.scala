@@ -21,6 +21,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      set;
   *   5. one per-batch quality telemetry row over the KEPT docs
   *      (`MonitorQuality.batchStats`);
+  *   5b. optionally (`lexPath`, a `Lexical.lexSave` store) a lexical
+  *      postings append of the KEPT docs — the BM25 serving index
+  *      grows by exactly the gated set too, so dense (4) and lexical
+  *      retrieval stay doc-for-doc consistent with the kept corpus;
   *   6. optionally (`vocabPath`, feed must carry `source`) per-source
   *      HLL vocabulary sketches of the KEPT docs (`IngestVocab`);
   *   7. optionally (`neighborsPath`) ONLINE PAIR MINING: each kept
@@ -71,7 +75,8 @@ object IngestPipeline {
                    threshold: Double, vocabPath: Option[String] = None,
                    neighborsPath: Option[String] = None,
                    neighborK: Int = 5, neighborProbe: Int = 2,
-                   neighborScanFrac: Option[Double] = None): Long = {
+                   neighborScanFrac: Option[Double] = None,
+                   lexPath: Option[String] = None): Long = {
     val (kept, keptSigs, release) =
       IngestDedup.gateBatch(batch, sigStorePath, threshold)
     val nKept = kept.count()
@@ -112,6 +117,13 @@ object IngestPipeline {
         IngestVocab.processBatch(
           kept.select(col("source"), col("text")), batchId, vp)
       }
+      // optional 6th store: lexical postings of the KEPT docs (batch
+      // token offset by 1 — lexSave's seed stats row owns batch_id 0)
+      lexPath.foreach { lp =>
+        graft.operators.Lexical.lexAppendSave(
+          kept.sparkSession, lp, kept.select(col("doc_id"), col("text")),
+          batchId + 1L)
+      }
       keptSigs.write.mode("append").parquet(sigStorePath)
     }
     release()
@@ -132,7 +144,8 @@ object IngestPipeline {
             vocabPath: Option[String] = None,
             neighborsPath: Option[String] = None,
             neighborK: Int = 5, neighborProbe: Int = 2,
-            neighborScanFrac: Option[Double] = None): StreamingQuery = {
+            neighborScanFrac: Option[Double] = None,
+            lexPath: Option[String] = None): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil)
     docs.select(cols.map(col): _*).writeStream
@@ -142,7 +155,7 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath, indexPath,
           telemetryPath, threshold, vocabPath, neighborsPath,
-          neighborK, neighborProbe, neighborScanFrac)
+          neighborK, neighborProbe, neighborScanFrac, lexPath)
         ()
       }
       .start()
@@ -167,7 +180,8 @@ object IngestPipeline {
                       vocabPath: Option[String] = None,
                       neighborsPath: Option[String] = None,
                       neighborK: Int = 5, neighborProbe: Int = 2,
-                      neighborScanFrac: Option[Double] = None): StreamingQuery = {
+                      neighborScanFrac: Option[Double] = None,
+                      lexPath: Option[String] = None): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil)
     docs.select(cols.map(col): _*).writeStream
@@ -177,7 +191,8 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath,
           supervisor.currentPath, telemetryPath, threshold, vocabPath,
-          neighborsPath, neighborK, neighborProbe, neighborScanFrac)
+          neighborsPath, neighborK, neighborProbe, neighborScanFrac,
+          lexPath)
         supervisor.maintain()
         ()
       }

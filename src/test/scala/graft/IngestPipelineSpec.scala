@@ -398,4 +398,50 @@ class IngestPipelineSpec extends SparkSpec {
     assert(vids == (0L until 30L).toSet ++ keptIds,
       s"missing: ${((0L until 30L).toSet ++ keptIds) -- vids}; extra: ${vids -- (0L until 30L).toSet -- keptIds}")
   }
+
+  test("lexical sink: the BM25 store grows by exactly the gated set; search == rescan of kept") {
+    import graft.operators.{Lexical, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+
+    val indexPath = tmp("pipe_lex_idx")
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    Similarity.ivfSave(seedIdx, indexPath)
+    seedIdx.release()
+    // seed the lexical store with the same 0-299 corpus slice
+    val lexPath = tmp("pipe_lex_store")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 300), lexPath)
+
+    // batch 2 replants batch-1 texts under fresh ids: the gate drops
+    // them, so the lexical store must NOT contain the clone doc_ids
+    val b1 = feed.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val clones = feed.where($"doc_id" >= 300 && $"doc_id" < 305)
+      .select(($"doc_id" + 8700L).as("doc_id"), $"text", $"embedding")
+    val b2 = feed.where($"doc_id" >= 350 && $"doc_id" < 400).unionByName(clones)
+    val (sigs, out, tele) = (tmp("pl_sigs"), tmp("pl_out"), tmp("pl_tele"))
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele,
+        0.5, lexPath = Some(lexPath))
+    }
+
+    val keptIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect((9000L to 9004L).toSet).isEmpty)
+    val lexIds = spark.read.parquet(s"$lexPath/docstats")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lexIds == (0L until 300L).toSet ++ keptIds,
+      "lexical store must hold seed + exactly the gated set")
+    // and the store search equals re-scoring the kept corpus directly
+    val terms = Seq("spark", "merge", "dup")
+    val keptCorpus = docs.where($"doc_id" < 300)
+      .unionByName(docs.where($"doc_id".isin(keptIds.toSeq: _*)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(Lexical.lexSearch(spark, lexPath, terms, 20)) ==
+      rows(TextAnalysis.bm25TopK(keptCorpus, terms, 20)))
+  }
 }
