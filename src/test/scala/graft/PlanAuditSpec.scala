@@ -440,6 +440,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.length <= 1, p.toString.take(500))
   }
 
+  test("q164 token classifier: the model joins as a BROADCAST; no window anywhere") {
+    // the scale shape the scaladoc claims: per-(doc,token) counts
+    // reduce map-side, the vocabulary-sized model broadcasts, and the
+    // scored corpus never sees a window or a shuffled join
+    val p = plan("q164_nb_score")
+    val bcast = p.collectWithSubqueries {
+      case b: BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => b
+    }
+    assert(bcast.nonEmpty, "model join must be a broadcast left-outer")
+    assert(p.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "scored corpus must never shuffle through a join")
+  }
+
   test("lexSearch: query terms prune the postings read to their bucket PARTITIONS") {
     // the store's whole point: a 3-term search lists and reads ≤ 3 of
     // the nBuckets partition directories, never the corpus
