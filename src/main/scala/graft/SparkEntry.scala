@@ -826,6 +826,21 @@ object SparkEntry {
       TrainingData.nbTokenWeights(docs,
         docs.selectExpr("doc_id", "lang = 'en' AS label").where("doc_id < 250"))
     }),
+    // the GPT-3 rule-distillation loop, oracle-exact end-to-end: train
+    // the fixed-point token classifier ON the gopher rule's verdicts
+    // (labeled slice), score the whole corpus, report Cohen's kappa
+    // between classifier and rule — the q127 agreement machinery
+    // evaluating the q163/q164 model against its own teacher
+    "q168_classifier_kappa" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d)
+      val rule = TrainingData.gopherQuality(docs, minWords = 30)
+        .select(col("doc_id"), col("keep"))
+      val clf = TrainingData.tokenClassifier(docs,
+          rule.where(col("doc_id") < 250).selectExpr("doc_id", "keep AS label"))
+        .select(col("doc_id"), col("pred").as("keep"))
+      TrainingData.filterKappa(rule, clf)
+    }),
     // train-and-score: every doc scored by the fixed-point token
     // weights (unseen tokens back off through the smoothed formula);
     // all-integer score, prior-free threshold — hash-green end-to-end
@@ -1432,6 +1447,59 @@ object SparkEntry {
         AND abs(length(a.s) - length(b.s)) <= 4
       WHERE levenshtein(a.s, b.s) <= 4
       ORDER BY id_a, id_b""",
+    // q88's rule labels train the q164 classifier; q127's kappa
+    // arithmetic scores the agreement — one composed oracle
+    "q168_classifier_kappa" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      gagg AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+               COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END) AS n_alpha,
+               COUNT(CASE WHEN w IN ('the','a','and','of','to','in','is','that','with','for')
+                          THEN 1 END) AS n_stop,
+               CAST(SUM(len(w) - len(replace(w, '#', ''))) AS BIGINT) AS hash_chars,
+               CAST(SUM(len(w) - len(replace(w, '...', ''))) AS BIGINT) AS ell_chars
+        FROM tok GROUP BY 1),
+      glab AS (
+        SELECT doc_id,
+               CASE WHEN n_words BETWEEN 30 AND 100000
+                     AND sum_len / n_words BETWEEN 3.0 AND 10.0
+                     AND (hash_chars + ell_chars // 3) / n_words <= 0.1
+                     AND n_alpha / n_words >= 0.8
+                     AND n_stop >= 2 THEN 1 ELSE 0 END AS ka
+        FROM gagg),
+      tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      counts AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN g.ka = 1 THEN c ELSE 0 END) AS BIGINT) AS c_pos,
+               CAST(SUM(CASE WHEN g.ka = 0 THEN c ELSE 0 END) AS BIGINT) AS c_neg
+        FROM tc JOIN glab g USING (doc_id) WHERE doc_id < 250 GROUP BY 1),
+      tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM counts),
+      sc AS (
+        SELECT t.doc_id,
+               CAST(SUM(t.c * (((COALESCE(m.c_pos, 0) + 1) * 1000000) // (tot.np + tot.v)
+                             - ((COALESCE(m.c_neg, 0) + 1) * 1000000) // (tot.nn + tot.v))) AS BIGINT) AS score
+        FROM tc t LEFT JOIN counts m USING (w) CROSS JOIN tot
+        GROUP BY t.doc_id),
+      clab AS (SELECT doc_id, CASE WHEN score > 0 THEN 1 ELSE 0 END AS kb FROM sc),
+      cells AS (
+        SELECT CAST(SUM(ka * kb) AS BIGINT) AS n11,
+               CAST(SUM(ka * (1 - kb)) AS BIGINT) AS n10,
+               CAST(SUM((1 - ka) * kb) AS BIGINT) AS n01,
+               CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS n00
+        FROM glab JOIN clab USING (doc_id))
+      SELECT n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS agree_frac,
+             CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                       - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) != 0
+                  THEN CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+                       / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+             END AS kappa
+      FROM cells""",
     // fixed-point NB-surrogate weights: integer division of exact
     // longs, so the model reproduces bit-for-bit in any engine
     "q163_nb_model" -> """
