@@ -170,7 +170,15 @@ object Lexical {
 
   /** Offline compaction: drop the duplicate rows an at-least-once
     * replay appends in all three frames (searches already dedupe on
-    * read — this reclaims the space). Returns postings rows after. */
+    * read — this reclaims the space). Returns postings rows after.
+    *
+    * Scope: REPLAY duplicates (same batch re-landed under the same
+    * batch token) compact to exactly-once. A caller that violates the
+    * append contract by re-ingesting an existing doc_id under a NEW
+    * batch token is not repaired here: postings/docstats dedupe but
+    * both batches' stats rows survive, leaving N and avgdl counting
+    * the doc twice — the same "appends are new rows" contract as the
+    * vector stores' vid discipline. */
   def lexCompact(spark: SparkSession, path: String): Long = {
     require(hadoopExists(spark, s"$path/meta"),
       s"$path is not a lexSave store (missing meta/)")
