@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -940,6 +940,40 @@ object ScaleReport {
       timed("bm25_rescan_rare")(
         graft.operators.TextAnalysis.bm25TopK(withRare, Seq("zzqx"), 20).count())
       timed("lex_compact")(Lexical.lexCompact(spark, dir))
+    }
+
+    // Fuzzy-key ingest gate (q169/q170, streaming.IngestFuzzy): the
+    // claim under test is that per-batch cost tracks batch × STORE
+    // candidate volume (linear in the store on these adversarial keys,
+    // sub-linear on natural ones), where the re-join alternative pays
+    // the full self-join every time history changes. Five equal
+    // batches fold through the persisted segment store; the one-shot
+    // self-join at the same d is the rescan yardstick.
+    if (section("fuzzygate") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestFuzzy
+      val dir = java.nio.file.Files.createTempDirectory("scale_fzstore").toString
+      val out = java.nio.file.Files.createTempDirectory("scale_fzout").toString
+      val d = 3
+      val keys = docs.selectExpr("doc_id", "substring(text, 1, 32) AS key")
+      IngestFuzzy.fuzzySave(spark,
+        keys.limit(0).selectExpr("doc_id AS id", "key AS s"), dir, d)
+      val nB = 5
+      val cut = nDocs / nB + 1
+      var keptTotal = 0L
+      for (b <- 0 until nB) {
+        val batch = keys.where(col("doc_id") >= b * cut &&
+          col("doc_id") < (b + 1) * cut)
+        timed(s"fuzzy_gate_batch$b") {
+          val k = IngestFuzzy.processBatch(batch, dir, out)
+          keptTotal += k
+          k
+        }
+      }
+      val storeKeys = spark.read.parquet(s"$dir/keys").count()
+      println(s"""{"op":"fuzzy_gate_kept","kept":$keptTotal,"store_keys":$storeKeys,"of":$nDocs}""")
+      timed("fuzzy_rescan_once")(
+        Dedup.editDistancePairsSeg(
+          keys.selectExpr("doc_id AS id", "key AS s"), d).count())
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

@@ -861,6 +861,28 @@ object SparkEntry {
         .selectExpr("id_a AS a", "id_b AS b")
       Dedup.nearDupComponents(docs, edges, 2000L)
     }),
+    // asymmetric (batch × store) edit-distance probe — the primitive
+    // behind the streaming fuzzy-key gate (IngestFuzzy): every pair of
+    // a batch key and a store key within d=4, exact recall through the
+    // one-sided PassJoin probe, so the DuckDB cross levenshtein oracle
+    // hash-matches it. Bounded slices per the round-9 entropy law
+    "q169_fuzzy_store_pairs" -> ((s, d) => {
+      val heads = documents(s, d)
+        .selectExpr("doc_id AS id", "substring(text, 1, 32) AS s")
+      Dedup.edStorePairs(heads.where("id >= 250 AND id < 2000"),
+        heads.where("id < 250"), 4)
+    }),
+    // the fuzzy-key ingest GATE itself, batch form: batch keys kept
+    // after dropping any within d=3 of a store key or of a smaller-id
+    // batch key (sketchDrops' first-wins policy). Both rules are
+    // first-order — two NOT EXISTS in the oracle — so unlike the
+    // MinHash gate (q97, rows-only) this gate is hash-green end-to-end
+    "q170_fuzzy_gate" -> ((s, d) => {
+      val heads = documents(s, d)
+        .selectExpr("doc_id AS id", "substring(text, 1, 24) AS s")
+      Dedup.fuzzyKeyGate(heads.where("id >= 250 AND id < 2000"),
+        heads.where("id < 250"), 3).selectExpr("id AS doc_id", "s AS key")
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1447,6 +1469,30 @@ object SparkEntry {
         AND abs(length(a.s) - length(b.s)) <= 4
       WHERE levenshtein(a.s, b.s) <= 4
       ORDER BY id_a, id_b""",
+    // the asymmetric probe is exact-recall, so the oracle is the plain
+    // cross levenshtein between the two slices
+    "q169_fuzzy_store_pairs" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s
+                 FROM documents WHERE doc_id < 2000)
+      SELECT a.id AS store_id, b.id AS batch_id,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM h a JOIN h b ON a.id < 250 AND b.id >= 250
+        AND abs(length(a.s) - length(b.s)) <= 4
+      WHERE levenshtein(a.s, b.s) <= 4
+      ORDER BY store_id, batch_id""",
+    // the gate's two drop rules are first-order (no closure): a batch
+    // key survives iff no store key and no smaller-id batch key sits
+    // within d — exactly two NOT EXISTS
+    "q170_fuzzy_gate" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 24) AS s
+                 FROM documents WHERE doc_id < 2000),
+      st AS (SELECT * FROM h WHERE id < 250),
+      b AS (SELECT * FROM h WHERE id >= 250)
+      SELECT b.id AS doc_id, b.s AS key FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM st WHERE levenshtein(st.s, b.s) <= 3)
+        AND NOT EXISTS (SELECT 1 FROM b b2
+                        WHERE b2.id < b.id AND levenshtein(b2.s, b.s) <= 3)
+      ORDER BY doc_id""",
     // q88's rule labels train the q164 classifier; q127's kappa
     // arithmetic scores the agreement — one composed oracle
     "q168_classifier_kappa" -> """

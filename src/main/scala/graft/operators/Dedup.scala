@@ -1208,33 +1208,62 @@ object Dedup {
   /** Segment-blocked (PassJoin) candidate pairs — see
     * `edPrefixCandidates` for why this is package-visible. */
   private[graft] def edSegCandidates(base: DataFrame, maxDist: Int,
-                                     minSeg: Int): DataFrame = {
+                                     minSeg: Int): DataFrame =
+    edProbeSegs(base, maxDist, minSeg, twoSided = false)
+      .join(edIndexSegs(base, maxDist, minSeg), Seq("lt", "i", "seg"))
+      .where(col("pid") =!= col("tid"))
+      .select(least(col("pid"), col("tid")).as("id_a"),
+        greatest(col("pid"), col("tid")).as("id_b"))
+
+  // layout of segment i (1-based) for a target of length lt:
+  // li = base + 1 for the last (lt mod n) segments, pi = 1-based start
+  private def edLiExpr(n: Int) = s"(lt div $n) + if(i > $n - (lt % $n), 1, 0)"
+  private def edPiExpr(n: Int) =
+    s"1 + (i - 1) * (lt div $n) + greatest(0, i - 1 - ($n - (lt % $n)))"
+
+  /** Index-side PassJoin rows for a key frame: each string's own
+    * `maxDist + 1` segments, keyed (lt = the string's own length,
+    * i = segment index, seg = content). This is what a persisted
+    * fuzzy-key store materializes ONCE per kept key — every later
+    * batch equi-joins it, so history is never re-segmented. Strings
+    * below `minSeg·(d+1) − d` are excluded: any segment-PROBING
+    * partner is ≥ `minSeg·(d+1)` long, so Δlen alone would exceed d
+    * (such pairs go through the length band instead). */
+  private[graft] def edIndexSegs(base: DataFrame, maxDist: Int,
+                                 minSeg: Int): DataFrame = {
     val d = maxDist
     val n = d + 1
     val shortCut = minSeg * n
-
-    // layout of segment i (1-based) for a target of length lt:
-    // li = base + 1 for the last (lt mod n) segments, pi = 1-based start
-    val liExpr = s"(lt div $n) + if(i > $n - (lt % $n), 1, 0)"
-    val piExpr = s"1 + (i - 1) * (lt div $n) + greatest(0, i - 1 - ($n - (lt % $n)))"
-
-    // index side: every string that any in-band probe could target
-    val idx = base.where(col("len") >= shortCut - d)
+    base.where(col("len") >= shortCut - d)
       .select(col("id").as("tid"), col("s"), col("len").as("lt"))
       .select(col("tid"), col("s"), col("lt"),
         explode(expr(s"sequence(1, $n)")).as("i"))
       .select(col("tid"), col("lt"), col("i"),
-        expr(s"substring(s, $piExpr, $liExpr)").as("seg"))
+        expr(s"substring(s, ${edPiExpr(n)}, ${edLiExpr(n)})").as("seg"))
+  }
 
-    // probe side: for each target length in [len - d, len], each
-    // segment's window of starts, the substring it would have to match
-    val probe = base.where(col("len") >= shortCut)
+  /** Probe-side PassJoin rows: for each candidate target length lt,
+    * each of the target layout's segments, the window of starts that
+    * segment could occupy in the probe (±d — PassJoin's pigeonhole
+    * shift bound), and the substring it would have to equal. In the
+    * SELF-join the probe is the longer side of each pair, so lt only
+    * descends (`twoSided = false`); probing a STORE the partner can be
+    * longer OR shorter, so lt runs over [len − d, len + d]
+    * (`twoSided = true`) — the start windows clamp to the probe
+    * string, so over-long layouts vanish instead of emitting junk. */
+  private[graft] def edProbeSegs(base: DataFrame, maxDist: Int,
+                                 minSeg: Int, twoSided: Boolean): DataFrame = {
+    val d = maxDist
+    val n = d + 1
+    val shortCut = minSeg * n
+    val hi = if (twoSided) s"len + $d" else "len"
+    base.where(col("len") >= shortCut)
       .select(col("id").as("pid"), col("s"), col("len"),
-        explode(expr(s"sequence(greatest(${shortCut - d}, len - $d), len)")).as("lt"))
+        explode(expr(s"sequence(greatest(${shortCut - d}, len - $d), $hi)")).as("lt"))
       .select(col("pid"), col("s"), col("len"), col("lt"),
         explode(expr(s"sequence(1, $n)")).as("i"))
-      .withColumn("li", expr(liExpr))
-      .withColumn("pi", expr(piExpr))
+      .withColumn("li", expr(edLiExpr(n)))
+      .withColumn("pi", expr(edPiExpr(n)))
       // Spark sequence(a, b) DESCENDS when a > b — drop empty windows
       // explicitly instead of emitting junk starts
       .where(expr(s"greatest(1, pi - $d) <= least(pi + $d, len - li + 1)"))
@@ -1242,11 +1271,6 @@ object Dedup {
         explode(expr(s"sequence(greatest(1, pi - $d), least(pi + $d, len - li + 1))")).as("st"))
       .select(col("pid"), col("lt"), col("i"),
         expr("substring(s, st, li)").as("seg"))
-
-    probe.join(idx, Seq("lt", "i", "seg"))
-      .where(col("pid") =!= col("tid"))
-      .select(least(col("pid"), col("tid")).as("id_a"),
-        greatest(col("pid"), col("tid")).as("id_b"))
   }
 
   /** Shared (id, s, len) frame for the edit-join family, persisted for
@@ -1289,4 +1313,119 @@ object Dedup {
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
+
+  /** Asymmetric (batch × store) edit-distance join: every pair of a
+    * `batch` key and a `store` key within Levenshtein distance
+    * `maxDist` — the probe primitive behind the fuzzy-key INGEST gate
+    * (streaming.IngestFuzzy), exact recall like the self-join family
+    * so the DuckDB `levenshtein` cross oracle hash-matches it.
+    *
+    * Blocking is PassJoin's pigeonhole, probed ONE-SIDED from the
+    * batch: d edits leave one of the store key's d+1 segments intact,
+    * appearing in the batch key within ±d of its layout position —
+    * so the batch enumerates target lengths over [len − d, len + d]
+    * (the partner can be longer OR shorter; `edProbeSegs` twoSided)
+    * and equi-joins the store's own segments (`edIndexSegs`). Batch
+    * keys below `minSeg·(d+1)` fall back to a length-band equi-join
+    * against the (bounded-length by definition) short slice of the
+    * store; a long-batch↔below-band-store pair is impossible (Δlen
+    * alone exceeds d). Every candidate verifies with the thresholded
+    * `levenshtein`, so false candidates cost time, never correctness.
+    *
+    * The point of the asymmetry: the store side's segment rows are a
+    * pure per-key projection (`edIndexSegs`) a persisted store
+    * materializes once per kept key — per-batch cost is then one
+    * equi-join against the seg index (shuffle_hash-hinted: the probe
+    * side is a ~(2d+1)²·(d+1)-fold explode of the batch whose static
+    * size estimate stays at batch size, the round-3 explode-blinded
+    * broadcast trap; AQE still upgrades to broadcast from exact
+    * runtime sizes when the batch is genuinely small) plus the
+    * levenshtein verify — never a re-segmentation or rescan of kept
+    * keys.
+    *
+    * Input contract: (id: long, s: string) on both sides; null keys
+    * drop. Output (store_id, batch_id, dist), deterministic order. */
+  def edStorePairs(batch: DataFrame, store: DataFrame, maxDist: Int,
+                   minSeg: Int = 3): DataFrame =
+    edStorePairsIndexed(edBase(batch), edBase(store), maxDist, minSeg,
+      alreadySegged = None)
+
+  /** `edStorePairs` with the store's segment rows supplied by the
+    * caller (the persisted `segs/` side of a fuzzy-key store) instead
+    * of recomputed from the keys — the batch-vs-store probe the
+    * streaming gate runs. `storeBase` must still carry the keys
+    * (id, s, len): the band fallback and the verify read them. */
+  private[graft] def edStorePairsIndexed(batchBase: DataFrame,
+                                         storeBase: DataFrame,
+                                         maxDist: Int, minSeg: Int,
+                                         alreadySegged: Option[DataFrame])
+      : DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(minSeg >= 1, "minSeg must be >= 1")
+    val d = maxDist
+    val shortCut = minSeg * (d + 1)
+    val idx = alreadySegged.getOrElse(edIndexSegs(storeBase, d, minSeg))
+    val segCand = edProbeSegs(batchBase, d, minSeg, twoSided = true)
+      .join(idx.hint("shuffle_hash"), Seq("lt", "i", "seg"))
+      .select(col("pid"), col("tid"))
+    // batch shorts (blocking vacuous) probe the store's bounded-length
+    // short slice across the full ±d band — asymmetric, so both
+    // directions of Δlen, unlike the self-join's shorter-probes-longer
+    val bandCand = batchBase.where(col("len") < shortCut)
+      .select(col("id").as("pid"),
+        explode(expr(s"sequence(greatest(0, len - $d), len + $d)")).as("k"))
+      .join(storeBase.where(col("len") < shortCut + d)
+        .select(col("id").as("tid"), col("len").as("k")), Seq("k"))
+      .select(col("pid"), col("tid"))
+    segCand.unionByName(bandCand).distinct()
+      .join(batchBase.select(col("id").as("pid"), col("s").as("s_b")), Seq("pid"))
+      .join(storeBase.select(col("id").as("tid"), col("s").as("s_a"))
+        .hint("shuffle_hash"), Seq("tid"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("tid").as("store_id"), col("pid").as("batch_id"), col("dist"))
+      .orderBy("store_id", "batch_id")
+  }
+
+  /** The fuzzy-key ingest GATE, batch form: which batch keys survive
+    * against an already-kept store — drop any key within `maxDist` of
+    * a store key, or of a SMALLER-id key in the same batch (the
+    * `sketchDrops` first-wins policy, conservative cascade: the
+    * smaller key's own fate doesn't matter). Both rules are
+    * first-order — no closure — so the whole gate is expressible as
+    * two NOT EXISTS in the DuckDB oracle and hash-checks end-to-end
+    * (q170), unlike the MinHash gate (q97) whose sketch has no SQL
+    * analog. Null keys drop from the key frame here (the streaming
+    * gate keeps their DOCS — a null key matches nothing).
+    *
+    * Output: kept (id, s), deterministic order. The streaming runtime
+    * over a persisted segment store is `streaming.IngestFuzzy`. */
+  def fuzzyKeyGate(batch: DataFrame, store: DataFrame, maxDist: Int,
+                   minSeg: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(minSeg >= 1, "minSeg must be >= 1")
+    val bb = edBase(batch)
+    val sb = edBase(store)
+    fuzzyKeyKept(bb, sb, maxDist, minSeg, storeSegs = None).orderBy("id")
+  }
+
+  /** `fuzzyKeyGate` over pre-built bases, with the store's segment
+    * rows optionally supplied from a persisted store. Package-visible
+    * for the streaming gate. */
+  private[graft] def fuzzyKeyKept(batchBase: DataFrame, storeBase: DataFrame,
+                                  maxDist: Int, minSeg: Int,
+                                  storeSegs: Option[DataFrame]): DataFrame = {
+    val storeDrops =
+      edStorePairsIndexed(batchBase, storeBase, maxDist, minSeg, storeSegs)
+        .select(col("batch_id").as("id"))
+    val inBatchDrops =
+      edVerify(batchBase,
+        edSegCandidates(batchBase, maxDist, minSeg)
+          .unionByName(edShortBandPairs(batchBase, minSeg * (maxDist + 1), maxDist)),
+        maxDist)
+        .select(col("id_b").as("id"))
+    batchBase
+      .join(storeDrops.unionByName(inBatchDrops).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("s"))
+  }
 }

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+
+/** Continuous FUZZY-KEY dedup of an unbounded feed — the streaming
+  * runtime over `Dedup.fuzzyKeyGate`'s batch semantics: drop any
+  * incoming record whose key is within Levenshtein distance `maxDist`
+  * of an already-kept key (or of a smaller-id key in the same batch),
+  * keep the rest, and remember the survivors. The typo-distance
+  * sibling of `IngestDedup` (MinHash near-dup gate) for entity/URL/
+  * title keys, where "duplicate" means d edits, not token overlap.
+  *
+  * State is a parquet PassJoin index, NOT Spark streaming state:
+  *   keys/  (id, s)            — every kept key, for band + verify
+  *   segs/  (lt, i, seg, tid)  — each kept key's d+1 own segments
+  *                               (`Dedup.edIndexSegs`), the equi-join
+  *                               side of every later batch's probe
+  *   meta/  (max_dist, min_seg) — the layout the segments were cut
+  *                               with; probes and appends must match
+  *
+  * Each micro-batch:
+  *   1. drops keys matching the store — one `edProbeSegs(batch)` ⋈
+  *      segs/ equi-join (+ the bounded short-band join) + thresholded
+  *      levenshtein verify (`Dedup.edStorePairsIndexed`): kept history
+  *      is never re-SEGMENTED, only re-read, and only the store's
+  *      seg rows move through the one shuffle;
+  *   2. drops keys matching a smaller id within the batch (the
+  *      `sketchDrops` first-wins policy — self-join PassJoin on the
+  *      batch alone, O(batch²) worst case but batch-sized);
+  *   3. appends surviving DOCS (all input columns ride along) to the
+  *      output parquet;
+  *   4. appends survivors' keys to keys/ and their segment rows to
+  *      segs/, so batch N+1 probes them.
+  *
+  * Segment layout is a function of (maxDist, minSeg) — both are fixed
+  * at `fuzzySave` and recorded in meta/; appends and probes validate
+  * against it (a mismatched probe would silently miss pairs, so it
+  * throws instead).
+  *
+  * Delivery matches `IngestDedup`: both sinks are at-least-once. A
+  * replayed batch re-finds its own keys in the store at distance 0 and
+  * drops them — the gate output is idempotent; a crash between the out
+  * write and the store append can duplicate out rows (never lose them),
+  * and `compactKept` reclaims them offline. Input columns: doc_id plus
+  * a string key column (`keyCol`, default "key"); doc_id is globally
+  * unique by contract. */
+object IngestFuzzy {
+
+  /** Create the store at `path` from an existing kept-key corpus
+    * (possibly empty): (id: long, s: string) rows. */
+  def fuzzySave(spark: SparkSession, keys: DataFrame, path: String,
+                maxDist: Int, minSeg: Int = 3): Unit = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(minSeg >= 1, "minSeg must be >= 1")
+    import spark.implicits._
+    val base = keys.where(col("s").isNotNull)
+      .select(col("id").cast("long").as("id"), col("s"))
+    base.write.mode("overwrite").parquet(s"$path/keys")
+    Dedup.edIndexSegs(base.withColumn("len", length(col("s"))), maxDist, minSeg)
+      .write.mode("overwrite").parquet(s"$path/segs")
+    Seq((maxDist, minSeg)).toDF("max_dist", "min_seg")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def meta(spark: SparkSession, path: String): (Int, Int) = {
+    require(exists(spark, s"$path/meta"),
+      s"$path is not a fuzzySave store (missing meta/)")
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Run one micro-batch of the gate against the store at `storePath`,
+    * appending surviving docs to `outPath` and their keys + segment
+    * rows to the store. Returns the number of surviving rows. Factored
+    * out of the foreachBatch closure so batch specs can drive it. */
+  def processBatch(batch: DataFrame, storePath: String, outPath: String,
+                   keyCol: String = "key"): Long = {
+    val (kept, release) = gateBatch(batch, storePath, keyCol)
+    val nKept = kept.count()
+    val (d, minSeg) = meta(batch.sparkSession, storePath)
+    val keptKeys = kept.where(col(keyCol).isNotNull)
+      .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    keptKeys.count()
+    // round-7 refreshByPath rule: every consumer of a frame that READS
+    // the store runs before anything appends to the store — out first,
+    // then keys/, then segs/ (kept and keptKeys are materialized above,
+    // but the discipline keeps the batch safe if an eviction re-executes)
+    kept.write.mode("append").parquet(outPath)
+    keptKeys.write.mode("append").parquet(s"$storePath/keys")
+    Dedup.edIndexSegs(keptKeys.withColumn("len", length(col("s"))), d, minSeg)
+      .write.mode("append").parquet(s"$storePath/segs")
+    keptKeys.unpersist(blocking = false)
+    release()
+    nKept
+  }
+
+  /** The gate half of `processBatch`: the batch's surviving rows (ALL
+    * input columns ride along) without writing anything, plus a
+    * release hook. Null-key rows match nothing and always survive. */
+  def gateBatch(batch: DataFrame, storePath: String,
+                keyCol: String = "key"): (DataFrame, () => Unit) = {
+    val spark = batch.sparkSession
+    val (d, minSeg) = meta(spark, storePath)
+    val batchBase = batch.where(col(keyCol).isNotNull)
+      .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
+      .withColumn("len", length(col("s")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    batchBase.count()
+    val (storeBase, storeSegs) =
+      if (exists(spark, s"$storePath/keys"))
+        (spark.read.parquet(s"$storePath/keys")
+           .withColumn("len", length(col("s"))),
+         Some(spark.read.parquet(s"$storePath/segs")))
+      else // seeded-empty store: no data files yet, appends create them
+        (batchBase.limit(0), Some(Dedup.edIndexSegs(batchBase.limit(0), d, minSeg)))
+    val keptIds = Dedup.fuzzyKeyKept(batchBase, storeBase, d, minSeg, storeSegs)
+      .select(col("id").as("doc_id"))
+    val kept = batch
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .unionByName(batch.where(col(keyCol).isNull))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    (kept, () => {
+      batchBase.unpersist(blocking = false)
+      kept.unpersist(blocking = false)
+    })
+  }
+
+  /** Start the streaming gate: `docs` is an unbounded stream carrying
+    * doc_id + `keyCol` (+ anything else); survivors land in `outPath`,
+    * their keys/segments in the store at `storePath` (pre-seed with
+    * `fuzzySave` — possibly of an empty frame — to fix the layout). */
+  def start(docs: DataFrame, storePath: String, outPath: String,
+            checkpoint: String, keyCol: String = "key",
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, storePath, outPath, keyCol)
+        ()
+      }
+      .start()
+
+  /** Offline compaction of the at-least-once sinks (the `IngestDedup`
+    * contract: replay duplicates are bit-identical, dedup on id). */
+  def compactKept(spark: SparkSession, outPath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
+
+  def compactStore(spark: SparkSession, storePath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, s"$storePath/keys", Seq("id")) +
+      graft.core.Stores.rewriteDeduped(spark, s"$storePath/segs",
+        Seq("tid", "lt", "i", "seg"))
+
+  // strict: committed DATA files, not just _SUCCESS — a fuzzySave of an
+  // EMPTY seed frame commits the directory with no part files (Spark
+  // writes no file for an empty non-zero-partition frame), and reading
+  // it would die on schema inference; treat it as the empty store.
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(
+      _.getPath.getName.endsWith(".parquet"))
+  }
+}

@@ -476,4 +476,34 @@ class PlanAuditSpec extends SparkSpec {
     // and the term predicate still pushes into the parquet row groups
     assert(ss.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
   }
+
+  test("q169 store probe: seg candidates are an equi-join that never statically broadcasts") {
+    // Both sides of the (lt, i, seg) join are explode-blinded (the
+    // probe is a ~(2d+1)²·(d+1)-fold explode of the batch, the index a
+    // (d+1)-fold explode of store keys): static size estimates stay at
+    // the pre-explode size, so an unhinted plan would BROADCAST tens of
+    // millions of seg rows through the driver at corpus scale (the
+    // round-3 band-join trap). shuffle_hash must hold pre-AQE; AQE may
+    // still broadcast from exact runtime sizes when a batch is small.
+    val p = plan("q169_fuzzy_store_pairs")
+    try {
+      val segJoins = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.HashJoin
+          if j.leftKeys.exists(_.references.exists(_.name == "seg")) => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "seg")) => j
+      }
+      assert(segJoins.nonEmpty, "probe lost its (lt, i, seg) equi-join")
+      assert(!segJoins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "store-probe seg join statically broadcasts an explode-blinded side")
+      assert(p.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "store probe plans a cartesian product")
+    } finally {
+      // edBase persists its slices; release so no other suite's plan
+      // audit sees an InMemoryTableScan swap (round-6 CacheManager rule)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
