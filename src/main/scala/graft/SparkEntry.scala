@@ -883,6 +883,32 @@ object SparkEntry {
       Dedup.fuzzyKeyGate(heads.where("id >= 250 AND id < 2000"),
         heads.where("id < 250"), 3).selectExpr("id AS doc_id", "s AS key")
     }),
+    // deterministic seeded epoch shuffle: the dataloader-ordering step
+    // (reproducible permutation as (shard, pos) coordinates, seed =
+    // epoch number). md5 + nibble arithmetic + keyed ROW_NUMBER — all
+    // engine-portable, so the oracle replays it bit-for-bit
+    "q171_epoch_shuffle" -> ((s, d) =>
+      TrainingData.epochShuffle(documents(s, d), 8, 7L)),
+    // Fellegi-Sunter record linkage across two feeds: frame b is a
+    // deterministic "vendor copy" of the registry (head truncated one
+    // char, lengths shifted +3), blocked on lang. q172 measures the
+    // u-probabilities (per-field chance-agreement ppm over blocked
+    // pairs — the FS estimator); q173 scores with integer
+    // log-likelihood-ratio weights and thresholds into the link stratum
+    "q172_linkage_u" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.uRates(a, b, linkageRules)
+    }),
+    "q173_linkage_match" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      // weights ≈ round(100·log2(m/u)) with clerical m (head .98,
+      // source .99, n_chars .95) and u from q172's measured rates;
+      // threshold 800 admits the full-agreement stratum plus the
+      // strong source+length corroboration band
+      Linkage.linkScores(a, b, linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 800)
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1128,6 +1154,20 @@ object SparkEntry {
         "value" -> Seq("FRP", "frp_mw", "Valor")))
     }),
   )
+
+  /** Registry (a) vs deterministic "vendor copy" (b) feeds for the
+    * linkage family (q172/q173): bounded slice, lang-blocked; the copy
+    * truncates the head one char and shifts lengths +3, so every
+    * record has exactly one planted cross-feed match. */
+  private def linkageFeeds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = documents(s, d).where("doc_id < 1000")
+    (docs.selectExpr("doc_id AS id", "lang AS block",
+       "substring(text, 1, 24) AS head", "source", "n_chars"),
+     docs.selectExpr("doc_id + 100000 AS id", "lang AS block",
+       "substring(text, 1, 23) AS head", "source", "n_chars + 3 AS n_chars"))
+  }
+  private val linkageRules = Seq(Linkage.LevRule("head", 2),
+    Linkage.ExactRule("source"), Linkage.BandRule("n_chars", 5))
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val DSUM_PRICE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1493,6 +1533,58 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM b b2
                         WHERE b2.id < b.id AND levenshtein(b2.s, b.s) <= 3)
       ORDER BY doc_id""",
+    // md5 and the nibble arithmetic are engine-portable; DuckDB's
+    // ROW_NUMBER and instr return BIGINT, so both cast down
+    "q171_epoch_shuffle" -> """
+      WITH s AS (SELECT doc_id,
+                        md5('7:' || CAST(doc_id AS VARCHAR)) AS skey
+                 FROM documents),
+      h AS (SELECT doc_id, skey,
+              CAST(((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 4096 +
+                    (instr('0123456789abcdef', substr(skey, 2, 1)) - 1) * 256 +
+                    (instr('0123456789abcdef', substr(skey, 3, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(skey, 4, 1)) - 1)) % 8 AS INT)
+                AS shard
+            FROM s)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                  AS INT) AS pos
+      FROM h ORDER BY shard, pos""",
+    // blocked pairs are ≈ all non-matches, so per-field agreement ppm
+    // over them IS the Fellegi-Sunter u estimate
+    "q172_linkage_u" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT lang AS block, substr(text, 1, 24) AS head, source, n_chars FROM d),
+      b AS (SELECT lang AS block, substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      p AS (SELECT a.head AS ha, b.head AS hb, a.source AS sa, b.source AS sb,
+                   a.n_chars AS na, b.n_chars AS nb
+            FROM a JOIN b USING (block))
+      SELECT COUNT(*) AS pairs,
+             CAST(SUM(CASE WHEN levenshtein(ha, hb) <= 2 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_head_ppm,
+             CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_source_ppm,
+             CAST(SUM(CASE WHEN abs(na - nb) <= 5 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_n_chars_ppm
+      FROM p""",
+    "q173_linkage_match" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      s AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((CASE WHEN levenshtein(a.head, b.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN a.source = b.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM a JOIN b USING (block))
+      SELECT id_a, id_b, score FROM s WHERE score >= 800
+      ORDER BY id_a, id_b""",
     // q88's rule labels train the q164 classifier; q127's kappa
     // arithmetic scores the agreement — one composed oracle
     "q168_classifier_kappa" -> """

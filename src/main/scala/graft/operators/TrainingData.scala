@@ -48,6 +48,43 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Deterministic seeded corpus shuffle — the epoch-ordering step a
+    * training dataloader needs: a reproducible pseudorandom permutation
+    * of the corpus, materialized as (shard, pos) coordinates so N
+    * readers each stream one shard in pos order and the concatenation
+    * is the shuffled epoch. A different `seed` (conventionally the
+    * epoch number) yields an unrelated permutation; the same seed
+    * replays bit-identically on any cluster size — no RNG state, no
+    * sampleBy, just md5 over (seed, doc_id).
+    *
+    * Shapes for scale: shard assignment is a PURE PROJECTION (16 bits
+    * of the key mod nShards — slight bias when nShards ∤ 65536, ≤ 1
+    * part in 65536/nShards, irrelevant for load balance); the only
+    * shuffle is the per-shard rank window, partitioned BY SHARD so it
+    * parallelizes nShards wide and never sees the corpus in one task.
+    * The write face is `repartition(shard).partitionBy(shard)` (the
+    * round-8 one-file-per-key rule). The plan is an EPOCH SNAPSHOT:
+    * append a doc and later positions shift — rerun per epoch, which
+    * is the point (fresh permutation each epoch anyway).
+    *
+    * Everything is engine-portable (md5 + hex-nibble arithmetic +
+    * keyed ROW_NUMBER), so the DuckDB oracle reproduces it bit-for-bit
+    * (q171). Output: (doc_id, shard, pos), deterministic order. */
+  def epochShuffle(docs: DataFrame, nShards: Int, seed: Long): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val skey = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    def nib(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(skey, $i, 1)) - 1")
+    docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        pmod(nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4), lit(nShards))
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** One-row corpus health dashboard — the summary a pipeline prints
     * before anything else runs: corpus size (docs/tokens/sources),
     * exact-duplicate mass (md5 content hashes, the q35 convention),

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Linkage
+import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
+
+/** Fellegi-Sunter record linkage: agreement vectors equal a brute
+  * per-field recompute, u-rates are exact ppm over blocked pairs,
+  * scoring recovers every planted cross-feed match, and the decision
+  * rule is bit-deterministic. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Seq(LevRule("name", 1), ExactRule("city"),
+    BandRule("age", 2))
+
+  private val regA = Seq(
+    (1L, "b1", "john smith", "berlin", 30L),
+    (2L, "b1", "jane doe", "paris", 40L),
+    (3L, "b2", "li wei", "beijing", 25L),
+    (4L, "b2", "li wei", null: String, 99L)
+  ).toDF("id", "block", "name", "city", "age")
+
+  private val regB = Seq(
+    (101L, "b1", "john smyth", "berlin", 31L),  // match of 1 (lev 1, city, band)
+    (102L, "b1", "janet doe", "lyon", 70L),     // lev("jane doe")=1 but city/age off
+    (103L, "b2", "li wei", "beijing", 26L),     // match of 3
+    (104L, "b3", "john smith", "berlin", 30L),  // different block → never paired
+    (105L, null: String, "li wei", "beijing", 25L) // null block → never paired
+  ).toDF("id", "block", "name", "city", "age")
+
+  test("fieldAgreements equals the brute per-field recompute; blocks bound pairs") {
+    val got = Linkage.fieldAgreements(regA, regB, rules)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    val brute = regA.as("a").join(regB.as("b"),
+        $"a.block" === $"b.block")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        (levenshtein($"a.name", $"b.name") <= 1).cast("int"),
+        coalesce(($"a.city" === $"b.city").cast("int"), lit(0)),
+        (abs($"a.age" - $"b.age") <= 2).cast("int"))
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got == brute)
+    // block discipline: b-records 104 (foreign block) and 105 (null
+    // block) pair with nothing
+    assert(!got.exists(p => p._2 == 104L || p._2 == 105L))
+    // 2×2 within b1 + 2×1 within b2
+    assert(got.size == 6)
+  }
+
+  test("uRates: exact ppm over blocked pairs, hand-computed") {
+    val r = Linkage.uRates(regA, regB, rules).head()
+    assert(r.getLong(0) == 6L) // pairs
+    // name lev≤1 agreements: (1,101), (2,102), (3,103), (4,103) → 4/6
+    assert(r.getLong(1) == 4L * 1000000L / 6L)
+    // city: (1,101), (3,103) agree; null city of a.4 never agrees → 2/6
+    assert(r.getLong(2) == 2L * 1000000L / 6L)
+    // age ±2: (1,101), (3,103) → 2/6
+    assert(r.getLong(3) == 2L * 1000000L / 6L)
+  }
+
+  test("linkScores: planted matches clear the threshold, noise pairs do not") {
+    val w = Map("name" -> (250, -200), "city" -> (300, -250),
+      "age" -> (350, -300))
+    val links = Linkage.linkScores(regA, regB, rules, w, 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // full agreement scores 900; the planted pairs and the aliased
+    // (4,103) name-only pair (250-250-300 < 600) separate cleanly
+    assert(links == Seq((1L, 101L, 900), (3L, 103L, 900)))
+    // deterministic replay
+    val again = Linkage.linkScores(regA, regB, rules, w, 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(again == links)
+    // clerical-review band: lowering the threshold surfaces the
+    // partial-evidence stratum ((4,103): name agrees, city null-
+    // disagrees, age far)
+    val review = Linkage.linkScores(regA, regB, rules, w, -400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(review.contains((4L, 103L)))
+  }
+
+  test("document feeds: every planted vendor copy links, score recompute exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.selectExpr("doc_id AS id", "lang AS block",
+      "substring(text, 1, 24) AS head", "source", "n_chars")
+    val b = docs.selectExpr("doc_id + 100000 AS id", "lang AS block",
+      "substring(text, 1, 23) AS head", "source", "n_chars + 3 AS n_chars")
+    val rls = Seq(LevRule("head", 2), ExactRule("source"), BandRule("n_chars", 5))
+    val w = Map("head" -> (200, -300), "source" -> (430, -300),
+      "n_chars" -> (550, -400))
+    val links = Linkage.linkScores(a, b, rls, w, 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val n = docs.count()
+    // every record's vendor copy is a full-agreement pair (head lev ≤ 1
+    // by construction, same source, Δlen = 3)
+    val planted = links.filter(p => p._2 == p._1 + 100000L)
+    assert(planted.size.toLong == n)
+    assert(planted.forall(_._3 == 1180))
+    info(s"${links.size} links for $n planted pairs " +
+      s"(${links.size - planted.size} chance corroborations above threshold)")
+  }
+}

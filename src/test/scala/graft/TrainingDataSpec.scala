@@ -564,4 +564,39 @@ class TrainingDataSpec extends SparkSpec {
       release()
     }
   }
+
+  test("epochShuffle: a deterministic permutation with dense per-shard positions") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val plan = TrainingData.epochShuffle(docs, 8, 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+
+    // permutation: every doc exactly once, (shard, pos) unique
+    assert(plan.map(_._1).toSet.size.toLong == n)
+    assert(plan.map(p => (p._2, p._3)).toSet.size.toLong == n)
+    // positions are dense 1..count(shard) — a reader can stream by pos
+    plan.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // shards all populated and roughly balanced at 500 docs / 8 shards
+    val sizes = plan.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.min > 20 && sizes.values.max < 130, s"skewed: $sizes")
+
+    // bit-identical replay; a different seed is a different permutation
+    val again = TrainingData.epochShuffle(docs, 8, 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(again == plan)
+    val other = TrainingData.epochShuffle(docs, 8, 8L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(other.map(_._1) != plan.map(_._1),
+      "epoch 8 must order docs differently from epoch 7")
+
+    // the epoch stream: concatenating shards in pos order is a shuffled
+    // corpus, not id order (the probability this fails by chance for a
+    // real permutation is ~1/500!)
+    assert(plan.map(_._1) != plan.map(_._1).sorted)
+  }
 }
