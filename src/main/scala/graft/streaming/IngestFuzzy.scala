@@ -82,22 +82,31 @@ object IngestFuzzy {
                    keyCol: String = "key"): Long = {
     val (kept, release) = gateBatch(batch, storePath, keyCol)
     val nKept = kept.count()
-    val (d, minSeg) = meta(batch.sparkSession, storePath)
-    val keptKeys = kept.where(col(keyCol).isNotNull)
-      .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    keptKeys.count()
     // round-7 refreshByPath rule: every consumer of a frame that READS
     // the store runs before anything appends to the store — out first,
-    // then keys/, then segs/ (kept and keptKeys are materialized above,
-    // but the discipline keeps the batch safe if an eviction re-executes)
+    // then keys/ + segs/
     kept.write.mode("append").parquet(outPath)
-    keptKeys.write.mode("append").parquet(s"$storePath/keys")
-    Dedup.edIndexSegs(keptKeys.withColumn("len", length(col("s"))), d, minSeg)
-      .write.mode("append").parquet(s"$storePath/segs")
-    keptKeys.unpersist(blocking = false)
+    appendKeys(batch.sparkSession, storePath,
+      kept.where(col(keyCol).isNotNull)
+        .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s")))
     release()
     nKept
+  }
+
+  /** Append already-gated keys (id, s) to the store: one keys/ row and
+    * d+1 segs/ rows per key, cut with the store's recorded layout.
+    * Public so a composite pipeline (IngestPipeline) can gate with
+    * `gateBatch`, fan the kept frame to its sinks, and grow the store
+    * LAST — the refreshByPath ordering every state store follows. */
+  def appendKeys(spark: SparkSession, storePath: String,
+                 keys: DataFrame): Unit = {
+    val (d, minSeg) = meta(spark, storePath)
+    val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    k.count()
+    k.write.mode("append").parquet(s"$storePath/keys")
+    Dedup.edIndexSegs(k.withColumn("len", length(col("s"))), d, minSeg)
+      .write.mode("append").parquet(s"$storePath/segs")
+    k.unpersist(blocking = false)
   }
 
   /** The gate half of `processBatch`: the batch's surviving rows (ALL

@@ -12,7 +12,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *   1. the near-dup ingest gate — `IngestDedup.gateBatch` against the
   *      shared signature store (drops docs near-duplicating anything
-  *      kept so far, or an earlier doc of the same batch);
+  *      kept so far, or an earlier doc of the same batch); optionally
+  *      (`fuzzyStorePath`, an `IngestFuzzy.fuzzySave` store, feed must
+  *      carry the key column) composed IN SERIES with the typo-distance
+  *      KEY gate — content near-dups and retyped keys are independent
+  *      duplicate channels, so a record must pass both;
   *   2. kept-document landing (`outPath` parquet append);
   *   3. signature-store growth (survivors' sketches only);
   *   4. vector-index append of the KEPT docs' embeddings —
@@ -76,9 +80,40 @@ object IngestPipeline {
                    neighborsPath: Option[String] = None,
                    neighborK: Int = 5, neighborProbe: Int = 2,
                    neighborScanFrac: Option[Double] = None,
-                   lexPath: Option[String] = None): Long = {
-    val (kept, keptSigs, release) =
-      IngestDedup.gateBatch(batch, sigStorePath, threshold)
+                   lexPath: Option[String] = None,
+                   fuzzyStorePath: Option[String] = None,
+                   fuzzyKeyCol: String = "key"): Long = {
+    // optional SECOND gate, composed in series: near-dup on content,
+    // then typo-distance on the key column (a record can be novel prose
+    // with a misspelled key, or a retyped key over duplicate prose —
+    // independent duplicate channels, so both gates must pass). The
+    // fuzzy store (seeded by IngestFuzzy.fuzzySave) is read here and,
+    // like every state store, appended after the sinks.
+    //
+    // TWO state stores sharpen the refreshByPath rule: the doubly-gated
+    // frame reads BOTH stores, so whichever store appends first poisons
+    // a later append derived from it (found empirically: filtering the
+    // signatures by the fuzzy-kept set made the fuzzy append's recache
+    // re-gate the batch against its own keys — EMPTY signature append,
+    // every batch, no error anywhere). The composed path therefore
+    // appends the CONTENT-gate survivors' signatures (lineage: batch
+    // sketch + signature store only — immune to the fuzzy append), and
+    // that is also the correct crash contract: a replay after the fuzzy
+    // append but before the signature append re-derives k1 unchanged
+    // and back-fills exactly the missing signatures, while k2 = ∅ keeps
+    // the sinks duplicate-free. Semantics: the signature store records
+    // every content-novel doc, including ones the key gate dropped — a
+    // later clone of a fuzzy-dropped doc is still SEEN content and
+    // drops.
+    val (kept, keptSigs, release) = fuzzyStorePath match {
+      case None =>
+        IngestDedup.gateBatch(batch, sigStorePath, threshold)
+      case Some(fp) =>
+        val (k1, sigs1, rel1) =
+          IngestDedup.gateBatch(batch, sigStorePath, threshold)
+        val (k2, rel2) = IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol)
+        (k2, sigs1, () => { rel2(); rel1() })
+    }
     val nKept = kept.count()
     if (nKept > 0) {
       // optional online pair mining: each KEPT doc's top-k neighbors
@@ -124,8 +159,22 @@ object IngestPipeline {
           kept.sparkSession, lp, kept.select(col("doc_id"), col("text")),
           batchId + 1L)
       }
-      keptSigs.write.mode("append").parquet(sigStorePath)
+      // state stores LAST, after every consumer of `kept` has run (the
+      // refreshByPath rule applies to the fuzzy store's keys/segs too:
+      // kept's anti-join reads them through the gate's drops)
+      fuzzyStorePath.foreach { fp =>
+        val keptKeys = kept.where(col(fuzzyKeyCol).isNotNull)
+          .select(col("doc_id").cast("long").as("id"), col(fuzzyKeyCol).as("s"))
+        IngestFuzzy.appendKeys(kept.sparkSession, fp, keptKeys)
+      }
     }
+    // the signature append sits OUTSIDE the kept-guard: in the composed
+    // path the content gate can keep docs the key gate then drops
+    // (kept = 0 but keptSigs nonempty), and their novelty must still be
+    // recorded — and keptSigs' lineage never reads the fuzzy store, so
+    // the append order stays refreshByPath-safe
+    if (nKept > 0 || (fuzzyStorePath.isDefined && !keptSigs.isEmpty))
+      keptSigs.write.mode("append").parquet(sigStorePath)
     release()
     nKept
   }
@@ -145,9 +194,12 @@ object IngestPipeline {
             neighborsPath: Option[String] = None,
             neighborK: Int = 5, neighborProbe: Int = 2,
             neighborScanFrac: Option[Double] = None,
-            lexPath: Option[String] = None): StreamingQuery = {
+            lexPath: Option[String] = None,
+            fuzzyStorePath: Option[String] = None,
+            fuzzyKeyCol: String = "key"): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
-      (if (vocabPath.isDefined) Seq("source") else Nil)
+      (if (vocabPath.isDefined) Seq("source") else Nil) ++
+      (if (fuzzyStorePath.isDefined) Seq(fuzzyKeyCol) else Nil)
     docs.select(cols.map(col): _*).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -155,7 +207,8 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(batch, id, sigStorePath, outPath, indexPath,
           telemetryPath, threshold, vocabPath, neighborsPath,
-          neighborK, neighborProbe, neighborScanFrac, lexPath)
+          neighborK, neighborProbe, neighborScanFrac, lexPath,
+          fuzzyStorePath, fuzzyKeyCol)
         ()
       }
       .start()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.streaming.{IngestDedup, IngestPipeline, IngestVectors, MonitorQuality}
 
 /** The unified streaming ingest (gate → land → index → telemetry in one
@@ -443,5 +443,97 @@ class IngestPipelineSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows(Lexical.lexSearch(spark, lexPath, terms, 20)) ==
       rows(TextAnalysis.bm25TopK(keptCorpus, terms, 20)))
+  }
+
+  test("fuzzy-key gate composes in series: equals the standalone two-gate fold") {
+    import graft.streaming.IngestFuzzy
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"doc_id", $"text", $"embedding",
+        substring($"text", 1, 40).as("key"))
+
+    val indexPath = tmp("pipefz_index")
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    Similarity.ivfSave(seedIdx, indexPath)
+    seedIdx.release()
+
+    // two planted drops, one per gate: 9100 carries NOVEL text under a
+    // one-edit TYPO of doc 300's key (passes the near-dup gate, must
+    // drop at the fuzzy gate); 9200 carries a CLONE of doc 301's text
+    // under a fresh far-away key (drops at the near-dup gate — its key
+    // must never reach the fuzzy store)
+    val key300 = base.where($"doc_id" === 300L)
+      .select("key").head().getString(0)
+    val typoKey = key300.dropRight(1) + (if (key300.last == 'z') 'y' else 'z')
+    val plant9100 = base.where($"doc_id" === 480L)
+      .select(lit(9100L).as("doc_id"), $"text", $"embedding",
+        lit(typoKey).as("key"))
+    val plant9200 = base.where($"doc_id" === 301L)
+      .select(lit(9200L).as("doc_id"), $"text", $"embedding",
+        lit("a key with no neighbors anywhere").as("key"))
+    val b1 = base.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val b2 = base.where($"doc_id" >= 350 && $"doc_id" < 400)
+      .unionByName(plant9100).unionByName(plant9200)
+    val batches = Seq(b1, b2)
+
+    // composite pipeline with both gates
+    val (sigs, out, tele, fz) =
+      (tmp("pipefz_sigs"), tmp("pipefz_out"), tmp("pipefz_tele"), tmp("pipefz_store"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), fz, maxDist = 1)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele, 0.5,
+        fuzzyStorePath = Some(fz))
+    }
+    val keptIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the planted records dropped at their respective gates; doc 300
+    // (smallest id of the bootstrap batch) is always kept
+    assert(!keptIds.contains(9100L) && !keptIds.contains(9200L))
+    assert(keptIds.contains(300L))
+
+    // standalone two-gate fold over separate stores — same policy
+    val (sigs2, fz2) = (tmp("pipefz_sigs2"), tmp("pipefz_store2"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), fz2, maxDist = 1)
+    var foldKept = Set.empty[Long]
+    var foldSigIds = Set.empty[Long]
+    batches.foreach { b =>
+      val (k1, sigs1, rel1) = IngestDedup.gateBatch(b, sigs2, 0.5)
+      val (k2, rel2) = IngestFuzzy.gateBatch(k1, fz2, "key")
+      foldKept ++= k2.select("doc_id").collect().map(_.getLong(0))
+      // the composed contract: fuzzy keys grow by the doubly-gated set,
+      // signatures by the CONTENT-gate survivors (fuzzy-dropped docs'
+      // content is still seen — and the frame's lineage never reads the
+      // fuzzy store, the two-store refreshByPath discipline)
+      foldSigIds ++= sigs1.select("doc_id").collect().map(_.getLong(0))
+      IngestFuzzy.appendKeys(spark, fz2,
+        k2.where($"key".isNotNull)
+          .select($"doc_id".cast("long").as("id"), $"key".as("s")))
+      sigs1.write.mode("append").parquet(sigs2)
+      rel2(); rel1()
+    }
+    assert(keptIds == foldKept)
+
+    // store consistency: fuzzy keys == kept keys exactly (9200's fresh
+    // key never entered — it fell at the content gate), the index grew
+    // by exactly the kept set, and the signature store holds the
+    // content-gate survivors (9100 INCLUDED: novel prose, dropped only
+    // for its typo key — a later clone of it must still drop)
+    val storeKeyIds = spark.read.parquet(s"$fz/keys")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(storeKeyIds == keptIds)
+    val idx = Similarity.ivfLoad(spark, indexPath)
+    val vids = idx.assigned.select("vid").collect().map(_.getLong(0)).toSet
+    idx.release()
+    assert(vids == (0L until 300L).toSet ++ keptIds)
+    val sigIds = Dedup.signatureLoad(spark, sigs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == foldSigIds)
+    assert(sigIds.contains(9100L) && !sigIds.contains(9200L))
   }
 }
