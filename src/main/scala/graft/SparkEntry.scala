@@ -909,6 +909,16 @@ object SparkEntry {
         Map("head" -> (200, -300), "source" -> (430, -300),
             "n_chars" -> (550, -400)), 800)
     }),
+    // one-to-one resolution over q173's link stratum: mutual-best
+    // assignment (each side's argmax, ties to the smaller partner id)
+    // — the post-linkage step that stops a noisy record from absorbing
+    // several entities. Two keyed windows, hash-green
+    "q174_linkage_best" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.bestMatch(Linkage.linkScores(a, b, linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 800))
+    }),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1584,6 +1594,29 @@ object SparkEntry {
                               THEN 550 ELSE -400 END) AS INT) AS score
             FROM a JOIN b USING (block))
       SELECT id_a, id_b, score FROM s WHERE score >= 800
+      ORDER BY id_a, id_b""",
+    "q174_linkage_best" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      s AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((CASE WHEN levenshtein(a.head, b.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN a.source = b.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM a JOIN b USING (block)),
+      l AS (SELECT id_a, id_b, score,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY score DESC, id_b ASC) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY id_b
+                                      ORDER BY score DESC, id_a ASC) AS rb
+            FROM s WHERE score >= 800)
+      SELECT id_a, id_b, score FROM l WHERE ra = 1 AND rb = 1
       ORDER BY id_a, id_b""",
     // q88's rule labels train the q164 classifier; q127's kappa
     // arithmetic scores the agreement — one composed oracle

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage — Fellegi & Sunter 1969 (JASA 64),
@@ -106,6 +107,27 @@ object Linkage {
     fieldAgreements(a, b, rules)
       .withColumn("score", score.cast("int"))
       .where(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** One-to-one resolution over a scored link set: keep a pair iff it
+    * is BOTH its a-record's best b and its b-record's best a (mutual
+    * best — the standard post-linkage assignment that stops one noisy
+    * record from absorbing several entities; ties break to the
+    * smallest partner id, so the result is deterministic and the
+    * DuckDB window oracle reproduces it). Input is `linkScores`
+    * output (id_a, id_b, score); both windows are keyed, so each
+    * parallelizes record-count wide — never a global sort. */
+  def bestMatch(links: DataFrame): DataFrame = {
+    val byA = Window.partitionBy("id_a")
+      .orderBy(col("score").desc, col("id_b").asc)
+    val byB = Window.partitionBy("id_b")
+      .orderBy(col("score").desc, col("id_a").asc)
+    links
+      .withColumn("ra", row_number().over(byA))
+      .withColumn("rb", row_number().over(byB))
+      .where(col("ra") === 1 && col("rb") === 1)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy("id_a", "id_b")
   }

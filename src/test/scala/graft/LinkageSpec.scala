@@ -82,6 +82,25 @@ class LinkageSpec extends SparkSpec {
     assert(review.contains((4L, 103L)))
   }
 
+  test("bestMatch: mutual-best only, deterministic ties, no double assignment") {
+    val links = Seq(
+      // entity 1: clean mutual best
+      (1L, 101L, 900),
+      // noisy b-record 102 attracts BOTH 2 and 3; 2 wins on score, so
+      // (3, 102) must drop even though it's 3's best
+      (2L, 102L, 900), (3L, 102L, 650),
+      // 4 ties between 103 and 104 → smaller partner id 103 wins;
+      // 104 keeps nobody (its best is 4, but 4's rank-1 is 103)
+      (4L, 103L, 700), (4L, 104L, 700)
+    ).toDF("id_a", "id_b", "score")
+    val got = Linkage.bestMatch(links)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 101L, 900), (2L, 102L, 900), (4L, 103L, 700)))
+    // one-to-one by construction
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._2).distinct.size == got.size)
+  }
+
   test("document feeds: every planted vendor copy links, score recompute exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.selectExpr("doc_id AS id", "lang AS block",
