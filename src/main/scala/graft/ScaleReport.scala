@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,snm) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -974,6 +974,28 @@ object ScaleReport {
       timed("fuzzy_rescan_once")(
         Dedup.editDistancePairsSeg(
           keys.selectExpr("doc_id AS id", "key AS s"), d).count())
+    }
+
+    // Sorted-neighborhood blocking (q175): candidates are ≤ N·w BY
+    // CONSTRUCTION — the linear answer on exactly the low-entropy keys
+    // where the exact blockings go quadratic — at the price of bounded
+    // recall. Both halves measured: cost vs the seg join, and the
+    // fraction of the exact join's pairs the window actually sees.
+    if (section("snm") && docsOpt.nonEmpty) {
+      import graft.operators.Linkage
+      val heads = docs.selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey")
+      val w = 10
+      timed("snm_pairs")(Linkage.snmPairs(heads, w, 4).count())
+      val snm = Linkage.snmPairs(heads, w, 4).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSnm = snm.count()
+      val exact = Dedup.editDistancePairsSeg(
+          heads.selectExpr("id", "skey AS s"), 4).select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact.count()
+      val hit = snm.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      release()
+      println(s"""{"op":"snm_recall","cand_bound":${nDocs * w},"snm_verified":$nSnm,"exact_verified":$nExact,"recall_ppm":${if (nExact > 0) hit * 1000000L / nExact else 1000000L}}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

@@ -919,6 +919,16 @@ object SparkEntry {
         Map("head" -> (200, -300), "source" -> (430, -300),
             "n_chars" -> (550, -400)), 800))
     }),
+    // sorted-neighborhood blocking (Hernández & Stolfo 1995) composed
+    // with the levenshtein verify: the LINEAR-candidate (≤ N·w)
+    // complement to the exact-recall blockings of q161/q162 for
+    // low-entropy keys, where those degrade toward quadratic (the
+    // round-9 entropy law). Positional by definition → the ROW_NUMBER
+    // oracle reproduces it exactly, hash-green
+    "q175_snm_pairs" -> ((s, d) =>
+      Linkage.snmPairs(documents(s, d).where("doc_id < 2000")
+        .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey"),
+        w = 10, maxDist = 4)),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1617,6 +1627,17 @@ object SparkEntry {
                                       ORDER BY score DESC, id_a ASC) AS rb
             FROM s WHERE score >= 800)
       SELECT id_a, id_b, score FROM l WHERE ra = 1 AND rb = 1
+      ORDER BY id_a, id_b""",
+    // SNM is positional by definition: the oracle is the global rank +
+    // a rank-band join + the same levenshtein threshold
+    "q175_snm_pairs" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s
+                 FROM documents WHERE doc_id < 2000),
+      r AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY s, id) AS rnk FROM h)
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10
+      WHERE levenshtein(a.s, b.s) <= 4
       ORDER BY id_a, id_b""",
     // q88's rule labels train the q164 classifier; q127's kappa
     // arithmetic scores the agreement — one composed oracle

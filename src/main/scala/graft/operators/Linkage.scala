@@ -111,6 +111,83 @@ object Linkage {
       .orderBy("id_a", "id_b")
   }
 
+  /** Distributed dense rank 1..N in (skey, id) order — the two-level
+    * global-sequence pattern (range-partition, rank WITHIN each
+    * partition in parallel, then add per-partition offsets computed
+    * from a partition-count frame that is only nParts rows tall — the
+    * same bounded-frame exception tokenPack's prefix sum uses; the
+    * corpus never sits in one window task). Partition boundaries come
+    * from range sampling and vary run to run, but offset + local rank
+    * is the total-order rank regardless of where the cuts fell, so the
+    * output is deterministic. Input (id, skey); output (id, skey,
+    * rank). */
+  private[graft] def globalRank(records: DataFrame, nParts: Int): DataFrame = {
+    val local = records
+      .repartitionByRange(nParts, col("skey"), col("id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr",
+        row_number().over(Window.partitionBy("pid").orderBy("skey", "id")))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("id"), col("skey"), (col("off") + col("lr")).as("rank"))
+  }
+
+  /** Sorted-neighborhood (SNM) candidate pairs — Hernández & Stolfo
+    * 1995: sort all records by a blocking key and pair every record
+    * with its `w` nearest neighbors in the sort order. The LINEAR
+    * complement to equality blocking for exactly the regime the
+    * round-9 entropy measurements exposed: on low-entropy keys every
+    * exact blocking family degrades toward quadratic candidates, while
+    * SNM emits ≤ N·w pairs BY CONSTRUCTION at the price of bounded
+    * (not exact) recall — a true match outside the window is missed,
+    * the standard multi-pass answer being a second key.
+    *
+    * Shape: the global rank above (two shuffles, both corpus-parallel),
+    * then neighbors via a BUCKET equi-join — bucket = rank div w, each
+    * row probes its own and the previous bucket, so a pair within w
+    * positions shares a bucket key exactly once; never a cross join,
+    * never a corpus-wide window. Output (id_a < id_b), distinct. */
+  def snmCandidates(records: DataFrame, w: Int,
+                    nParts: Int = 32): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    require(nParts >= 1, "nParts must be >= 1")
+    val r = globalRank(
+      records.where(col("skey").isNotNull)
+        .select(col("id").cast("long").as("id"), col("skey")), nParts)
+      .withColumn("b", expr(s"rank div $w"))
+    val left = r.select(col("id").as("ida"), col("rank").as("ra"), col("b"))
+    val right = r.select(col("id").as("idb"), col("rank").as("rb"),
+      explode(array(col("b"), col("b") - 1)).as("b"))
+    left.join(right, Seq("b"))
+      .where(col("rb") > col("ra") && col("rb") - col("ra") <= w)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
+  }
+
+  /** SNM blocking composed with the thresholded-levenshtein verify:
+    * all pairs within `w` sort-order positions AND edit distance
+    * ≤ maxDist. Positional by DEFINITION, so the DuckDB ROW_NUMBER
+    * oracle reproduces it bit-for-bit (q175) — the approximation is in
+    * what the window can see, not in the arithmetic. Input (id, skey);
+    * output (id_a, id_b, dist), deterministic order. */
+  def snmPairs(records: DataFrame, w: Int, maxDist: Int,
+               nParts: Int = 32): DataFrame = {
+    val keys = records.where(col("skey").isNotNull)
+      .select(col("id").cast("long").as("id"), col("skey"))
+    snmCandidates(keys, w, nParts)
+      .join(keys.select(col("id").as("id_a"), col("skey").as("s_a")), Seq("id_a"))
+      .join(keys.select(col("id").as("id_b"), col("skey").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** One-to-one resolution over a scored link set: keep a pair iff it
     * is BOTH its a-record's best b and its b-record's best a (mutual
     * best — the standard post-linkage assignment that stops one noisy

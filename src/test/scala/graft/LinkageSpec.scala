@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Linkage
+import graft.operators.{Dedup, Linkage}
 import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
 
 /** Fellegi-Sunter record linkage: agreement vectors equal a brute
@@ -99,6 +99,62 @@ class LinkageSpec extends SparkSpec {
     // one-to-one by construction
     assert(got.map(_._1).distinct.size == got.size)
     assert(got.map(_._2).distinct.size == got.size)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  test("snmCandidates: exactly the N·w band, boundary-safe at any nParts") {
+    // 20 distinct keys, w = 4: every rank pairs with its next ≤4 ranks
+    // → 20·4 − 4·5/2 = 70 pairs, identical at 1 partition and at 8
+    // (global rank must be seamless across range-partition boundaries)
+    val recs = (0 until 20).map(i => (i.toLong, f"key$i%03d")).toDF("id", "skey")
+    for (nParts <- Seq(1, 3, 8)) {
+      val got = Linkage.snmCandidates(recs, 4, nParts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.size == 70, s"nParts=$nParts")
+      // keys sort like ids here, so the band is literal id distance
+      assert(got == (for (i <- 0L until 20L; j <- i + 1 to math.min(i + 4, 19L))
+        yield (i, j)).toSet, s"nParts=$nParts")
+    }
+  }
+
+  test("snmPairs equals the positional brute definition on document heads") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey")
+    val (w, d) = (10, 4)
+    val got = Linkage.snmPairs(docs, w, d, nParts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // brute: global (skey, id) rank, neighbors within w, lev ≤ d
+    val ranked = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(p => (p._2, p._1))
+    val want = (for {
+      i <- ranked.indices
+      j <- (i + 1) to math.min(i + w, ranked.length - 1)
+      dd = lev(ranked(i)._2, ranked(j)._2) if dd <= d
+    } yield (math.min(ranked(i)._1, ranked(j)._1),
+             math.max(ranked(i)._1, ranked(j)._1), dd))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want)
+    // deterministic replay despite run-varying range boundaries
+    val again = Linkage.snmPairs(docs, w, d, nParts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(again == got)
+    // the recall trade, stated: SNM sees a strict subset of the exact
+    // edit join's pairs at the same d
+    val exact = Dedup.editDistancePairsSeg(
+        docs.selectExpr("id", "skey AS s"), d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snmSet = got.map(p => (p._1, p._2)).toSet
+    assert(snmSet.subsetOf(exact))
+    info(f"SNM recall vs exact edit join: ${snmSet.size}/${exact.size} " +
+      f"(${if (exact.nonEmpty) 100.0 * snmSet.size / exact.size else 100.0}%.0f%%) at w=$w")
   }
 
   test("document feeds: every planted vendor copy links, score recompute exact") {
