@@ -929,6 +929,13 @@ object SparkEntry {
       Linkage.snmPairs(documents(s, d).where("doc_id < 2000")
         .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey"),
         w = 10, maxDist = 4)),
+    // multi-pass SNM: forward + reversed key orderings, one verify —
+    // the recall repair for pairs a first-character typo throws across
+    // the forward sort. Still linear (≤ N·w·2 candidates), hash-green
+    "q176_snm_multikey" -> ((s, d) =>
+      Linkage.snmPairsMulti(documents(s, d).where("doc_id < 2000")
+        .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey"),
+        Seq("skey", "reverse(skey)"), w = 10, maxDist = 4)),
     // the q56 IVF family's exhaustive dial: nProbe = nList probes every
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
@@ -1638,6 +1645,24 @@ object SparkEntry {
              CAST(levenshtein(a.s, b.s) AS INT) AS dist
       FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10
       WHERE levenshtein(a.s, b.s) <= 4
+      ORDER BY id_a, id_b""",
+    // union of the two orderings' rank bands, one verify on the
+    // original key
+    "q176_snm_multikey" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 32) AS s
+                 FROM documents WHERE doc_id < 2000),
+      r1 AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY s, id) AS rnk FROM h),
+      r2 AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY reverse(s), id) AS rnk
+             FROM h),
+      c AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+            FROM r1 a JOIN r1 b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10
+            UNION
+            SELECT least(a.id, b.id), greatest(a.id, b.id)
+            FROM r2 a JOIN r2 b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10)
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(x.s, y.s) AS INT) AS dist
+      FROM c JOIN h x ON x.id = c.id_a JOIN h y ON y.id = c.id_b
+      WHERE levenshtein(x.s, y.s) <= 4
       ORDER BY id_a, id_b""",
     // q88's rule labels train the q164 classifier; q127's kappa
     // arithmetic scores the agreement — one composed oracle

@@ -188,6 +188,32 @@ object Linkage {
       .orderBy("id_a", "id_b")
   }
 
+  /** Multi-pass SNM — the recall repair from the same paper: run the
+    * positional window under SEVERAL key orderings (`keyExprs`, SQL
+    * expressions over `skey` — e.g. `"skey"` and `"reverse(skey)"`),
+    * union the candidate pairs, verify once against the ORIGINAL key.
+    * A pair invisible to one ordering (a typo in the first character
+    * throws a record across the sort) usually sorts adjacent under
+    * another; cost stays linear — ≤ N·w·passes candidates. Output
+    * (id_a, id_b, dist), deterministic order (q176's oracle is the
+    * union of the per-pass rank-band joins). */
+  def snmPairsMulti(records: DataFrame, keyExprs: Seq[String], w: Int,
+                    maxDist: Int, nParts: Int = 32): DataFrame = {
+    require(keyExprs.nonEmpty, "at least one key ordering")
+    val keys = records.where(col("skey").isNotNull)
+      .select(col("id").cast("long").as("id"), col("skey"))
+    val cand = keyExprs.map { ke =>
+      snmCandidates(keys.select(col("id"), expr(ke).as("skey")), w, nParts)
+    }.reduce(_.unionByName(_)).distinct()
+    cand
+      .join(keys.select(col("id").as("id_a"), col("skey").as("s_a")), Seq("id_a"))
+      .join(keys.select(col("id").as("id_b"), col("skey").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** One-to-one resolution over a scored link set: keep a pair iff it
     * is BOTH its a-record's best b and its b-record's best a (mutual
     * best — the standard post-linkage assignment that stops one noisy

@@ -157,6 +157,39 @@ class LinkageSpec extends SparkSpec {
       f"(${if (exact.nonEmpty) 100.0 * snmSet.size / exact.size else 100.0}%.0f%%) at w=$w")
   }
 
+  test("snmPairsMulti: the reversed pass recovers a first-character typo") {
+    // the planted pair differs only in its first two characters: the
+    // FORWARD sort throws them to opposite ends (fillers in between,
+    // so no w=3 window reaches), while the REVERSED ordering sorts
+    // them adjacent — the classic multi-pass repair
+    val planted = Seq(900L -> "aa common tail stringg", 901L -> "zz common tail stringg")
+    val fillers = (0 until 30).map(i => (i.toLong, f"filler $i%02d distinct key"))
+    val recs = (fillers ++ planted).toDF("id", "skey")
+    val (w, d) = (3, 2)
+    val single = Linkage.snmPairs(recs, w, d, nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((900L, 901L)),
+      "forward pass alone should miss the first-char typo pair")
+    val multi = Linkage.snmPairsMulti(recs, Seq("skey", "reverse(skey)"),
+        w, d, nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.contains((900L, 901L)))
+    assert(single.subsetOf(multi))
+
+    // equals the brute dual-ordering definition
+    val rows = recs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def bandPairs(ordered: Seq[(Long, String)]) = (for {
+      i <- ordered.indices
+      j <- (i + 1) to math.min(i + w, ordered.length - 1)
+    } yield (math.min(ordered(i)._1, ordered(j)._1),
+             math.max(ordered(i)._1, ordered(j)._1))).toSet
+    val byKey = rows.map(p => p._1 -> p._2).toMap
+    val want = (bandPairs(rows.sortBy(p => (p._2, p._1)).toSeq) ++
+        bandPairs(rows.sortBy(p => (p._2.reverse, p._1)).toSeq))
+      .filter(p => lev(byKey(p._1), byKey(p._2)) <= d)
+    assert(multi == want)
+  }
+
   test("document feeds: every planted vendor copy links, score recompute exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.selectExpr("doc_id AS id", "lang AS block",

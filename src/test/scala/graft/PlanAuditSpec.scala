@@ -477,6 +477,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(ss.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
   }
 
+  test("q175 SNM: the only single-partition window is the nParts-row offset frame") {
+    // globalRank's contract: ranks come from a per-PARTITION window
+    // (pid-keyed, corpus-parallel) plus an offset prefix sum whose
+    // single-partition window sees only the nParts-row count frame.
+    // A global window whose output carries the record id would be the
+    // corpus-sized single-partition sort the two-level pattern exists
+    // to avoid.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q175_snm_pairs")
+    val ws = p.collectWithSubqueries { case w: WindowExec => w }
+    assert(ws.exists(_.partitionSpec.nonEmpty), "lost the pid-keyed rank window")
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val out = w.output.map(_.name)
+      assert(!out.contains("id") && !out.contains("skey"),
+        s"single-partition window over record rows:\n${w.toString.take(400)}")
+    }
+    assert(p.collectWithSubqueries {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "SNM plans a cartesian product")
+  }
+
   test("q169 store probe: seg candidates are an equi-join that never statically broadcasts") {
     // Both sides of the (lt, i, seg) join are explode-blinded (the
     // probe is a ~(2d+1)²·(d+1)-fold explode of the batch, the index a
