@@ -68,6 +68,9 @@ object Linkage {
   def fieldAgreements(a: DataFrame, b: DataFrame,
                       rules: Seq[FieldRule]): DataFrame = {
     require(rules.nonEmpty, "at least one field rule")
+    require(rules.map(_.field).distinct.size == rules.size,
+      s"one rule per field (two rules on one field would emit duplicate " +
+        s"agree_<field> columns): ${rules.map(_.field)}")
     val fields = rules.map(_.field).distinct
     def side(df: DataFrame, tag: String) =
       df.select((col("id").cast("long").as(s"id_$tag") +: col("block").as("block") +:
