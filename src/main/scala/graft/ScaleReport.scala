@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,snm) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,snm) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -971,9 +971,43 @@ object ScaleReport {
       }
       val storeKeys = spark.read.parquet(s"$dir/keys").count()
       println(s"""{"op":"fuzzy_gate_kept","kept":$keptTotal,"store_keys":$storeKeys,"of":$nDocs}""")
-      timed("fuzzy_rescan_once")(
-        Dedup.editDistancePairsSeg(
-          keys.selectExpr("doc_id AS id", "key AS s"), d).count())
+      // the rescan yardstick is the full quadratic self-join — measured
+      // only up to 100 k docs (the entropy law projects it beyond; the
+      // gate batches above run at every size; not a silent cap)
+      if (nDocs <= 100000L)
+        timed("fuzzy_rescan_once")(
+          Dedup.editDistancePairsSeg(
+            keys.selectExpr("doc_id AS id", "key AS s"), d).count())
+      else
+        println(s"""{"op":"fuzzy_rescan_once","skipped":"quadratic beyond 100k docs (entropy law projects ~81x candidates per 10x)"}""")
+    }
+
+    // The controlled store-size experiment for the fuzzy gate: batch
+    // size HELD CONSTANT at 10 k keys, the store pre-seeded with the
+    // rest of the corpus — so per-batch cost isolates the store term
+    // (the equal-fifths fold above conflates it with the in-batch
+    // self-join, which dominates at 100 k-key batches on these
+    // adversarial keys).
+    if (section("fuzzyseed") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestFuzzy
+      val dir = java.nio.file.Files.createTempDirectory("scale_fzseed").toString
+      val out = java.nio.file.Files.createTempDirectory("scale_fzsout").toString
+      val d = 3
+      val keys = docs.selectExpr("doc_id", "substring(text, 1, 32) AS key")
+      val batchN = 10000L
+      val nB = 3L
+      val seedCut = math.max(0L, nDocs - batchN * nB)
+      timed("fuzzyseed_build") {
+        IngestFuzzy.fuzzySave(spark,
+          keys.where(col("doc_id") < seedCut)
+            .selectExpr("doc_id AS id", "key AS s"), dir, d)
+        spark.read.parquet(s"$dir/keys").count()
+      }
+      for (b <- 0L until nB) {
+        val batch = keys.where(col("doc_id") >= seedCut + b * batchN &&
+          col("doc_id") < seedCut + (b + 1) * batchN)
+        timed(s"fuzzyseed_batch$b")(IngestFuzzy.processBatch(batch, dir, out))
+      }
     }
 
     // Sorted-neighborhood blocking (q175): candidates are ≤ N·w BY
