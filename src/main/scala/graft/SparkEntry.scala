@@ -929,6 +929,19 @@ object SparkEntry {
       Linkage.snmPairs(documents(s, d).where("doc_id < 2000")
         .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey"),
         w = 10, maxDist = 4)),
+    // survivorship merge over the resolved matches: one golden record
+    // per entity, per-field precedence as explicit CASE projections
+    // (longest head, registry source, larger length) — the stage that
+    // closes block → score → resolve → MERGE. Hash-green
+    "q177_linkage_golden" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      val matches = Linkage.bestMatch(Linkage.linkScores(a, b, linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 800))
+      Linkage.goldenRecords(matches, a, b,
+        Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
+            Linkage.Greatest("n_chars")))
+    }),
     // multi-pass SNM: forward + reversed key orderings, one verify —
     // the recall repair for pairs a first-character typo throws across
     // the forward sort. Still linear (≤ N·w·2 candidates), hash-green
@@ -1635,6 +1648,37 @@ object SparkEntry {
             FROM s WHERE score >= 800)
       SELECT id_a, id_b, score FROM l WHERE ra = 1 AND rb = 1
       ORDER BY id_a, id_b""",
+    // q174's mutual-best matches + explicit-CASE survivorship merges
+    "q177_linkage_golden" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      s AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((CASE WHEN levenshtein(a.head, b.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN a.source = b.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM a JOIN b USING (block)),
+      l AS (SELECT id_a, id_b,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY score DESC, id_b ASC) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY id_b
+                                      ORDER BY score DESC, id_a ASC) AS rb
+            FROM s WHERE score >= 800),
+      m AS (SELECT id_a, id_b FROM l WHERE ra = 1 AND rb = 1)
+      SELECT m.id_a AS entity_id, m.id_a, m.id_b,
+             CASE WHEN length(y.head) > length(x.head)
+                  THEN y.head ELSE x.head END AS head,
+             x.source AS source,
+             CASE WHEN y.n_chars > x.n_chars
+                  THEN y.n_chars ELSE x.n_chars END AS n_chars
+      FROM m JOIN a x ON x.id = m.id_a JOIN b y ON y.id = m.id_b
+      ORDER BY entity_id, id_b""",
     // SNM is positional by definition: the oracle is the global rank +
     // a rank-band join + the same levenshtein threshold
     "q175_snm_pairs" -> """

@@ -191,6 +191,53 @@ object Linkage {
       .orderBy("id_a", "id_b")
   }
 
+  sealed trait MergeRule { def field: String }
+  /** Keep the a-side value (the registry wins). */
+  final case class PreferA(field: String) extends MergeRule
+  /** Keep the b-side value (the newer feed wins). */
+  final case class PreferB(field: String) extends MergeRule
+  /** Keep the longer string; ties and null-b keep a (explicit CASE, so
+    * engines with different null-in-greatest rules agree). */
+  final case class Longest(field: String) extends MergeRule
+  /** Keep the larger value; ties and null-b keep a. */
+  final case class Greatest(field: String) extends MergeRule
+
+  /** Survivorship merge — the "golden record" stage that closes the
+    * linkage pipeline (block → score → resolve → MERGE): one canonical
+    * record per matched pair, each field chosen by a declared
+    * precedence rule. All rules are explicit CASE projections (no
+    * engine-specific null-in-greatest semantics), so the merged table
+    * hash-checks (q177). Input: `bestMatch` output (id_a, id_b[, …])
+    * plus both record frames carrying (id, <rule fields>). Output:
+    * (entity_id = id_a, id_a, id_b, <merged fields>), deterministic
+    * order. One broadcast-eligible join per side, merge is a pure
+    * projection. */
+  def goldenRecords(matches: DataFrame, a: DataFrame, b: DataFrame,
+                    rules: Seq[MergeRule]): DataFrame = {
+    require(rules.nonEmpty, "at least one merge rule")
+    require(rules.map(_.field).distinct.size == rules.size,
+      s"one rule per field: ${rules.map(_.field)}")
+    val fields = rules.map(_.field)
+    def side(df: DataFrame, tag: String) =
+      df.select((col("id").cast("long").as(s"id_$tag") +:
+        fields.map(f => col(f).as(s"${f}_$tag"))): _*)
+    val merged = rules.map { r =>
+      val (va, vb) = (col(s"${r.field}_a"), col(s"${r.field}_b"))
+      (r match {
+        case PreferA(_)  => va
+        case PreferB(_)  => vb
+        case Longest(_)  => when(length(vb) > length(va), vb).otherwise(va)
+        case Greatest(_) => when(vb > va, vb).otherwise(va)
+      }).as(r.field)
+    }
+    matches.select(col("id_a"), col("id_b"))
+      .join(side(a, "a"), Seq("id_a"))
+      .join(side(b, "b"), Seq("id_b"))
+      .select((col("id_a").as("entity_id") +: col("id_a") +: col("id_b") +:
+        merged): _*)
+      .orderBy("entity_id", "id_b")
+  }
+
   /** Multi-pass SNM — the recall repair from the same paper: run the
     * positional window under SEVERAL key orderings (`keyExprs`, SQL
     * expressions over `skey` — e.g. `"skey"` and `"reverse(skey)"`),

@@ -101,6 +101,23 @@ class LinkageSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == got.size)
   }
 
+  test("goldenRecords: per-field precedence, ties keep the registry side") {
+    import graft.operators.Linkage.{Greatest, Longest, PreferA}
+    val a = Seq((1L, "short", "s1", 5L), (2L, "exactly-same", "s2", 9L))
+      .toDF("id", "head", "src", "n")
+    val b = Seq((101L, "a much longer head", "sX", 3L),
+        (102L, "exactly-same", "sY", 9L))
+      .toDF("id", "head", "src", "n")
+    val matches = Seq((1L, 101L), (2L, 102L)).toDF("id_a", "id_b")
+    val got = Linkage.goldenRecords(matches, a, b,
+        Seq(Longest("head"), PreferA("src"), Greatest("n")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 101L, "a much longer head", "s1", 5L), // longer b head, a src, a n (3 < 5)
+      (2L, 2L, 102L, "exactly-same", "s2", 9L)))      // ALL ties keep the a side
+  }
+
   private def lev(a: String, b: String): Int = {
     val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
