@@ -929,6 +929,16 @@ object SparkEntry {
       Linkage.snmPairs(documents(s, d).where("doc_id < 2000")
         .selectExpr("doc_id AS id", "substring(text, 1, 32) AS skey"),
         w = 10, maxDist = 4)),
+    // multiclass token classifier (the fastText lang-ID shape): one
+    // smoothed class-conditional unigram model per lang trained on the
+    // doc_id < 250 labeled slice, every doc argmax-scored in pure
+    // integer arithmetic — the LEARNED sibling of the heuristic q33,
+    // hash-green end-to-end
+    "q178_lang_classifier" -> ((s, d) => {
+      val docs = documents(s, d)
+      TrainingData.multiClassifier(docs,
+        docs.selectExpr("doc_id", "lang AS cls").where("doc_id < 250"))
+    }),
     // survivorship merge over the resolved matches: one golden record
     // per entity, per-field precedence as explicit CASE projections
     // (longest head, registry source, larger length) — the stage that
@@ -1648,6 +1658,38 @@ object SparkEntry {
             FROM s WHERE score >= 800)
       SELECT id_a, id_b, score FROM l WHERE ra = 1 AND rb = 1
       ORDER BY id_a, id_b""",
+    // the sparse centroid model + argmax, all integer: per-class
+    // L1-normalized ppm centroids, OOV terms exactly 0, zero-seen
+    // fallback to the smallest class
+    "q178_lang_classifier" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      lab AS (SELECT doc_id, lang AS cls FROM documents WHERE doc_id < 250),
+      counts AS (SELECT t.w, l.cls, CAST(SUM(t.c) AS BIGINT) AS cwc
+                 FROM tc t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+      clst AS (SELECT cls, CAST(SUM(cwc) AS BIGINT) AS n_c
+               FROM counts GROUP BY 1),
+      model AS (SELECT c.w, c.cls, (c.cwc * 1000000) // ct.n_c AS w_ppm
+                FROM counts c JOIN clst ct USING (cls)),
+      sc AS (SELECT t.doc_id, m.cls,
+                    CAST(SUM(t.c) AS BIGINT) AS n_seen,
+                    CAST(SUM(t.c * m.w_ppm) AS BIGINT) AS score
+             FROM tc t JOIN model m ON m.w = t.w GROUP BY 1, 2),
+      r AS (SELECT doc_id, cls, n_seen, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cls ASC) AS rn
+            FROM sc),
+      mc AS (SELECT MIN(cls) AS m FROM clst)
+      SELECT d.doc_id,
+             COALESCE(r.cls, mc.m) AS pred,
+             CAST(COALESCE(r.n_seen, 0) AS BIGINT) AS n_seen,
+             CAST(COALESCE(r.score, 0) AS BIGINT) AS score
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN mc
+      LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+      ORDER BY d.doc_id""",
     // q174's mutual-best matches + explicit-CASE survivorship merges
     "q177_linkage_golden" -> """
       WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
