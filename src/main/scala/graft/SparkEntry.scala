@@ -952,6 +952,23 @@ object SparkEntry {
         Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
             Linkage.Greatest("n_chars")))
     }),
+    // survivorship under the RECENCY rule: same resolve as q177, but
+    // head precedence goes to the feed with the later ingest timestamp
+    // (deterministic per-feed timestamps derived from the ids). The
+    // Newest rule is an explicit CASE like the others, hash-green
+    "q179_linkage_newest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val (a0, b0) = linkageFeeds(s, d)
+      val ts = (m: Int) =>
+        expr(s"timestampadd(DAY, CAST(id % $m AS INT), timestamp'2024-01-01 00:00:00')")
+      val matches = Linkage.bestMatch(Linkage.linkScores(a0, b0, linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 800))
+      Linkage.goldenRecords(matches,
+        a0.withColumn("ts", ts(5)), b0.withColumn("ts", ts(7)),
+        Seq(Linkage.Newest("head", "ts"), Linkage.PreferA("source"),
+            Linkage.Greatest("n_chars")))
+    }),
     // multi-pass SNM: forward + reversed key orderings, one verify —
     // the recall repair for pairs a first-character typo throws across
     // the forward sort. Still linear (≤ N·w·2 candidates), hash-green
@@ -1714,10 +1731,50 @@ object SparkEntry {
             FROM s WHERE score >= 800),
       m AS (SELECT id_a, id_b FROM l WHERE ra = 1 AND rb = 1)
       SELECT m.id_a AS entity_id, m.id_a, m.id_b,
-             CASE WHEN length(y.head) > length(x.head)
+             CASE WHEN x.head IS NULL THEN y.head
+                  WHEN length(y.head) > length(x.head)
                   THEN y.head ELSE x.head END AS head,
              x.source AS source,
-             CASE WHEN y.n_chars > x.n_chars
+             CASE WHEN x.n_chars IS NULL THEN y.n_chars
+                  WHEN y.n_chars > x.n_chars
+                  THEN y.n_chars ELSE x.n_chars END AS n_chars
+      FROM m JOIN a x ON x.id = m.id_a JOIN b y ON y.id = m.id_b
+      ORDER BY entity_id, id_b""",
+    // q177's pipeline with the Newest rule on head: the feed whose
+    // derived ingest timestamp is later supplies the value
+    "q179_linkage_newest" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars,
+                   TIMESTAMP '2024-01-01' + (doc_id % 5) * INTERVAL 1 DAY AS ts
+            FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars,
+                   TIMESTAMP '2024-01-01' + ((doc_id + 100000) % 7) * INTERVAL 1 DAY AS ts
+            FROM d),
+      s AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((CASE WHEN levenshtein(a.head, b.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN a.source = b.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM a JOIN b USING (block)),
+      l AS (SELECT id_a, id_b,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY score DESC, id_b ASC) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY id_b
+                                      ORDER BY score DESC, id_a ASC) AS rb
+            FROM s WHERE score >= 800),
+      m AS (SELECT id_a, id_b FROM l WHERE ra = 1 AND rb = 1)
+      SELECT m.id_a AS entity_id, m.id_a, m.id_b,
+             CASE WHEN x.head IS NULL THEN y.head
+                  WHEN y.head IS NULL THEN x.head
+                  WHEN y.ts > x.ts THEN y.head ELSE x.head END AS head,
+             x.source AS source,
+             CASE WHEN x.n_chars IS NULL THEN y.n_chars
+                  WHEN y.n_chars > x.n_chars
                   THEN y.n_chars ELSE x.n_chars END AS n_chars
       FROM m JOIN a x ON x.id = m.id_a JOIN b y ON y.id = m.id_b
       ORDER BY entity_id, id_b""",

@@ -40,8 +40,10 @@ import org.apache.spark.sql.functions._
   * dl for candidates only, and TakeOrdereds at k. Nothing ever scans
   * text at query time.
   *
-  * Reference analog: the reference greps full text per query
-  * (search/handler.py's LIKE filters); this is the indexed form. */
+  * Reference analog: the reference's closest shape is the topical
+  * substring scan at social/research_trends/pipeline.py:192-220
+  * (P11/q47 — a full-text contains filter per query); this is the
+  * indexed form of that access pattern. */
 object Lexical {
 
   private def toks(c: org.apache.spark.sql.Column) = split(lower(trim(c)), " ")

@@ -196,11 +196,20 @@ object Linkage {
   final case class PreferA(field: String) extends MergeRule
   /** Keep the b-side value (the newer feed wins). */
   final case class PreferB(field: String) extends MergeRule
-  /** Keep the longer string; ties and null-b keep a (explicit CASE, so
-    * engines with different null-in-greatest rules agree). */
+  /** Keep the longer string; ties and null-b keep a, null-a takes b —
+    * survivorship never drops a value only one side has (explicit
+    * CASE, so engines with different null-in-greatest rules agree). */
   final case class Longest(field: String) extends MergeRule
-  /** Keep the larger value; ties and null-b keep a. */
+  /** Keep the larger value; ties and null-b keep a, null-a takes b. */
   final case class Greatest(field: String) extends MergeRule
+  /** Keep the value from the record with the LATER `tsField` — the
+    * recency precedence most real survivorship policies lead with
+    * (vendor feeds supersede the registry when fresher). Ties and a
+    * null b-timestamp keep a; a null value on the winning side falls
+    * back to the other side (same never-drop rule as Longest). The
+    * timestamp column must exist on BOTH inputs; it rides the join but
+    * is not emitted. */
+  final case class Newest(field: String, tsField: String) extends MergeRule
 
   /** Survivorship merge — the "golden record" stage that closes the
     * linkage pipeline (block → score → resolve → MERGE): one canonical
@@ -217,7 +226,8 @@ object Linkage {
     require(rules.nonEmpty, "at least one merge rule")
     require(rules.map(_.field).distinct.size == rules.size,
       s"one rule per field: ${rules.map(_.field)}")
-    val fields = rules.map(_.field)
+    val fields = (rules.map(_.field) ++
+      rules.collect { case Newest(_, ts) => ts }).distinct
     def side(df: DataFrame, tag: String) =
       df.select((col("id").cast("long").as(s"id_$tag") +:
         fields.map(f => col(f).as(s"${f}_$tag"))): _*)
@@ -226,8 +236,14 @@ object Linkage {
       (r match {
         case PreferA(_)  => va
         case PreferB(_)  => vb
-        case Longest(_)  => when(length(vb) > length(va), vb).otherwise(va)
-        case Greatest(_) => when(vb > va, vb).otherwise(va)
+        case Longest(_)  =>
+          when(va.isNull, vb).when(length(vb) > length(va), vb).otherwise(va)
+        case Greatest(_) =>
+          when(va.isNull, vb).when(vb > va, vb).otherwise(va)
+        case Newest(_, ts) =>
+          val (ta, tb) = (col(s"${ts}_a"), col(s"${ts}_b"))
+          when(va.isNull, vb).when(vb.isNull, va)
+            .when(tb > ta, vb).otherwise(va) // null/tied b-ts keeps a
       }).as(r.field)
     }
     matches.select(col("id_a"), col("id_b"))

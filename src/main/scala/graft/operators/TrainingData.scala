@@ -996,7 +996,15 @@ object TrainingData {
     * are web-scale); the argmax window is keyed by doc_id,
     * corpus-parallel. `labels`: (doc_id, cls: string). Output:
     * (doc_id, pred, n_seen, score), deterministic order. */
-  def multiClassifier(docs: DataFrame, labels: DataFrame): DataFrame = {
+  def multiClassifier(docs: DataFrame, labels: DataFrame): DataFrame =
+    multiClassifierScoped(docs, labels)._1
+
+  /** `multiClassifier` with an explicit release hook for the returned
+    * persisted frame — the `tokenClassifierScoped` contract, so specs
+    * and composed callers don't leak a cache entry into other suites'
+    * plan audits (the round-6 CacheManager hazard). */
+  def multiClassifierScoped(docs: DataFrame,
+                            labels: DataFrame): (DataFrame, () => Unit) = {
     val tc = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -1006,7 +1014,11 @@ object TrainingData {
       .groupBy("w", "cls").agg(sum(col("c")).as("cwc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clsTot = counts.groupBy("cls").agg(sum(col("cwc")).as("n_c"))
-    val minCls = clsTot.agg(min(col("cls"))).head().getString(0)
+    val minClsRow = clsTot.agg(min(col("cls"))).head()
+    require(!minClsRow.isNullAt(0),
+      "labels is empty or shares no doc_id with docs — every prediction " +
+        "would be null; fix the label join instead")
+    val minCls = minClsRow.getString(0)
     val model = counts.join(broadcast(clsTot), Seq("cls"))
       .select(col("w"), col("cls"),
         expr("(cwc * 1000000L) div n_c").as("w_ppm"))
@@ -1029,7 +1041,7 @@ object TrainingData {
     res.count()
     tc.unpersist(blocking = false)
     counts.unpersist(blocking = false)
-    res
+    (res, () => res.unpersist(blocking = false))
   }
 
   /** Per-doc quality features for `qualityClassifier`: two-level agg

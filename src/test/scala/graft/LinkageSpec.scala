@@ -118,6 +118,49 @@ class LinkageSpec extends SparkSpec {
       (2L, 2L, 102L, "exactly-same", "s2", 9L)))      // ALL ties keep the a side
   }
 
+  test("goldenRecords: a null side never wins — the other side's value survives") {
+    import graft.operators.Linkage.{Greatest, Longest}
+    val a = Seq((1L, null: String, java.lang.Long.valueOf(5L)),
+        (2L, "kept", null: java.lang.Long))
+      .toDF("id", "head", "n")
+    val b = Seq((101L, "from-b", null: java.lang.Long),
+        (102L, null: String, java.lang.Long.valueOf(7L)))
+      .toDF("id", "head", "n")
+    val matches = Seq((1L, 101L), (2L, 102L)).toDF("id_a", "id_b")
+    val got = Linkage.goldenRecords(matches, a, b,
+        Seq(Longest("head"), Greatest("n")))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.get(4))).toSeq
+    // null-a takes b, null-b keeps a — survivorship never drops the one
+    // value a side has
+    assert(got == Seq((1L, "from-b", 5L), (2L, "kept", 7L)))
+  }
+
+  test("goldenRecords Newest: later timestamp wins, null/tied ts keeps a, null value falls back") {
+    import graft.operators.Linkage.Newest
+    val a = Seq(
+      (1L, "a-old", "2024-01-01 00:00:00"),  // b is newer → b value
+      (2L, "a-new", "2024-06-01 00:00:00"),  // b is older → a value
+      (3L, "a-tie", "2024-03-01 00:00:00"),  // tie → a value
+      (4L, "a-val", "2024-01-01 00:00:00"),  // b ts null → a value
+      (5L, "a-has", "2024-01-01 00:00:00")   // b newer but b value null → a
+    ).toDF("id", "head", "ts0")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val b = Seq(
+      (101L, "b-new", "2024-02-01 00:00:00"),
+      (102L, "b-old", "2024-01-01 00:00:00"),
+      (103L, "b-tie", "2024-03-01 00:00:00"),
+      (104L, "b-val", null: String),
+      (105L, null: String, "2024-12-01 00:00:00")
+    ).toDF("id", "head", "ts0")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    val matches = Seq((1L, 101L), (2L, 102L), (3L, 103L), (4L, 104L),
+      (5L, 105L)).toDF("id_a", "id_b")
+    val got = Linkage.goldenRecords(matches, a, b, Seq(Newest("head", "ts")))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got == Seq((1L, "b-new"), (2L, "a-new"), (3L, "a-tie"),
+      (4L, "a-val"), (5L, "a-has")))
+  }
+
   private def lev(a: String, b: String): Int = {
     val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

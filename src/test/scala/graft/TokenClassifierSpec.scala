@@ -73,8 +73,10 @@ class TokenClassifierSpec extends SparkSpec {
       (12L, "x"),      // a: 666666 vs b: 500000 → a
       (13L, "qq oov only")).toDF("doc_id", "text") // zero seen → fallback 'a'
     val labels = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "cls")
-    val got = TrainingData.multiClassifier(docs, labels)
+    val (res, release) = TrainingData.multiClassifierScoped(docs, labels)
+    val got = res
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    release()
     assert(got == Seq(
       (1L, "a", 3L, 1666665L),
       (2L, "b", 2L, 1000000L),
@@ -100,19 +102,37 @@ class TokenClassifierSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val labels = Seq((1L, "de"), (2L, "de"), (3L, "fr"), (4L, "fr"),
       (5L, "en"), (6L, "en")).toDF("doc_id", "cls")
-    val preds = TrainingData.multiClassifier(docs, labels)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (mres, mrelease) = TrainingData.multiClassifierScoped(docs, labels)
+    val preds = mres.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    mrelease()
     assert(preds(100L) == "de" && preds(101L) == "fr" && preds(102L) == "en")
     assert(preds(103L) == "de")
     // and the training docs recover their own labels
     assert(preds(1L) == "de" && preds(3L) == "fr" && preds(5L) == "en")
   }
 
+  test("multiclass: empty or disjoint labels fail loudly, not null predictions") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "cls")
+    val disjoint = Seq((99L, "a")).toDF("doc_id", "cls")
+    intercept[IllegalArgumentException] {
+      TrainingData.multiClassifier(docs, empty)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.multiClassifier(docs, disjoint)
+    }
+  }
+
   test("multiclass on documents: deterministic, full coverage") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val labels = docs.selectExpr("doc_id", "lang AS cls").where("doc_id < 250")
-    def run() = TrainingData.multiClassifier(docs, labels)
-      .collect().map(_.toSeq).toSeq
+    def run() = {
+      val (res, release) = TrainingData.multiClassifierScoped(docs, labels)
+      val out = res.collect().map(_.toSeq).toSeq
+      release()
+      out
+    }
     val a = run()
     assert(a.size.toLong == docs.count()) // the fallback covers every doc
     assert(a == run())
