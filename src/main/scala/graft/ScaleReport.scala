@@ -39,7 +39,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,snm) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,snm) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -1008,6 +1008,41 @@ object ScaleReport {
           col("doc_id") < seedCut + (b + 1) * batchN)
         timed(s"fuzzyseed_batch$b")(IngestFuzzy.processBatch(batch, dir, out))
       }
+    }
+
+    // The auto-split defense for the in-batch quadratic (round-10):
+    // ONE corpus-fraction batch — half the corpus in a single call —
+    // through the gate, which folds it into ≤10 k-key id-ordered
+    // slices with bit-exact first-wins parity. Per-slice cost must
+    // stay flat-ish (the in-batch term is now slice-bounded; the
+    // store+prior-slices probe term is the sub-linear one), where the
+    // UNSPLIT gate measured ~8 min per 100 k-key batch at sf10.
+    if (section("fuzzysplit") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestFuzzy
+      val dir = java.nio.file.Files.createTempDirectory("scale_fzsplit").toString
+      val out = java.nio.file.Files.createTempDirectory("scale_fzspout").toString
+      val d = 3
+      val keys = docs.selectExpr("doc_id", "substring(text, 1, 32) AS key")
+      val half = nDocs / 2
+      timed("fuzzysplit_build") {
+        IngestFuzzy.fuzzySave(spark,
+          keys.where(col("doc_id") < half)
+            .selectExpr("doc_id AS id", "key AS s"), dir, d)
+        spark.read.parquet(s"$dir/keys").count()
+      }
+      val batch = keys.where(col("doc_id") >= half)
+      val t0 = System.nanoTime()
+      val (kept, rel, stats) =
+        IngestFuzzy.gateBatchStats(batch, dir, "key", 10000)
+      val nKept = kept.count()
+      kept.write.mode("append").parquet(out)
+      rel()
+      val tot = (System.nanoTime() - t0) / 1e9
+      stats.zipWithIndex.foreach { case ((nk, sec), i) =>
+        println(f"""{"op":"fuzzysplit_slice$i","keys":$nk,"sec":$sec%.2f}""")
+      }
+      println(f"""{"op":"fuzzysplit_total","slices":${stats.size},"kept":$nKept,"sec":$tot%.2f}""")
+      release()
     }
 
     // Sorted-neighborhood blocking (q175): candidates are ≤ N·w BY

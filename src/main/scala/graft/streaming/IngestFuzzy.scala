@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.functions.{col, expr, length, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
 
@@ -31,7 +31,11 @@ import graft.operators.Dedup
   *      seg rows move through the one shuffle;
   *   2. drops keys matching a smaller id within the batch (the
   *      `sketchDrops` first-wins policy — self-join PassJoin on the
-  *      batch alone, O(batch²) worst case but batch-sized);
+  *      batch alone, quadratic in SLICE size: batches above `maxKeys`
+  *      are auto-split into id-ordered ≤ `maxKeys` slices and folded
+  *      serially with bit-exact first-wins parity, so a
+  *      corpus-fraction batch can never re-arm the round-9 in-batch
+  *      quadratic);
   *   3. appends surviving DOCS (all input columns ride along) to the
   *      output parquet;
   *   4. appends survivors' keys to keys/ and their segment rows to
@@ -77,10 +81,11 @@ object IngestFuzzy {
   /** Run one micro-batch of the gate against the store at `storePath`,
     * appending surviving docs to `outPath` and their keys + segment
     * rows to the store. Returns the number of surviving rows. Factored
-    * out of the foreachBatch closure so batch specs can drive it. */
+    * out of the foreachBatch closure so batch specs can drive it.
+    * Batches above `maxKeys` rows are auto-split (see `gateBatch`). */
   def processBatch(batch: DataFrame, storePath: String, outPath: String,
-                   keyCol: String = "key"): Long = {
-    val (kept, release) = gateBatch(batch, storePath, keyCol)
+                   keyCol: String = "key", maxKeys: Int = 10000): Long = {
+    val (kept, release) = gateBatch(batch, storePath, keyCol, maxKeys)
     val nKept = kept.count()
     // round-7 refreshByPath rule: every consumer of a frame that READS
     // the store runs before anything appends to the store — out first,
@@ -111,34 +116,112 @@ object IngestFuzzy {
 
   /** The gate half of `processBatch`: the batch's surviving rows (ALL
     * input columns ride along) without writing anything, plus a
-    * release hook. Null-key rows match nothing and always survive. */
+    * release hook. Null-key rows match nothing and always survive.
+    *
+    * Safe-by-default against the in-batch quadratic: the within-batch
+    * self-join is quadratic in BATCH size on adversarial keys (round-9
+    * measured ~8 min per 100 k-key batch at sf10, store-independent),
+    * so batches above `maxKeys` rows are split into id-ordered slices
+    * of ≤ `maxKeys` and folded serially — each slice probes the store
+    * PLUS every earlier slice's keys (ALL of them, not just survivors:
+    * the first-wins rule is a conservative cascade, a dropped
+    * smaller-id key still drops its neighbors), which is exactly the
+    * unsplit gate's decision for every key, so the output is
+    * bit-identical at any `maxKeys` (pinned in IngestFuzzySpec). Slice
+    * assignment uses the two-level global rank (never a bare
+    * batch-wide window). Nothing is appended during the fold, so the
+    * store read stays stable (the refreshByPath rule). */
   def gateBatch(batch: DataFrame, storePath: String,
-                keyCol: String = "key"): (DataFrame, () => Unit) = {
+                keyCol: String = "key",
+                maxKeys: Int = 10000): (DataFrame, () => Unit) = {
+    val (kept, release, _) = gateBatchStats(batch, storePath, keyCol, maxKeys)
+    (kept, release)
+  }
+
+  /** `gateBatch` plus per-slice (keys, seconds) timings — the
+    * instrumented form ScaleReport's fuzzygate campaign drives. */
+  private[graft] def gateBatchStats(batch: DataFrame, storePath: String,
+                                    keyCol: String, maxKeys: Int)
+      : (DataFrame, () => Unit, Seq[(Long, Double)]) = {
+    require(maxKeys >= 1, "maxKeys must be >= 1")
     val spark = batch.sparkSession
     val (d, minSeg) = meta(spark, storePath)
-    val batchBase = batch.where(col(keyCol).isNotNull)
+    val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = b.count()
+    val emptyBase = b.where(col(keyCol).isNotNull)
       .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
-      .withColumn("len", length(col("s")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    batchBase.count()
+      .withColumn("len", length(col("s"))).limit(0)
     val (storeBase, storeSegs) =
-      if (exists(spark, s"$storePath/keys"))
-        (spark.read.parquet(s"$storePath/keys")
-           .withColumn("len", length(col("s"))),
-         Some(spark.read.parquet(s"$storePath/segs")))
-      else // seeded-empty store: no data files yet, appends create them
-        (batchBase.limit(0), Some(Dedup.edIndexSegs(batchBase.limit(0), d, minSeg)))
-    val keptIds = Dedup.fuzzyKeyKept(batchBase, storeBase, d, minSeg, storeSegs)
-      .select(col("id").as("doc_id"))
-    val kept = batch
-      .join(keptIds, Seq("doc_id"), "left_semi")
-      .unionByName(batch.where(col(keyCol).isNull))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count()
+      if (exists(spark, s"$storePath/keys")) {
+        val sb = spark.read.parquet(s"$storePath/keys")
+          .withColumn("len", length(col("s")))
+        // segs/ can hold zero data files even when keys/ has them:
+        // every kept key shorter than minSeg*(d+1)-d cuts NO segments
+        // and Spark commits no part file for the empty append — reading
+        // the bare directory dies on schema inference. Recut from the
+        // keys (empty by construction in exactly that case).
+        val segs =
+          if (exists(spark, s"$storePath/segs"))
+            spark.read.parquet(s"$storePath/segs")
+          else Dedup.edIndexSegs(sb, d, minSeg)
+        (sb, segs)
+      } else // seeded-empty store: no data files yet, appends create them
+        (emptyBase, Dedup.edIndexSegs(emptyBase, d, minSeg))
+    // id-ordered slice assignment; a well-sized batch is one slice and
+    // skips the rank join entirely
+    val nSlices = (((n max 1L) + maxKeys - 1) / maxKeys).toInt
+    val sliced =
+      if (nSlices <= 1) b.withColumn("__slice", lit(0))
+      else {
+        val assign = graft.operators.Linkage.globalRank(
+            b.select(col("doc_id").cast("long").as("id"),
+              col("doc_id").cast("long").as("skey")), 32)
+          .select(col("id").as("doc_id"),
+            expr(s"CAST((rank - 1) div $maxKeys AS INT)").as("__slice"))
+        b.join(assign, Seq("doc_id"))
+      }
+    val keep = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val hold = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var extraBase: DataFrame = null
+    var extraSegs: DataFrame = null
+    for (i <- 0 until nSlices) {
+      val t0 = System.nanoTime
+      val slice = sliced.where(col("__slice") === i).drop("__slice")
+      val sliceBase = slice.where(col(keyCol).isNotNull)
+        .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
+        .withColumn("len", length(col("s")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nk = sliceBase.count()
+      val (sb, ss) =
+        if (extraBase == null) (storeBase, storeSegs)
+        else (storeBase.unionByName(extraBase),
+              storeSegs.unionByName(extraSegs))
+      val keptIds = Dedup.fuzzyKeyKept(sliceBase, sb, d, minSeg, Some(ss))
+        .select(col("id").as("doc_id"))
+      val kept = slice.join(keptIds, Seq("doc_id"), "left_semi")
+        .unionByName(slice.where(col(keyCol).isNull))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept.count()
+      keep += kept
+      hold += sliceBase
+      if (i < nSlices - 1) { // the last slice's keys probe nothing
+        val segsI = Dedup.edIndexSegs(sliceBase, d, minSeg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        segsI.count()
+        hold += segsI
+        extraBase =
+          if (extraBase == null) sliceBase else extraBase.unionByName(sliceBase)
+        extraSegs =
+          if (extraSegs == null) segsI else extraSegs.unionByName(segsI)
+      }
+      stats += ((nk, (System.nanoTime - t0) / 1e9))
+    }
+    val kept = keep.reduce(_.unionByName(_))
     (kept, () => {
-      batchBase.unpersist(blocking = false)
-      kept.unpersist(blocking = false)
-    })
+      b.unpersist(blocking = false)
+      (keep ++ hold).foreach(_.unpersist(blocking = false))
+    }, stats.toSeq)
   }
 
   /** Start the streaming gate: `docs` is an unbounded stream carrying

@@ -161,6 +161,62 @@ class IngestFuzzySpec extends SparkSpec {
     info(s"kept ${streamed.size} of ${all.count()} across ${batches.size} batches")
   }
 
+  test("auto-split fold is bit-identical to the unsplit gate") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"doc_id" < 400)
+      .selectExpr("doc_id", "substring(text, 1, 24) AS key")
+    def run(maxKeys: Int): (Set[Long], Seq[(Long, String)], Long) = {
+      val (store, out) = (tmp(s"fz_split_s$maxKeys"), tmp(s"fz_split_o$maxKeys"))
+      IngestFuzzy.fuzzySave(spark,
+        Seq(1000000L -> "a pre seeded store key").toDF("id", "s"),
+        store, maxDist = 3)
+      IngestFuzzy.processBatch(batch, store, out, maxKeys = maxKeys)
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSet,
+       spark.read.parquet(s"$store/keys").orderBy("id")
+         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq,
+       spark.read.parquet(s"$store/segs").count())
+    }
+    val unsplit = run(1000000)
+    val split = run(37) // ~11 id-ordered slices
+    assert(split == unsplit)
+    assert(unsplit._1.nonEmpty && unsplit._1.size < 400)
+  }
+
+  test("split fold honors the conservative cascade across a slice boundary") {
+    // x drops against the store; k is within d of x but NOT of the
+    // store key or any survivor. The first-wins rule drops k anyway
+    // (the smaller key's fate doesn't matter) — a fold that only
+    // remembered SURVIVORS would keep k. maxKeys=1 puts x and k in
+    // different slices, so this pins the cross-slice cascade.
+    val (store, out) = (tmp("fz_casc_store"), tmp("fz_casc_out"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq(100L -> "abcdefgh").toDF("id", "s"), store, maxDist = 2)
+    val batch = rows(
+      1L -> "abcdefgh12",   // lev 2 from store → drop
+      2L -> "abcdefgh1234") // lev 2 from key 1, lev 4 from store → drop
+    assert(Dedup.fuzzyKeyGate(batch.toDF("id", "s"),
+      Seq(100L -> "abcdefgh").toDF("id", "s"), 2).count() == 0L)
+    assert(IngestFuzzy.processBatch(batch, store, out, maxKeys = 1) == 0L)
+    assert(spark.read.parquet(s"$store/keys").count() == 1L)
+  }
+
+  test("store with keys but zero segment files still gates (short keys)") {
+    // every kept key shorter than minSeg*(d+1)-d cuts no segments, so
+    // segs/ holds only _SUCCESS after the append — the gate must fall
+    // back instead of dying on schema inference
+    val (store, out) = (tmp("fz_shortseg_store"), tmp("fz_shortseg_out"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), store, maxDist = 1)
+    assert(IngestFuzzy.processBatch(rows(1L -> "abc"), store, out) == 1L)
+    assert(spark.read.parquet(s"$store/keys").count() == 1L)
+    // next batch reads the segment-less store: the short-band path
+    // still finds the d=1 match
+    assert(IngestFuzzy.processBatch(rows(2L -> "abd"), store, out) == 0L)
+    assert(IngestFuzzy.processBatch(rows(3L -> "a wholly different long key"),
+      store, out) == 1L)
+  }
+
   test("compactStore restores 1 row/key after a duplicated store append") {
     val (store, out) = (tmp("fz_cmp_store"), tmp("fz_cmp_out"))
     IngestFuzzy.fuzzySave(spark,
