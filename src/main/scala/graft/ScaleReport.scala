@@ -39,7 +39,8 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,snm) for
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,
+    // pipeline,linkskew,snm) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -940,6 +941,20 @@ object ScaleReport {
       timed("bm25_rescan_rare")(
         graft.operators.TextAnalysis.bm25TopK(withRare, Seq("zzqx"), 20).count())
       timed("lex_compact")(Lexical.lexCompact(spark, dir))
+      // corpus-scaled geometry (round-10): at the frozen save-time 64
+      // buckets a rare term's probe reads corpus/64 rows of co-hashed
+      // common postings; rebalancing to corpus-proportional buckets
+      // holds the per-probe read flat. Rows-read is the pruned slice
+      // count; searches are geometry-independent (bit-equal, pinned).
+      val rowsBefore = Lexical.lexProbeRows(spark, dir, Seq("zzqx"))
+      val postingRows = spark.read.parquet(s"$dir/postings").count()
+      val want = math.max(64L, postingRows / 50000L).toInt
+      timed(s"lex_rebalance_to_$want")(
+        Lexical.lexRebalance(spark, dir, want))
+      val rowsAfter = Lexical.lexProbeRows(spark, dir, Seq("zzqx"))
+      println(s"""{"op":"lex_probe_rows","before":$rowsBefore,"after":$rowsAfter,"postings":$postingRows,"buckets_after":$want}""")
+      timed("lex_search_store_rare_rebal")(
+        Lexical.lexSearch(spark, dir, Seq("zzqx"), 20).count())
     }
 
     // Fuzzy-key ingest gate (q169/q170, streaming.IngestFuzzy): the
@@ -1010,6 +1025,61 @@ object ScaleReport {
       }
     }
 
+    // The UNIFIED six-store ingest, composed (round-10): content gate →
+    // fuzzy-key gate → land → vector index → lexical postings →
+    // telemetry, every batch through ONE IngestPipeline.processBatch.
+    // The isolated campaigns above own each store's scale law; this one
+    // measures the composition — per-store append cost per batch and
+    // the total per-batch latency — because cross-store interactions
+    // (the two-store refreshByPath class of bug) only surface here.
+    if (section("pipeline") && docsOpt.nonEmpty) {
+      import graft.streaming.{IngestFuzzy, IngestPipeline}
+      import graft.operators.Lexical
+      def td(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val (sigsP, outP, teleP, idxP, lexP, fzP) = (td("pl_sigs"), td("pl_out"),
+        td("pl_tele"), td("pl_idx"), td("pl_lex"), td("pl_fz"))
+      val seedN = math.max(256L, nVecs / 10)
+      val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .selectExpr("doc_id", "text", "embedding",
+          "substring(text, 1, 32) AS key")
+      // index/lex/fuzzy seeded from the first tenth (the pairmine
+      // convention); sig store starts empty — seed docs are exempt
+      // from the content gate but present in both serving stores
+      timed("pipeline_seed") {
+        val seedIdx = Similarity.ivfBuild(
+          emb.where(col("vec_id") < seedN),
+          math.max(8L, seedN / 256).toInt)
+        Similarity.ivfSave(seedIdx, idxP)
+        seedIdx.release()
+        val seed = feed.where(col("doc_id") < seedN)
+        Lexical.lexSave(spark, seed.selectExpr("doc_id", "text"), lexP)
+        IngestFuzzy.fuzzySave(spark,
+          seed.selectExpr("doc_id AS id", "key AS s"), fzP, 3)
+        seedN
+      }
+      val nBatches = 5
+      val span = math.max(1L, (nDocs - seedN) / nBatches)
+      for (b <- 0 until nBatches) {
+        val lo = seedN + b * span
+        val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
+        val batch = feed.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        val t0 = System.nanoTime()
+        val kept = IngestPipeline.processBatch(batch, b.toLong, sigsP, outP,
+          idxP, teleP, 0.5, lexPath = Some(lexP), fuzzyStorePath = Some(fzP),
+          timings = Some(m))
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        val stages = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+        println(f"""{"op":"pipeline_batch","batch":$b,"kept":$kept,"sec":$sec%.2f,$stages}""")
+      }
+      val (nOut, nLex, nFz) = (spark.read.parquet(outP).count(),
+        spark.read.parquet(s"$lexP/docstats").count(),
+        spark.read.parquet(s"$fzP/keys").count())
+      println(s"""{"op":"pipeline_total","out":$nOut,"lex_docs":$nLex,"fuzzy_keys":$nFz,"docs":$nDocs}""")
+    }
+
     // The auto-split defense for the in-batch quadratic (round-10):
     // ONE corpus-fraction batch — half the corpus in a single call —
     // through the gate, which folds it into ≤10 k-key id-ordered
@@ -1042,6 +1112,39 @@ object ScaleReport {
         println(f"""{"op":"fuzzysplit_slice$i","keys":$nk,"sec":$sec%.2f}""")
       }
       println(f"""{"op":"fuzzysplit_total","slices":${stats.size},"kept":$nKept,"sec":$tot%.2f}""")
+      release()
+    }
+
+    // Linkage blocking under a PLANTED skewed block (round-10): one
+    // block holds 10 % of all records, so its pair volume is (N/10)² —
+    // the scale risk the fieldAgreements scaladoc defers to AQE. Rows
+    // measured: blocked-pair volume (the real cost driver), wall-clock
+    // of the one equi-join unaided vs salted (the explicit mitigation,
+    // output-identical by construction), and whether AQE's skew split
+    // actually fired on the unaided plan.
+    if (section("linkskew") && docsOpt.nonEmpty) {
+      import graft.operators.Linkage
+      import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
+      val blockExpr = "CASE WHEN doc_id % 10 = 0 THEN 'hot' " +
+        "ELSE CAST(doc_id % 64 AS STRING) END"
+      val a = docs.selectExpr("doc_id AS id", s"$blockExpr AS block",
+        "substring(text, 1, 24) AS head", "source", "n_chars")
+      val b = docs.selectExpr("doc_id + 100000000 AS id",
+        s"$blockExpr AS block", "substring(text, 1, 23) AS head",
+        "source", "n_chars + 3 AS n_chars")
+      val rules = Seq(LevRule("head", 2), ExactRule("source"),
+        BandRule("n_chars", 5))
+      val hotShare = docs.where("doc_id % 10 = 0").count()
+      println(s"""{"op":"linkskew_corpus","records":$nDocs,"hot_block":$hotShare}""")
+      val ag = Linkage.fieldAgreements(a, b, rules)
+      timed("linkskew_pairs_unaided")(ag.count())
+      // AQE skew evidence from the executed adaptive plan
+      val plan = ag.queryExecution.executedPlan.toString
+      val skewed = plan.contains("skewed") || plan.contains("isSkew")
+      val bcast = plan.contains("BroadcastHashJoin")
+      println(s"""{"op":"linkskew_plan","aqe_skew_split":$skewed,"broadcast":$bcast}""")
+      timed("linkskew_pairs_salt16")(
+        Linkage.fieldAgreements(a, b, rules, salt = 16).count())
       release()
     }
 

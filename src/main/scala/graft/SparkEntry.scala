@@ -952,6 +952,25 @@ object SparkEntry {
         Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
             Linkage.Greatest("n_chars")))
     }),
+    // unsupervised Fellegi-Sunter: fixed-point integer-ppm EM over the
+    // 8-row agreement-pattern histogram (driver-side BigInt loop — the
+    // pqFitBooks statistics-sized-model discipline), every division
+    // truncating, parameters clamped to [1, 999999]. The oracle
+    // re-runs the SAME 15 unrolled iterations in DuckDB HUGEINT SQL,
+    // so the fit itself is hash-green — no clerical weights anywhere
+    "q180_linkage_em" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.emFit(a, b, linkageRules)
+    }),
+    // the fitted model scoring pairs: each blocked pair joined to its
+    // pattern's posterior match probability (broadcast 8-row table),
+    // thresholded at the Bayes point 0.5 — EM-derived integer weights
+    // scoring hash-green end-to-end; q173's clerical weights remain
+    // the override path
+    "q181_linkage_em_score" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.emPosteriors(a, b, linkageRules, 500000L)
+    }),
     // survivorship under the RECENCY rule: same resolve as q177, but
     // head precedence goes to the feed with the later ingest timestamp
     // (deterministic per-feed timestamps derived from the ids). The
@@ -1235,6 +1254,63 @@ object SparkEntry {
   }
   private val linkageRules = Seq(Linkage.LevRule("head", 2),
     Linkage.ExactRule("source"), Linkage.BandRule("n_chars", 5))
+
+  /** The unrolled fixed-point-EM oracle for q180/q181: DuckDB re-runs
+    * `Linkage.emFitParams`' exact integer iteration — HUGEINT products
+    * (bounded by 10³⁰ ≪ the 1.7·10³⁸ HUGEINT range), floor division ==
+    * BigInt truncation on non-negatives, the same [1, 999999] clamps
+    * and GREATEST(·,1) denominators — over the same 8-row pattern
+    * histogram, so the fit hash-matches bit-for-bit. `withFinal` adds
+    * the post-fit E-step (`wf`) q181 joins pairs against. */
+  private def emOracleCtes(iters: Int, withFinal: Boolean): String = {
+    def estep(src: String, tag: String) = s"""
+      e$tag AS (SELECT h.g0, h.g1, h.g2, h.cnt,
+        (t.p * (CASE WHEN h.g0 = 1 THEN t.m0 ELSE 1000000 - t.m0 END)
+             * (CASE WHEN h.g1 = 1 THEN t.m1 ELSE 1000000 - t.m1 END)
+             * (CASE WHEN h.g2 = 1 THEN t.m2 ELSE 1000000 - t.m2 END)) AS num,
+        ((1000000 - t.p) * (CASE WHEN h.g0 = 1 THEN t.u0 ELSE 1000000 - t.u0 END)
+             * (CASE WHEN h.g1 = 1 THEN t.u1 ELSE 1000000 - t.u1 END)
+             * (CASE WHEN h.g2 = 1 THEN t.u2 ELSE 1000000 - t.u2 END)) AS den
+        FROM hist h CROSS JOIN $src t),
+      w$tag AS (SELECT g0, g1, g2, cnt,
+        CASE WHEN num + den = 0 THEN 0::HUGEINT
+             ELSE (num * 1000000) // (num + den) END AS w FROM e$tag)"""
+    val mInit = (0 until 3).map(i =>
+      s"900000::HUGEINT AS m$i, 100000::HUGEINT AS u$i").mkString(", ")
+    val head = s"""
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      pr AS (SELECT a.id AS id_a, b.id AS id_b,
+                    CASE WHEN levenshtein(a.head, b.head) <= 2
+                         THEN 1 ELSE 0 END AS g0,
+                    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+                    CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                         THEN 1 ELSE 0 END AS g2
+             FROM a JOIN b USING (block)),
+      hist AS (SELECT g0, g1, g2, COUNT(*)::HUGEINT AS cnt
+               FROM pr GROUP BY 1, 2, 3),
+      it0 AS (SELECT 100000::HUGEINT AS p, $mInit)"""
+    val its = (1 to iters).map { i =>
+      estep(s"it${i - 1}", s"$i") + s""",
+      it$i AS (SELECT
+        GREATEST(1, LEAST(999999, SUM(cnt * w) // SUM(cnt))) AS p,""" +
+        (0 until 3).map { f => s"""
+        GREATEST(1, LEAST(999999,
+          (SUM(CASE WHEN g$f = 1 THEN cnt * w ELSE 0 END) * 1000000)
+          // GREATEST(SUM(cnt * w), 1))) AS m$f,
+        GREATEST(1, LEAST(999999,
+          (SUM(CASE WHEN g$f = 1 THEN cnt * (1000000 - w) ELSE 0 END) * 1000000)
+          // GREATEST(SUM(cnt * (1000000 - w)), 1))) AS u$f""" }.mkString(",") +
+        s"""
+        FROM w$i)"""
+    }.mkString(",")
+    head + "," + its +
+      (if (withFinal) "," + estep(s"it$iters", "f") else "")
+  }
 
   private val DSUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val DSUM_PRICE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1740,6 +1816,25 @@ object SparkEntry {
                   THEN y.n_chars ELSE x.n_chars END AS n_chars
       FROM m JOIN a x ON x.id = m.id_a JOIN b y ON y.id = m.id_b
       ORDER BY entity_id, id_b""",
+    // the unrolled integer-EM fit (15 iterations of HUGEINT E/M steps
+    // over the 8-row pattern histogram) — the oracle IS the algorithm
+    "q180_linkage_em" -> (emOracleCtes(15, withFinal = false) + """
+      SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM hist) AS pairs,
+             CAST(p AS BIGINT) AS p_ppm,
+             CAST(m0 AS BIGINT) AS m_head_ppm,
+             CAST(u0 AS BIGINT) AS u_head_ppm,
+             CAST(m1 AS BIGINT) AS m_source_ppm,
+             CAST(u1 AS BIGINT) AS u_source_ppm,
+             CAST(m2 AS BIGINT) AS m_n_chars_ppm,
+             CAST(u2 AS BIGINT) AS u_n_chars_ppm
+      FROM it15"""),
+    // the fitted model scoring: pairs join their pattern's posterior
+    // from the post-fit E-step, thresholded at the 0.5 Bayes point
+    "q181_linkage_em_score" -> (emOracleCtes(15, withFinal = true) + """
+      SELECT pr.id_a, pr.id_b, CAST(wf.w AS BIGINT) AS post_ppm
+      FROM pr JOIN wf ON pr.g0 = wf.g0 AND pr.g1 = wf.g1 AND pr.g2 = wf.g2
+      WHERE wf.w >= 500000
+      ORDER BY id_a, id_b"""),
     // q177's pipeline with the Newest rule on head: the feed whose
     // derived ingest timestamp is later supplies the value
     "q179_linkage_newest" -> """

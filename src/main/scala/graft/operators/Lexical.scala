@@ -111,15 +111,31 @@ object Lexical {
     * a search never lists, let alone reads, the other buckets). */
   private[graft] def lexSlice(spark: SparkSession, path: String,
                               terms: Seq[String]): DataFrame = {
+    val buckets = lexBuckets(spark, path, terms)
+    spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+  }
+
+  private def lexBuckets(spark: SparkSession, path: String,
+                         terms: Seq[String]): Seq[Int] = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val buckets = terms.map(t =>
+    terms.map(t =>
       java.lang.Math.floorMod(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(t),
           org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong).toInt)
       .distinct
+  }
+
+  /** Rows living in the bucket partitions a probe for `terms` must
+    * read (BEFORE the term filter) — the per-probe IO volume the
+    * geometry dial controls; ScaleReport's lex campaign reports it
+    * around a rebalance. */
+  private[graft] def lexProbeRows(spark: SparkSession, path: String,
+                                  terms: Seq[String]): Long = {
+    val buckets = lexBuckets(spark, path, terms)
     spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .where(col("bucket").isin(buckets: _*)).count()
   }
 
   def lexSearch(spark: SparkSession, path: String, terms: Seq[String],
@@ -168,6 +184,76 @@ object Lexical {
       val rows = res.collect().toIndexedSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), res.schema)
     } finally slice.unpersist(blocking = false)
+  }
+
+  /** Re-bucket the postings to `nBuckets` — the corpus-scaled geometry
+    * dial, the round-8 vector-store rule (corpus-proportional
+    * partitioning, growth-gated) applied to the postings store. A
+    * frozen geometry makes every term's probe read corpus/nBuckets
+    * rows — even a rare term pays for its bucket's co-hashed common
+    * terms once the store has grown past the save-time sizing; bucket
+    * row volume tracks corpus/nBuckets, so scaling nBuckets with the
+    * corpus holds the per-probe read flat.
+    *
+    * Searches are GEOMETRY-INDEPENDENT by construction — the probe
+    * recomputes bucket = pmod(xxhash64(w), n_buckets) from meta/ on
+    * every call and the score never sees the bucket column — so
+    * results are bit-equal across a rebalance (LexicalSpec pin;
+    * q165/q166 semantics unchanged), and appends after it cut to the
+    * new geometry via the same meta read.
+    *
+    * Staged like `Stores.rewriteDeduped`: the full new postings land
+    * at `postings.rebal`, count-verified, then delete-and-rename, then
+    * meta/ is overwritten. Run offline, never concurrently with
+    * ingest. Crash windows: before the rename — the old store is
+    * untouched and `.rebal` is garbage to collect; between the rename
+    * and the meta write — postings are partitioned by the NEW
+    * geometry while meta still names the old one, and probes can miss
+    * rows until a re-run of lexRebalance repairs it (same documented
+    * offline-maintenance window as the CMS generation prune).
+    * Returns the postings row count. */
+  def lexRebalance(spark: SparkSession, path: String, nBuckets: Int): Long = {
+    require(hadoopExists(spark, s"$path/meta"),
+      s"$path is not a lexSave store (missing meta/)")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/postings.rebal")
+    spark.read.parquet(p.toString)
+      .withColumn("bucket",
+        pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket")) // one file per bucket, not per task
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    n
+  }
+
+  /** Growth-gated geometry maintenance (the IndexSupervisor discipline
+    * for postings): rebalance only when the mean bucket has grown past
+    * `growFactor` × `targetRowsPerBucket`, to ceil(rows / target)
+    * buckets — so steady appends pay nothing and a store that has
+    * grown 100× pays one staged rewrite, amortized. Returns the
+    * geometry in force after the call. */
+  def lexMaintain(spark: SparkSession, path: String,
+                  targetRowsPerBucket: Long = 1000000L,
+                  growFactor: Int = 4): Int = {
+    require(hadoopExists(spark, s"$path/meta"),
+      s"$path is not a lexSave store (missing meta/)")
+    require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val rows = spark.read.parquet(s"$path/postings").count()
+    if (rows / nBuckets <= growFactor * targetRowsPerBucket) nBuckets
+    else {
+      val want = ((rows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+      lexRebalance(spark, path, want)
+      want
+    }
   }
 
   /** Offline compaction: drop the duplicate rows an at-least-once

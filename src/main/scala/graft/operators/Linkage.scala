@@ -64,10 +64,22 @@ object Linkage {
     * column per rule. Input contract: both frames carry (id, block,
     * <rule fields>); null block keys never pair (an equi-join drops
     * them — route unblockable records to a second pass with a coarser
-    * key, the standard multi-pass blocking discipline). */
-  def fieldAgreements(a: DataFrame, b: DataFrame,
-                      rules: Seq[FieldRule]): DataFrame = {
+    * key, the standard multi-pass blocking discipline).
+    *
+    * `salt` > 1 is the skewed-block mitigation: the a side takes a
+    * deterministic salt in [0, salt), the b side replicates each row to
+    * every salt, and the join runs on (block, salt) — each (a, b) pair
+    * in a block still meets EXACTLY once, so the output is identical
+    * (LinkageSpec pin), but a hot block's build/probe work spreads
+    * across `salt` reducers instead of one. The cost is b-side shuffle
+    * volume × salt — pay it when one block holds a corpus-scale
+    * fraction of records (AQE's skew split handles moderate skew on
+    * the sort-merge path unaided; ScaleReport's linkskew campaign
+    * measures both). */
+  def fieldAgreements(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+                      salt: Int = 1): DataFrame = {
     require(rules.nonEmpty, "at least one field rule")
+    require(salt >= 1, "salt must be >= 1")
     require(rules.map(_.field).distinct.size == rules.size,
       s"one rule per field (two rules on one field would emit duplicate " +
         s"agree_<field> columns): ${rules.map(_.field)}")
@@ -75,8 +87,15 @@ object Linkage {
     def side(df: DataFrame, tag: String) =
       df.select((col("id").cast("long").as(s"id_$tag") +: col("block").as("block") +:
         fields.map(f => col(f).as(s"${f}_$tag"))): _*)
-    side(a, "a").join(side(b, "b"), Seq("block"))
-      .select((col("id_a") +: col("id_b") +: rules.map(agreeCol)): _*)
+    val joined =
+      if (salt == 1) side(a, "a").join(side(b, "b"), Seq("block"))
+      else side(a, "a")
+        .withColumn("__salt",
+          pmod(xxhash64(col("id_a")), lit(salt)).cast("int"))
+        .join(side(b, "b").withColumn("__salt",
+          explode(array((0 until salt).map(lit): _*))),
+          Seq("block", "__salt"))
+    joined.select((col("id_a") +: col("id_b") +: rules.map(agreeCol)): _*)
   }
 
   /** The u-probabilities, measured: per-field agreement rate over ALL
@@ -90,6 +109,141 @@ object Linkage {
     ag.agg(count(lit(1)).as("pairs"),
         rules.map(r => expr(s"(sum(agree_${r.field}) * 1000000) div count(1)")
           .as(s"u_${r.field}_ppm")): _*)
+  }
+
+  /** The EM-fitted Fellegi-Sunter parameters, all in exact ppm
+    * integers: match prior `pPpm`, per-field m/u, and the per-pattern
+    * posterior match probability after the final E-step (`patterns`:
+    * agreement bits in rule order, blocked-pair count, posterior). */
+  final case class EmParams(pairs: Long, pPpm: Long,
+                            fields: Seq[String],
+                            mPpm: Seq[Long], uPpm: Seq[Long],
+                            patterns: Seq[(Vector[Int], Long, Long)])
+
+  /** Unsupervised completion of the weight estimation — EM over the
+    * agreement-pattern histogram (Fellegi & Sunter 1969 §3; Winkler
+    * 1988's standard latent-class formulation): the histogram is at
+    * most 2^#fields rows, so the iteration is a driver-side loop over
+    * a collected, statistics-sized model (the `pqFitBooks` discipline
+    * — the corpus-sized work is ONE hash aggregate).
+    *
+    * Everything is FIXED-POINT ppm integer arithmetic (BigInt
+    * intermediates, truncating division, parameters clamped to
+    * [1, 999999] so no product can freeze at an absorbing 0): the same
+    * unrolled iteration is expressible in DuckDB HUGEINT SQL, which is
+    * how q180/q181 hash-check an EM fit end-to-end — floats never
+    * enter. E-step: w(γ) = p·Π(γ_f ? m_f : 1−m_f) · 10⁶ div
+    * (that + (1−p)·Π(γ_f ? u_f : 1−u_f)); M-step re-estimates p, m, u
+    * from the w-weighted histogram with the same truncating ppm
+    * divisions. Deterministic by construction. */
+  def emFitParams(agreements: DataFrame, fields: Seq[String],
+                  iters: Int = 15, p0Ppm: Long = 100000L,
+                  m0Ppm: Long = 900000L, u0Ppm: Long = 100000L): EmParams = {
+    require(fields.nonEmpty, "at least one field")
+    require(iters >= 1, "at least one EM iteration")
+    val k = fields.size
+    val hist: Seq[(Vector[Int], BigInt)] = agreements
+      .groupBy(fields.map(f => col(s"agree_$f")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .collect().toSeq
+      .map(r => (Vector.tabulate(k)(i => r.getInt(i)), BigInt(r.getLong(k))))
+    require(hist.nonEmpty, "no blocked pairs to fit on")
+    val M = BigInt(1000000)
+    def clamp(x: BigInt): BigInt = x.max(BigInt(1)).min(BigInt(999999))
+    val total = hist.map(_._2).sum
+    var p = BigInt(p0Ppm)
+    var m = Vector.fill(k)(BigInt(m0Ppm))
+    var u = Vector.fill(k)(BigInt(u0Ppm))
+    def eStep(): Seq[(Vector[Int], BigInt, BigInt)] = hist.map { case (g, cnt) =>
+      val num = (0 until k).foldLeft(p)((acc, i) =>
+        acc * (if (g(i) == 1) m(i) else M - m(i)))
+      val den = (0 until k).foldLeft(M - p)((acc, i) =>
+        acc * (if (g(i) == 1) u(i) else M - u(i)))
+      val w = if (num + den == 0) BigInt(0) else (num * M) / (num + den)
+      (g, cnt, w)
+    }
+    for (_ <- 1 to iters) {
+      val ws = eStep()
+      val s = ws.map { case (_, c, w) => c * w }.sum
+      val dd = ws.map { case (_, c, w) => c * (M - w) }.sum
+      val newP = clamp(s / total)
+      val newM = Vector.tabulate(k) { i =>
+        clamp(ws.filter(_._1(i) == 1).map { case (_, c, w) => c * w }.sum
+          * M / s.max(BigInt(1)))
+      }
+      val newU = Vector.tabulate(k) { i =>
+        clamp(ws.filter(_._1(i) == 1).map { case (_, c, w) => c * (M - w) }.sum
+          * M / dd.max(BigInt(1)))
+      }
+      p = newP; m = newM; u = newU
+    }
+    val post = eStep() // posterior under the FITTED params
+    EmParams(total.toLong, p.toLong, fields,
+      m.map(_.toLong), u.map(_.toLong),
+      post.map { case (g, c, w) => (g, c.toLong, w.toLong) }
+        .sortBy(_._1.mkString))
+  }
+
+  /** The fitted parameters as a one-row frame — (pairs, p_ppm,
+    * m_<field>_ppm, u_<field>_ppm …), hash-checkable against the
+    * unrolled-EM DuckDB oracle (q180). */
+  def emFit(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+            iters: Int = 15): DataFrame = {
+    val prm = emFitParams(fieldAgreements(a, b, rules), rules.map(_.field), iters)
+    val spark = a.sparkSession
+    val cols = Seq("pairs", "p_ppm") ++
+      prm.fields.flatMap(f => Seq(s"m_${f}_ppm", s"u_${f}_ppm"))
+    val vals = Seq(prm.pairs, prm.pPpm) ++
+      prm.fields.indices.flatMap(i => Seq(prm.mPpm(i), prm.uPpm(i)))
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row.fromSeq(vals)), 1), schema)
+  }
+
+  /** EM-scored pairs: every blocked pair tagged with its agreement
+    * pattern's posterior match probability (ppm) under the fitted
+    * parameters, thresholded — the unsupervised replacement for
+    * caller-supplied weights (clerical weights stay available through
+    * `linkScores` as the override path). The posterior table is
+    * 2^#fields rows, broadcast onto one pass over the pairs. Output
+    * (id_a, id_b, post_ppm ≥ threshold), deterministic order. */
+  def emPosteriors(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+                   thresholdPpm: Long, iters: Int = 15): DataFrame = {
+    val fields = rules.map(_.field)
+    val ag = fieldAgreements(a, b, rules)
+    val prm = emFitParams(ag, fields, iters)
+    val spark = a.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      fields.map(f => org.apache.spark.sql.types.StructField(s"agree_$f",
+        org.apache.spark.sql.types.IntegerType, nullable = false)) :+
+        org.apache.spark.sql.types.StructField("post_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val pat = spark.createDataFrame(
+      spark.sparkContext.parallelize(prm.patterns.map { case (g, _, w) =>
+        org.apache.spark.sql.Row.fromSeq(g :+ w) }, 1), schema)
+    ag.join(broadcast(pat), fields.map(f => s"agree_$f"))
+      .where(col("post_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("post_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Integer log-likelihood-ratio weights from fitted parameters —
+    * wAgree = round(scale·log2(m/u)), wDisagree = round(scale·
+    * log2((1−m)/(1−u))) — the `linkScores` input format. Driver-side
+    * float log on the STATISTICS-sized model only (the pqFitBooks
+    * discipline: model fitting may use floats, row scoring never
+    * does). */
+  def emWeights(prm: EmParams, scale: Int = 100): Map[String, (Int, Int)] = {
+    def l2(n: Long, d: Long) = math.log(n.toDouble / d.toDouble) / math.log(2.0)
+    prm.fields.indices.map { i =>
+      val (mP, uP) = (prm.mPpm(i), prm.uPpm(i))
+      prm.fields(i) -> (
+        math.round(scale * l2(mP, uP)).toInt,
+        math.round(scale * l2(1000000L - mP, 1000000L - uP)).toInt)
+    }.toMap
   }
 
   /** Match scoring: score = Σ_fields (agree ? wAgree : wDisagree) with

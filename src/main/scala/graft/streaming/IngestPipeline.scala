@@ -82,7 +82,19 @@ object IngestPipeline {
                    neighborScanFrac: Option[Double] = None,
                    lexPath: Option[String] = None,
                    fuzzyStorePath: Option[String] = None,
-                   fuzzyKeyCol: String = "key"): Long = {
+                   fuzzyKeyCol: String = "key",
+                   timings: Option[scala.collection.mutable.Map[String, Double]]
+                     = None): Long = {
+    // optional per-stage wall-clock capture (ScaleReport's composed
+    // pipeline campaign); zero overhead when absent
+    def t[A](name: String)(body: => A): A = timings match {
+      case None => body
+      case Some(mp) =>
+        val t0 = System.nanoTime()
+        val r = body
+        mp(name) = mp.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+    }
     // optional SECOND gate, composed in series: near-dup on content,
     // then typo-distance on the key column (a record can be novel prose
     // with a misspelled key, or a retyped key over duplicate prose —
@@ -107,14 +119,14 @@ object IngestPipeline {
     // drops.
     val (kept, keptSigs, release) = fuzzyStorePath match {
       case None =>
-        IngestDedup.gateBatch(batch, sigStorePath, threshold)
+        t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
       case Some(fp) =>
         val (k1, sigs1, rel1) =
-          IngestDedup.gateBatch(batch, sigStorePath, threshold)
-        val (k2, rel2) = IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol)
+          t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
+        val (k2, rel2) = t("gate_fuzzy")(IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol))
         (k2, sigs1, () => { rel2(); rel1() })
     }
-    val nKept = kept.count()
+    val nKept = t("gate_count")(kept.count())
     if (nKept > 0) {
       // optional online pair mining: each KEPT doc's top-k neighbors
       // among everything ingested BEFORE this batch. Must run before
@@ -123,14 +135,14 @@ object IngestPipeline {
       // refreshByPath rule (the search reads indexPath; appending
       // first would re-execute it against a store containing the
       // batch itself).
-      neighborsPath.foreach { np =>
+      neighborsPath.foreach { np => t("mine_neighbors") {
         val nb = IngestVectors.searchBatch(
           kept.select(col("doc_id").as("vec_id"), col("embedding")),
           indexPath, neighborK, neighborProbe, neighborScanFrac)
         nb.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").parquet(np)
         nb.unpersist(blocking = false)
-      }
+      }}
       // ORDER MATTERS: the signature-store append must come LAST.
       // Writing to sigStorePath triggers refreshByPath, which recaches
       // every plan reading that path — including `kept` (its anti-join
@@ -140,33 +152,34 @@ object IngestPipeline {
       // and the consumer silently sees an EMPTY kept set (found
       // empirically in round 7: vector appends vanished for every
       // batch after the first).
-      kept.select(col("doc_id"), col("text"))
-        .write.mode("append").parquet(outPath)
-      IngestVectors.processBatch(
-        kept.select(col("doc_id").as("vec_id"), col("embedding")), indexPath)
-      MonitorQuality.batchStats(kept.select(col("doc_id"), col("text")), batchId)
-        .coalesce(1).write.mode("append").parquet(telemetryPath)
+      t("land_out")(kept.select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(outPath))
+      t("append_index")(IngestVectors.processBatch(
+        kept.select(col("doc_id").as("vec_id"), col("embedding")), indexPath))
+      t("append_telemetry")(
+        MonitorQuality.batchStats(kept.select(col("doc_id"), col("text")), batchId)
+          .coalesce(1).write.mode("append").parquet(telemetryPath))
       // optional 5th store: per-source vocabulary sketches of the KEPT
       // docs (requires a `source` column in the feed)
-      vocabPath.foreach { vp =>
+      vocabPath.foreach { vp => t("append_vocab")(
         IngestVocab.processBatch(
-          kept.select(col("source"), col("text")), batchId, vp)
+          kept.select(col("source"), col("text")), batchId, vp))
       }
       // optional 6th store: lexical postings of the KEPT docs (batch
       // token offset by 1 — lexSave's seed stats row owns batch_id 0)
-      lexPath.foreach { lp =>
+      lexPath.foreach { lp => t("append_lexical")(
         graft.operators.Lexical.lexAppendSave(
           kept.sparkSession, lp, kept.select(col("doc_id"), col("text")),
-          batchId + 1L)
+          batchId + 1L))
       }
       // state stores LAST, after every consumer of `kept` has run (the
       // refreshByPath rule applies to the fuzzy store's keys/segs too:
       // kept's anti-join reads them through the gate's drops)
-      fuzzyStorePath.foreach { fp =>
+      fuzzyStorePath.foreach { fp => t("append_fuzzy") {
         val keptKeys = kept.where(col(fuzzyKeyCol).isNotNull)
           .select(col("doc_id").cast("long").as("id"), col(fuzzyKeyCol).as("s"))
         IngestFuzzy.appendKeys(kept.sparkSession, fp, keptKeys)
-      }
+      }}
     }
     // the signature append sits OUTSIDE the kept-guard: in the composed
     // path the content gate can keep docs the key gate then drops

@@ -54,6 +54,49 @@ class LexicalSpec extends SparkSpec {
     assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == want)
   }
 
+  test("rebalance: searches bit-equal across a geometry change, appends follow it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_rebal")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 250), dir, nBuckets = 8)
+    val before = asSeq(Lexical.lexSearch(spark, dir, terms, 20))
+    val beforeRows = spark.read.parquet(s"$dir/postings").count()
+    Lexical.lexRebalance(spark, dir, 61) // co-prime geometry, full remap
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 61)
+    assert(spark.read.parquet(s"$dir/postings").count() == beforeRows)
+    // geometry-independent scoring: bit-equal result
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == before)
+    // appends after the rebalance cut to the NEW geometry and the
+    // incremental store still equals the one-shot scorer
+    Lexical.lexAppendSave(spark, dir, docs.where($"doc_id" >= 250), 1L)
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) ==
+      asSeq(TextAnalysis.bm25TopK(docs, terms, 20)))
+    // the probe-volume dial actually moved: a single term's bucket
+    // holds fewer co-hashed postings under the finer geometry
+    val wide = tmp("lex_rebal_wide")
+    Lexical.lexSave(spark, docs, wide, nBuckets = 1)
+    val coarse = Lexical.lexProbeRows(spark, wide, Seq("spark"))
+    Lexical.lexRebalance(spark, wide, 61)
+    val fine = Lexical.lexProbeRows(spark, wide, Seq("spark"))
+    assert(coarse == spark.read.parquet(s"$wide/postings").count())
+    assert(fine < coarse)
+  }
+
+  test("lexMaintain: growth-gated — no-op under target, rebalances past it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_maint")
+    Lexical.lexSave(spark, docs, dir, nBuckets = 4)
+    // generous target: mean bucket is under growFactor×target → no-op
+    assert(Lexical.lexMaintain(spark, dir, targetRowsPerBucket = 1000000L) == 4)
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 4)
+    val before = asSeq(Lexical.lexSearch(spark, dir, terms, 20))
+    // tiny target: must rebalance to ceil(rows/target) and stay bit-equal
+    val rows = spark.read.parquet(s"$dir/postings").count()
+    val got = Lexical.lexMaintain(spark, dir, targetRowsPerBucket = 10L)
+    assert(got == ((rows + 9L) / 10L).toInt)
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == got)
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == before)
+  }
+
   test("rrfFusionStores equals the in-memory rrfFusion rank-for-rank") {
     import graft.operators.Similarity
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

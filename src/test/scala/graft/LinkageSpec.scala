@@ -250,6 +250,102 @@ class LinkageSpec extends SparkSpec {
     assert(multi == want)
   }
 
+  test("emFitParams recovers planted m on a synthetic two-feed corpus, deterministically") {
+    import graft.operators.Linkage.ExactRule
+    // 500 entities, 50 blocks of 10; the vendor copy agrees per field
+    // with planted rates m = (0.90, 0.75, 0.95), vocab 10 → u ≈ 0.1.
+    // Field values and agreement draws come from a splitmix-style
+    // NONLINEAR mixer: a linear hash (or plain modular residues) makes
+    // within-block agreement a near-deterministic function of the id
+    // DIFFERENCE — only ~19 distinct differences exist in a block — and
+    // EM rightly converges on that planted structure instead of the
+    // match/non-match split (measured: float EM agrees with the
+    // integer EM on the bad corpus too; the fix is the corpus)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def h(e: Long, salt: Long): Long = {
+      val v = mix(e * 1000L + salt) % 1000000L
+      if (v < 0) v + 1000000L else v
+    }
+    def f(e: Long, i: Long) = s"w${h(e, i) % 10}"
+    val ents = (0L until 500L)
+    val a = ents.map(e => (e, e / 10, f(e, 0), f(e, 1), f(e, 2)))
+      .toDF("id", "block", "f0", "f1", "f2")
+    val b = ents.map { e =>
+      def side(i: Long, mPlanted: Long) =
+        if (h(e, 100 + i) % 1000 < mPlanted) f(e, i)
+        else s"w${(h(e, i) % 10 + 1) % 10}"
+      (1000L + e, e / 10,
+        side(0, 900),  // m0 = 0.90
+        side(1, 750),  // m1 = 0.75
+        side(2, 950))  // m2 = 0.95
+    }.toDF("id", "block", "f0", "f1", "f2")
+    val emRules = Seq(ExactRule("f0"), ExactRule("f1"), ExactRule("f2"))
+    val ag = Linkage.fieldAgreements(a, b, emRules)
+    val prm = Linkage.emFitParams(ag, Seq("f0", "f1", "f2"))
+    assert(prm.pairs == 50L * 100L)
+    assert(math.abs(prm.pPpm - 100000L) < 50000L, s"p=${prm.pPpm}")
+    val planted = Seq(900000L, 750000L, 950000L)
+    prm.mPpm.zip(planted).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 60000L, s"m=$got want=$want") }
+    prm.uPpm.foreach(u => assert(u > 30000L && u < 400000L, s"u=$u"))
+    // exact determinism — integer EM has no float, no order sensitivity
+    assert(prm == Linkage.emFitParams(ag, Seq("f0", "f1", "f2")))
+    // derived LLR weights have the right signs for linkScores
+    Linkage.emWeights(prm).values.foreach { case (wA, wD) =>
+      assert(wA > 0 && wD < 0) }
+    // posterior scoring at the Bayes point recovers the planted matches
+    val hits = Linkage.emPosteriors(a, b, emRules, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = ents.map(e => (e, 1000L + e)).toSet
+    val recall = (hits & matched).size.toDouble / matched.size
+    val precision = if (hits.isEmpty) 0.0 else (hits & matched).size.toDouble / hits.size
+    assert(recall >= 0.8, s"recall=$recall")
+    assert(precision >= 0.5, s"precision=$precision")
+  }
+
+  test("salted blocking is output-identical to the plain equi-join under skew") {
+    // planted hot block: 10% of records share one key — every (a, b)
+    // pair must still meet exactly once under any salt
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"doc_id" < 300)
+    val blockExpr = "CASE WHEN doc_id % 10 = 0 THEN 'hot' " +
+      "ELSE CAST(doc_id % 16 AS STRING) END"
+    val a = docs.selectExpr("doc_id AS id", s"$blockExpr AS block",
+      "substring(text, 1, 24) AS head", "source", "n_chars")
+    val b = docs.selectExpr("doc_id + 100000 AS id", s"$blockExpr AS block",
+      "substring(text, 1, 23) AS head", "source", "n_chars + 3 AS n_chars")
+    def run(salt: Int) = Linkage.fieldAgreements(a, b, rules2, salt)
+      .collect().map(_.toSeq).toSet
+    val plain = run(1)
+    assert(plain.nonEmpty)
+    assert(run(4) == plain)
+    assert(run(16) == plain)
+  }
+  private val rules2 = Seq(LevRule("head", 2), ExactRule("source"),
+    BandRule("n_chars", 5))
+
+  test("emFitParams refuses an empty pair set; degenerate inputs stay clamped") {
+    import graft.operators.Linkage.ExactRule
+    val a = Seq((1L, "b", "x")).toDF("id", "block", "f")
+    val bEmpty = Seq.empty[(Long, String, String)].toDF("id", "block", "f")
+    intercept[IllegalArgumentException] {
+      Linkage.emFitParams(
+        Linkage.fieldAgreements(a, bEmpty, Seq(ExactRule("f"))), Seq("f"))
+    }
+    // a single all-agree pattern: every parameter stays inside the
+    // [1, 999999] clamp — no absorbing 0/1 freeze, no division crash
+    val bSame = Seq((2L, "b", "x")).toDF("id", "block", "f")
+    val prm = Linkage.emFitParams(
+      Linkage.fieldAgreements(a, bSame, Seq(ExactRule("f"))), Seq("f"))
+    (prm.pPpm +: (prm.mPpm ++ prm.uPpm)).foreach(v =>
+      assert(v >= 1L && v <= 999999L))
+  }
+
   test("document feeds: every planted vendor copy links, score recompute exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.selectExpr("doc_id AS id", "lang AS block",
