@@ -19,6 +19,10 @@ object ScaleReport {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // plan STRINGS are re-rendered per job for the SQL-start event;
+      // deep-union campaign plans made that render the bottleneck
+      // (round 10) — cap it, display-only, never affects results
+      .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // csv column pruning skips token-count validation for unread
@@ -941,20 +945,41 @@ object ScaleReport {
       timed("bm25_rescan_rare")(
         graft.operators.TextAnalysis.bm25TopK(withRare, Seq("zzqx"), 20).count())
       timed("lex_compact")(Lexical.lexCompact(spark, dir))
-      // corpus-scaled geometry (round-10): at the frozen save-time 64
-      // buckets a rare term's probe reads corpus/64 rows of co-hashed
-      // common postings; rebalancing to corpus-proportional buckets
-      // holds the per-probe read flat. Rows-read is the pruned slice
-      // count; searches are geometry-independent (bit-equal, pinned).
-      val rowsBefore = Lexical.lexProbeRows(spark, dir, Seq("zzqx"))
-      val postingRows = spark.read.parquet(s"$dir/postings").count()
-      val want = math.max(64L, postingRows / 50000L).toInt
-      timed(s"lex_rebalance_to_$want")(
-        Lexical.lexRebalance(spark, dir, want))
-      val rowsAfter = Lexical.lexProbeRows(spark, dir, Seq("zzqx"))
-      println(s"""{"op":"lex_probe_rows","before":$rowsBefore,"after":$rowsAfter,"postings":$postingRows,"buckets_after":$want}""")
-      timed("lex_search_store_rare_rebal")(
-        Lexical.lexSearch(spark, dir, Seq("zzqx"), 20).count())
+      // corpus-scaled geometry (round-10): at a frozen save-time
+      // geometry a term's probe reads its whole bucket — every
+      // CO-HASHED term's postings ride along, and bucket volume grows
+      // with the corpus. The 31-word driver vocabulary can't show this
+      // (most buckets hold at most one term), so the geometry demo
+      // uses a corpus-sized WIDE-vocabulary store: vocab ∝ corpus,
+      // 3 pseudo-random terms/doc + one planted rare term. Searches
+      // are geometry-independent (bit-equal, LexicalSpec pin); the
+      // probe-volume drop is the rebalance claim.
+      val vocabN = math.max(1000L, nDocs)
+      val wide = spark.range(nDocs).selectExpr("id AS doc_id",
+        s"""concat('w', CAST(xxhash64(id) % $vocabN AS STRING),
+               ' w', CAST(xxhash64(id + 1000000000) % $vocabN AS STRING),
+               ' w', CAST(xxhash64(id + 2000000000) % $vocabN AS STRING),
+               CASE WHEN id % ${math.max(1L, nDocs / 100L)} = 0
+                    THEN ' zzqx' ELSE '' END) AS text""")
+      // frozen small-corpus save geometry (8 buckets) vs the
+      // corpus-scaled target (~2 k rows/bucket): probe rows AFTER must
+      // sit near the target at ANY corpus size — that is the flat line
+      val wdir = java.nio.file.Files.createTempDirectory("scale_lexw").toString
+      timed("lexgeo_build_8") {
+        Lexical.lexSave(spark, wide, wdir, nBuckets = 8)
+        spark.read.parquet(s"$wdir/postings").count()
+      }
+      val rowsBefore = Lexical.lexProbeRows(spark, wdir, Seq("zzqx"))
+      timed("lexgeo_search_8")(
+        Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
+      val postingRows = spark.read.parquet(s"$wdir/postings").count()
+      val want = math.max(16L, postingRows / 2000L).toInt
+      timed(s"lexgeo_rebalance_to_$want")(
+        Lexical.lexRebalance(spark, wdir, want))
+      val rowsAfter = Lexical.lexProbeRows(spark, wdir, Seq("zzqx"))
+      println(s"""{"op":"lexgeo_probe_rows","before":$rowsBefore,"after":$rowsAfter,"postings":$postingRows,"buckets_after":$want}""")
+      timed("lexgeo_search_rebal")(
+        Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
     }
 
     // Fuzzy-key ingest gate (q169/q170, streaming.IngestFuzzy): the
@@ -1038,7 +1063,12 @@ object ScaleReport {
       def td(p: String) = java.nio.file.Files.createTempDirectory(p).toString
       val (sigsP, outP, teleP, idxP, lexP, fzP) = (td("pl_sigs"), td("pl_out"),
         td("pl_tele"), td("pl_idx"), td("pl_lex"), td("pl_fz"))
-      val seedN = math.max(256L, nVecs / 10)
+      // the feed is docs ⋈ embeddings — its extent is the SMALLER
+      // table (GenData ships fewer vectors than docs), so batch spans
+      // must cover feedN, not nDocs (found empirically: nDocs-based
+      // spans left batches 2-4 EMPTY at sf1 and read as a kept cliff)
+      val feedN = math.min(nDocs, nVecs)
+      val seedN = math.max(256L, feedN / 10)
       val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .selectExpr("doc_id", "text", "embedding",
           "substring(text, 1, 32) AS key")
@@ -1058,7 +1088,7 @@ object ScaleReport {
         seedN
       }
       val nBatches = 5
-      val span = math.max(1L, (nDocs - seedN) / nBatches)
+      val span = math.max(1L, (feedN - seedN) / nBatches)
       for (b <- 0 until nBatches) {
         val lo = seedN + b * span
         val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
@@ -1077,7 +1107,7 @@ object ScaleReport {
       val (nOut, nLex, nFz) = (spark.read.parquet(outP).count(),
         spark.read.parquet(s"$lexP/docstats").count(),
         spark.read.parquet(s"$fzP/keys").count())
-      println(s"""{"op":"pipeline_total","out":$nOut,"lex_docs":$nLex,"fuzzy_keys":$nFz,"docs":$nDocs}""")
+      println(s"""{"op":"pipeline_total","out":$nOut,"lex_docs":$nLex,"fuzzy_keys":$nFz,"feed":$feedN}""")
     }
 
     // The auto-split defense for the in-batch quadratic (round-10):
@@ -1125,24 +1155,44 @@ object ScaleReport {
     if (section("linkskew") && docsOpt.nonEmpty) {
       import graft.operators.Linkage
       import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
+      // the hot block's pair volume is quadratic BY CONSTRUCTION
+      // ((N/10)² — that's the point), so the record count is capped at
+      // 200 k and the cap is printed, never silent: the behavior under
+      // test (one reducer owning (N/10)² pairs vs AQE split vs salt)
+      // is fully armed well below the cap
+      val cap = math.min(nDocs, 200000L)
+      val rec = docs.where(col("doc_id") < cap)
       val blockExpr = "CASE WHEN doc_id % 10 = 0 THEN 'hot' " +
         "ELSE CAST(doc_id % 64 AS STRING) END"
-      val a = docs.selectExpr("doc_id AS id", s"$blockExpr AS block",
+      val a = rec.selectExpr("doc_id AS id", s"$blockExpr AS block",
         "substring(text, 1, 24) AS head", "source", "n_chars")
-      val b = docs.selectExpr("doc_id + 100000000 AS id",
+      val b = rec.selectExpr("doc_id + 100000000 AS id",
         s"$blockExpr AS block", "substring(text, 1, 23) AS head",
         "source", "n_chars + 3 AS n_chars")
       val rules = Seq(LevRule("head", 2), ExactRule("source"),
         BandRule("n_chars", 5))
-      val hotShare = docs.where("doc_id % 10 = 0").count()
-      println(s"""{"op":"linkskew_corpus","records":$nDocs,"hot_block":$hotShare}""")
+      val hotShare = rec.where("doc_id % 10 = 0").count()
+      println(s"""{"op":"linkskew_corpus","records":$cap,"of":$nDocs,"hot_block":$hotShare}""")
       val ag = Linkage.fieldAgreements(a, b, rules)
       timed("linkskew_pairs_unaided")(ag.count())
-      // AQE skew evidence from the executed adaptive plan
+      // AQE skew evidence from the executed adaptive plan; below the
+      // broadcast threshold the join broadcasts and reducer skew is
+      // MOOT (probe-side work rides the scan partitioning), so the
+      // shuffle path is also measured explicitly with broadcast off —
+      // that is the plan shape a 100 TB side actually gets
       val plan = ag.queryExecution.executedPlan.toString
-      val skewed = plan.contains("skewed") || plan.contains("isSkew")
       val bcast = plan.contains("BroadcastHashJoin")
-      println(s"""{"op":"linkskew_plan","aqe_skew_split":$skewed,"broadcast":$bcast}""")
+      println(s"""{"op":"linkskew_plan","aqe_skew_split":${plan.contains("skew")},"broadcast":$bcast}""")
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val agS = Linkage.fieldAgreements(a, b, rules)
+        timed("linkskew_pairs_shuffle")(agS.count())
+        val planS = agS.queryExecution.executedPlan.toString
+        println(s"""{"op":"linkskew_plan_shuffle","aqe_skew_split":${planS.contains("skew")},"smj":${planS.contains("SortMergeJoin")}}""")
+        timed("linkskew_pairs_shuffle_salt16")(
+          Linkage.fieldAgreements(a, b, rules, salt = 16).count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
       timed("linkskew_pairs_salt16")(
         Linkage.fieldAgreements(a, b, rules, salt = 16).count())
       release()

@@ -579,6 +579,18 @@ object SparkEntry {
       Lexical.lexSave(s, documents(s, d), dir)
       Lexical.lexSearch(s, dir, Seq("spark", "merge", "dup"), 20)
     }),
+    // store geometry is invisible to the ranking: build coarse (8
+    // buckets), append, REBALANCE to a co-prime 61-bucket layout, then
+    // search — still q107's fixed-point oracle bit-for-bit, which is
+    // the whole rebalance contract (probe buckets recompute from meta)
+    "q183_lex_rebalance" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q183_lex").toString
+      val docs = documents(s, d)
+      Lexical.lexSave(s, docs.where("doc_id < 250"), dir, nBuckets = 8)
+      Lexical.lexAppendSave(s, dir, docs.where("doc_id >= 250"), 1L)
+      Lexical.lexRebalance(s, dir, 61)
+      Lexical.lexSearch(s, dir, Seq("spark", "merge", "dup"), 20)
+    }),
     // incremental lexical ingest: build on half the corpus, append the
     // rest O(batch), search — still the full-corpus q107 ranking
     "q166_lex_incremental" -> ((s, d) => {
@@ -970,6 +982,16 @@ object SparkEntry {
     "q181_linkage_em_score" -> ((s, d) => {
       val (a, b) = linkageFeeds(s, d)
       Linkage.emPosteriors(a, b, linkageRules, 500000L)
+    }),
+    // the skewed-block mitigation under the hash gate: q172's
+    // u-estimator computed over SALTED blocking (a-side salt, b-side
+    // replicate-to-all, join on (block, salt)) — every pair meets
+    // exactly once, so the UNSALTED oracle hash-matches it verbatim,
+    // which is the whole claim: salting changes the shuffle, never the
+    // answer
+    "q182_linkage_salted" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.uRates(a, b, linkageRules, salt = 8)
     }),
     // survivorship under the RECENCY rule: same resolve as q177, but
     // head precedence goes to the feed with the later ingest timestamp
@@ -1695,6 +1717,24 @@ object SparkEntry {
       FROM h ORDER BY shard, pos""",
     // blocked pairs are ≈ all non-matches, so per-field agreement ppm
     // over them IS the Fellegi-Sunter u estimate
+    // the salted plan must produce the UNSALTED answer — q172's oracle
+    // verbatim is the point
+    "q182_linkage_salted" -> """
+      WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT lang AS block, substr(text, 1, 24) AS head, source, n_chars FROM d),
+      b AS (SELECT lang AS block, substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      p AS (SELECT a.head AS ha, b.head AS hb, a.source AS sa, b.source AS sb,
+                   a.n_chars AS na, b.n_chars AS nb
+            FROM a JOIN b USING (block))
+      SELECT COUNT(*) AS pairs,
+             CAST(SUM(CASE WHEN levenshtein(ha, hb) <= 2 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_head_ppm,
+             CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_source_ppm,
+             CAST(SUM(CASE WHEN abs(na - nb) <= 5 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS u_n_chars_ppm
+      FROM p""",
     "q172_linkage_u" -> """
       WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
       a AS (SELECT lang AS block, substr(text, 1, 24) AS head, source, n_chars FROM d),
@@ -2779,6 +2819,37 @@ object SparkEntry {
     // the store-backed searches must reproduce the same ranking —
     // q107's oracle verbatim
     "q165_bm25_store" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               COUNT(CASE WHEN w = 'spark' THEN 1 END) AS tf0,
+               COUNT(CASE WHEN w = 'merge' THEN 1 END) AS tf1,
+               COUNT(CASE WHEN w = 'dup' THEN 1 END) AS tf2
+        FROM tok GROUP BY 1),
+      c AS (
+        SELECT COUNT(*) AS nd, SUM(dl) AS ta,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+               COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+               COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        FROM tf),
+      sel AS (
+        SELECT doc_id,
+               ((CAST((2*nd - 2*df0 + 1) * 22 * tf0 * ta AS HUGEINT) * 1000000)
+                  // ((2*df0 + 1) * (10*ta*tf0 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df1 + 1) * 22 * tf1 * ta AS HUGEINT) * 1000000)
+                  // ((2*df1 + 1) * (10*ta*tf1 + 3*ta + 9*dl*nd)))
+             + ((CAST((2*nd - 2*df2 + 1) * 22 * tf2 * ta AS HUGEINT) * 1000000)
+                  // ((2*df2 + 1) * (10*ta*tf2 + 3*ta + 9*dl*nd)))
+               AS score_ppm
+        FROM tf CROSS JOIN c)
+      SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+      FROM sel WHERE score_ppm > 0
+      ORDER BY score_ppm DESC, doc_id ASC LIMIT 20""",
+    // a rebalance must not move a single bit of the ranking — q107's
+    // oracle verbatim again
+    "q183_lex_rebalance" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
         FROM documents),

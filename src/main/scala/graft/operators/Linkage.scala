@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *
   * Shapes for scale: candidates come from ONE equi-join on the block
   * key (never a cross join — blocking is the Fellegi-Sunter answer to
-  * the N² wall; a skewed block is AQE's split problem), and every
+  * the N² wall; a skewed block needs `fieldAgreements(salt = n)`:
+  * AQE's skew split keys on input-partition BYTES and cannot see a
+  * hot block's pair-EXPLOSION — its input is kilobytes, its join
+  * output quadratic — measured in ScaleReport's linkskew campaign,
+  * where the planted 10 % block never triggered a split), and every
   * agreement/score is a per-pair projection that rides the join's
   * whole-stage codegen. Output volume is the blocked-pair count, so
   * block design — not this operator — owns the scale law, exactly as
@@ -73,9 +77,10 @@ object Linkage {
     * (LinkageSpec pin), but a hot block's build/probe work spreads
     * across `salt` reducers instead of one. The cost is b-side shuffle
     * volume × salt — pay it when one block holds a corpus-scale
-    * fraction of records (AQE's skew split handles moderate skew on
-    * the sort-merge path unaided; ScaleReport's linkskew campaign
-    * measures both). */
+    * fraction of records. AQE is NOT a substitute here: its skew
+    * split fires on input-partition bytes, and a hot block's input is
+    * tiny while its pair output is quadratic, so no split ever comes
+    * (measured — ScaleReport linkskew, planted 10 % block). */
   def fieldAgreements(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
                       salt: Int = 1): DataFrame = {
     require(rules.nonEmpty, "at least one field rule")
@@ -104,8 +109,9 @@ object Linkage {
     * rate IS u up to the match fraction). One row: (pairs,
     * u_<field>_ppm …). Feed these plus a clerical m into the weight
     * formula offline; the scoring stays integer. */
-  def uRates(a: DataFrame, b: DataFrame, rules: Seq[FieldRule]): DataFrame = {
-    val ag = fieldAgreements(a, b, rules)
+  def uRates(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+             salt: Int = 1): DataFrame = {
+    val ag = fieldAgreements(a, b, rules, salt)
     ag.agg(count(lit(1)).as("pairs"),
         rules.map(r => expr(s"(sum(agree_${r.field}) * 1000000) div count(1)")
           .as(s"u_${r.field}_ppm")): _*)

@@ -180,6 +180,18 @@ object IngestFuzzy {
             expr(s"CAST((rank - 1) div $maxKeys AS INT)").as("__slice"))
         b.join(assign, Seq("doc_id"))
       }
+    // every persisted slice frame gets its LINEAGE CUT (a LogicalRDD
+    // leaf over the materialized cache): without it, slice i's plan
+    // embeds every prior slice's full tree several times over
+    // (fuzzyKeyKept references its store side repeatedly), and the
+    // resulting near-exponential plan STRING froze the sf10 campaign's
+    // driver inside TreeNode.generateTreeString — rendered once per
+    // job for the SQL-start event — before a single task was slow.
+    // The cut frame still reads the cache; an evicted block recomputes
+    // through the RDD lineage, so nothing ships through task results
+    // (the round-3 localCheckpoint trap).
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     val keep = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val hold = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
@@ -188,28 +200,30 @@ object IngestFuzzy {
     for (i <- 0 until nSlices) {
       val t0 = System.nanoTime
       val slice = sliced.where(col("__slice") === i).drop("__slice")
-      val sliceBase = slice.where(col(keyCol).isNotNull)
+      val sliceBase0 = slice.where(col(keyCol).isNotNull)
         .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
         .withColumn("len", length(col("s")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nk = sliceBase.count()
+      val nk = sliceBase0.count()
+      val sliceBase = cut(sliceBase0)
       val (sb, ss) =
         if (extraBase == null) (storeBase, storeSegs)
         else (storeBase.unionByName(extraBase),
               storeSegs.unionByName(extraSegs))
       val keptIds = Dedup.fuzzyKeyKept(sliceBase, sb, d, minSeg, Some(ss))
         .select(col("id").as("doc_id"))
-      val kept = slice.join(keptIds, Seq("doc_id"), "left_semi")
+      val kept0 = slice.join(keptIds, Seq("doc_id"), "left_semi")
         .unionByName(slice.where(col(keyCol).isNull))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      kept.count()
-      keep += kept
-      hold += sliceBase
+      kept0.count()
+      keep += kept0
+      hold += sliceBase0
       if (i < nSlices - 1) { // the last slice's keys probe nothing
-        val segsI = Dedup.edIndexSegs(sliceBase, d, minSeg)
+        val segsI0 = Dedup.edIndexSegs(sliceBase, d, minSeg)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        segsI.count()
-        hold += segsI
+        segsI0.count()
+        val segsI = cut(segsI0)
+        hold += segsI0
         extraBase =
           if (extraBase == null) sliceBase else extraBase.unionByName(sliceBase)
         extraSegs =
@@ -217,7 +231,7 @@ object IngestFuzzy {
       }
       stats += ((nk, (System.nanoTime - t0) / 1e9))
     }
-    val kept = keep.reduce(_.unionByName(_))
+    val kept = keep.map(cut).reduce(_.unionByName(_))
     (kept, () => {
       b.unpersist(blocking = false)
       (keep ++ hold).foreach(_.unpersist(blocking = false))

@@ -83,6 +83,7 @@ object IngestPipeline {
                    lexPath: Option[String] = None,
                    fuzzyStorePath: Option[String] = None,
                    fuzzyKeyCol: String = "key",
+                   fuzzyMaxKeys: Int = 10000,
                    timings: Option[scala.collection.mutable.Map[String, Double]]
                      = None): Long = {
     // optional per-stage wall-clock capture (ScaleReport's composed
@@ -123,7 +124,8 @@ object IngestPipeline {
       case Some(fp) =>
         val (k1, sigs1, rel1) =
           t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
-        val (k2, rel2) = t("gate_fuzzy")(IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol))
+        val (k2, rel2) = t("gate_fuzzy")(
+          IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol, fuzzyMaxKeys))
         (k2, sigs1, () => { rel2(); rel1() })
     }
     val nKept = t("gate_count")(kept.count())

@@ -445,6 +445,42 @@ class IngestPipelineSpec extends SparkSpec {
       rows(TextAnalysis.bm25TopK(keptCorpus, terms, 20)))
   }
 
+  test("composed pipeline with fuzzy auto-split: slice fold == unsplit, all stores") {
+    import graft.streaming.IngestFuzzy
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"doc_id", $"text", $"embedding",
+        substring($"text", 1, 40).as("key"))
+    def run(maxKeys: Int): (Set[Long], Seq[(Long, String)]) = {
+      val idxP = tmp(s"pipesp_idx$maxKeys")
+      val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+      Similarity.ivfSave(seedIdx, idxP)
+      seedIdx.release()
+      val (sigs, out, tele, fz) = (tmp(s"pipesp_sigs$maxKeys"),
+        tmp(s"pipesp_out$maxKeys"), tmp(s"pipesp_tele$maxKeys"),
+        tmp(s"pipesp_fz$maxKeys"))
+      IngestFuzzy.fuzzySave(spark,
+        Seq.empty[(Long, String)].toDF("id", "s"), fz, maxDist = 2)
+      Seq(base.where($"doc_id" >= 300 && $"doc_id" < 380),
+          base.where($"doc_id" >= 380 && $"doc_id" < 450))
+        .zipWithIndex.foreach { case (b, i) =>
+          IngestPipeline.processBatch(b, i.toLong, sigs, out, idxP, tele, 0.5,
+            fuzzyStorePath = Some(fz), fuzzyMaxKeys = maxKeys)
+        }
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSet,
+       spark.read.parquet(s"$fz/keys").orderBy("id")
+         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    }
+    val unsplit = run(1000000)
+    val split = run(16) // ~5 slices per batch inside the composed gate
+    assert(split == unsplit)
+    assert(unsplit._1.nonEmpty)
+  }
+
   test("fuzzy-key gate composes in series: equals the standalone two-gate fold") {
     import graft.streaming.IngestFuzzy
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -329,6 +329,49 @@ class LinkageSpec extends SparkSpec {
   private val rules2 = Seq(LevRule("head", 2), ExactRule("source"),
     BandRule("n_chars", 5))
 
+  test("unsupervised end-to-end: EM weights drive score → resolve → merge") {
+    import graft.operators.Linkage.{ExactRule, Longest, PreferA}
+    // same splitmix-planted corpus as the recovery test, folded through
+    // the whole pipeline with NO clerical numbers anywhere: fit → LLR
+    // weights → linkScores at the zero threshold (agree-majority
+    // evidence) → mutual-best → golden records
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def h(e: Long, salt: Long): Long = {
+      val v = mix(e * 1000L + salt) % 1000000L
+      if (v < 0) v + 1000000L else v
+    }
+    def f(e: Long, i: Long) = s"w${h(e, i) % 10}"
+    val ents = (0L until 500L)
+    val a = ents.map(e => (e, e / 10, f(e, 0), f(e, 1), f(e, 2)))
+      .toDF("id", "block", "f0", "f1", "f2")
+    val b = ents.map { e =>
+      def side(i: Long, mPlanted: Long) =
+        if (h(e, 100 + i) % 1000 < mPlanted) f(e, i)
+        else s"w${(h(e, i) % 10 + 1) % 10}"
+      (1000L + e, e / 10, side(0, 900), side(1, 750), side(2, 950))
+    }.toDF("id", "block", "f0", "f1", "f2")
+    val emRules = Seq(ExactRule("f0"), ExactRule("f1"), ExactRule("f2"))
+    val prm = Linkage.emFitParams(
+      Linkage.fieldAgreements(a, b, emRules), Seq("f0", "f1", "f2"))
+    val w = Linkage.emWeights(prm)
+    val matches = Linkage.bestMatch(Linkage.linkScores(a, b, emRules, w, 0))
+    val got = matches.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = ents.map(e => (e, 1000L + e)).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    val precision = (got & planted).size.toDouble / got.size
+    assert(recall >= 0.8, s"recall=$recall")
+    assert(precision >= 0.8, s"precision=$precision") // mutual-best prunes noise
+    // and the merge stage consumes the matches untouched
+    val golden = Linkage.goldenRecords(matches, a, b,
+      Seq(Longest("f0"), PreferA("f1"), PreferA("f2")))
+    assert(golden.count() == got.size)
+  }
+
   test("emFitParams refuses an empty pair set; degenerate inputs stay clamped") {
     import graft.operators.Linkage.ExactRule
     val a = Seq((1L, "b", "x")).toDF("id", "block", "f")

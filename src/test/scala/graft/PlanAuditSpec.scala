@@ -475,6 +475,15 @@ class PlanAuditSpec extends SparkSpec {
       s"read ${ss.head.selectedPartitions.partitionCount} bucket partitions for 3 terms")
     // and the term predicate still pushes into the parquet row groups
     assert(ss.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
+    // the pruning survives a REBALANCE: probes recompute buckets from
+    // the new meta, and the finer geometry reads no more partitions
+    graft.operators.Lexical.lexRebalance(spark, store, 61)
+    val slice2 = graft.operators.Lexical.lexSlice(
+      spark, store, Seq("spark", "merge", "dup"))
+    val ss2 = scans(slice2.queryExecution.sparkPlan)
+    assert(ss2.head.partitionFilters.nonEmpty)
+    assert(ss2.head.selectedPartitions.partitionCount <= 3)
+    assert(ss2.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
   }
 
   test("q175 SNM: the only single-partition window is the nParts-row offset frame") {
