@@ -983,6 +983,18 @@ object SparkEntry {
       val (a, b) = linkageFeeds(s, d)
       Linkage.emPosteriors(a, b, linkageRules, 500000L)
     }),
+    // the MULTI-feed closure: connected components over the scored
+    // match graph (threshold 680 admits the source+length band, so
+    // one record can link several partners and clusters grow past
+    // pairs), every record labeled by its cluster's smallest id —
+    // GraphX CC on verified links, the recursive-CTE oracle replays it
+    "q184_linkage_clusters" -> ((s, d) => {
+      val (a, b) = linkageFeeds(s, d)
+      Linkage.entityClusters(a, b,
+        Linkage.linkScores(a, b, linkageRules,
+          Map("head" -> (200, -300), "source" -> (430, -300),
+              "n_chars" -> (550, -400)), 680))
+    }),
     // the skewed-block mitigation under the hash gate: q172's
     // u-estimator computed over SALTED blocking (a-side salt, b-side
     // replicate-to-all, join on (block, salt)) — every pair meets
@@ -1717,6 +1729,33 @@ object SparkEntry {
       FROM h ORDER BY shard, pos""",
     // blocked pairs are ≈ all non-matches, so per-field agreement ppm
     // over them IS the Fellegi-Sunter u estimate
+    // CC over the thresholded match graph: reach = symmetric closure +
+    // self loops, entity = min reachable id (the q72 recursive pattern)
+    "q184_linkage_clusters" -> """
+      WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      a AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d),
+      b AS (SELECT doc_id + 100000 AS id, lang AS block,
+                   substr(text, 1, 23) AS head, source,
+                   n_chars + 3 AS n_chars FROM d),
+      s AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((CASE WHEN levenshtein(a.head, b.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN a.source = b.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(a.n_chars - b.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM a JOIN b USING (block)),
+      l AS (SELECT id_a, id_b FROM s WHERE score >= 680),
+      v AS (SELECT id FROM a UNION SELECT id FROM b),
+      e AS (SELECT id_a AS x, id_b AS y FROM l
+            UNION SELECT id_b, id_a FROM l),
+      reach(src, dst) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT r.src, e.y FROM reach r JOIN e ON r.dst = e.x)
+      SELECT src AS id, MIN(dst) AS entity
+      FROM reach GROUP BY 1 ORDER BY id""",
     // the salted plan must produce the UNSALTED answer — q172's oracle
     // verbatim is the point
     "q182_linkage_salted" -> """

@@ -351,6 +351,37 @@ object Linkage {
       .orderBy("id_a", "id_b")
   }
 
+  /** Entity clustering — the MULTI-feed closure of the pipeline:
+    * connected components over the match graph (every record id from
+    * both feeds a vertex, every scored link an edge), each record
+    * labeled by its cluster's smallest id. Where `bestMatch` forces
+    * 1:1 across exactly two feeds, this is the standard resolution
+    * when one entity may surface several times per feed or across
+    * more than two (union the per-feed-pair link sets first). GraphX
+    * CC on VERIFIED links only — the q72 discipline: the closure runs
+    * on the thresholded match set, never on blocking candidates.
+    * Input: both record frames (ids) + `linkScores` output; output
+    * (id, entity), deterministic order. */
+  def entityClusters(a: DataFrame, b: DataFrame,
+                     links: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ids = a.select(col("id").cast("long").as("id"))
+      .unionByName(b.select(col("id").cast("long").as("id")))
+      .distinct()
+    val raw = links.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val comp =
+      if (raw.isEmpty()) Seq.empty[(Long, Long)].toDF("id", "entity")
+      else org.apache.spark.graphx.Graph.fromEdgeTuples(raw, 1)
+        .connectedComponents().vertices
+        .map { case (id, c) => (id: Long, c: Long) }
+        .toDF("id", "entity")
+    ids.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
+      .orderBy("id")
+  }
+
   sealed trait MergeRule { def field: String }
   /** Keep the a-side value (the registry wins). */
   final case class PreferA(field: String) extends MergeRule

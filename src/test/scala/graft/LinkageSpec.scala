@@ -372,6 +372,25 @@ class LinkageSpec extends SparkSpec {
     assert(golden.count() == got.size)
   }
 
+  test("entityClusters: transitive closure over links, singletons keep their id") {
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "x"))
+      .toDF("id", "f").withColumn("block", lit("b"))
+    val b = Seq((101L, "x"), (102L, "x"), (110L, "x"))
+      .toDF("id", "f").withColumn("block", lit("b"))
+    // links chain 1-101-2-102-3 into ONE entity; 10 and 110 stay alone
+    val links = Seq((1L, 101L, 5), (2L, 101L, 5), (2L, 102L, 5), (3L, 102L, 5))
+      .toDF("id_a", "id_b", "score")
+    val got = Linkage.entityClusters(a, b, links)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 101L, 102L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(110L) == 110L)
+    assert(got.size == 7)
+    // empty link set: every record is its own entity
+    val none = Linkage.entityClusters(a, b, links.limit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(none.forall(p => p._1 == p._2) && none.length == 7)
+  }
+
   test("emFitParams refuses an empty pair set; degenerate inputs stay clamped") {
     import graft.operators.Linkage.ExactRule
     val a = Seq((1L, "b", "x")).toDF("id", "block", "f")
