@@ -201,6 +201,17 @@ class IngestFuzzySpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/keys").count() == 1L)
   }
 
+  test("split fold passes an all-null-key batch through untouched") {
+    val (store, out) = (tmp("fz_nullsplit_store"), tmp("fz_nullsplit_out"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq(1L -> "some kept key").toDF("id", "s"), store, maxDist = 2)
+    val batch = (100L until 125L).map(i => (i, null: String))
+      .toDF("doc_id", "key")
+    assert(IngestFuzzy.processBatch(batch, store, out, maxKeys = 10) == 25L)
+    assert(spark.read.parquet(out).count() == 25L)
+    assert(spark.read.parquet(s"$store/keys").count() == 1L) // nulls never enter
+  }
+
   test("store with keys but zero segment files still gates (short keys)") {
     // every kept key shorter than minSeg*(d+1)-d cuts no segments, so
     // segs/ holds only _SUCCESS after the append — the gate must fall

@@ -97,6 +97,26 @@ class LexicalSpec extends SparkSpec {
     assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == before)
   }
 
+  test("lexMaintain interleaved with appends: geometry grows, searches stay exact") {
+    // the streaming-adjacent discipline: append batches, run the
+    // growth gate between them (never concurrently), and the final
+    // store must still reproduce the one-shot scorer bit-for-bit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_maintfold")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 100), dir, nBuckets = 1)
+    val cuts = Seq(100L, 200L, 300L, 400L, Long.MaxValue)
+    var geoms = List(1)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      Lexical.lexAppendSave(spark, dir,
+        docs.where($"doc_id" >= lo && $"doc_id" < hi), i + 1L)
+      geoms ::= Lexical.lexMaintain(spark, dir,
+        targetRowsPerBucket = 500L, growFactor = 2)
+    }
+    assert(geoms.max > 1, s"geometry never grew: $geoms")
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) ==
+      asSeq(TextAnalysis.bm25TopK(docs, terms, 20)))
+  }
+
   test("rrfFusionStores equals the in-memory rrfFusion rank-for-rank") {
     import graft.operators.Similarity
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
