@@ -1143,6 +1143,21 @@ object ScaleReport {
       }
       println(f"""{"op":"fuzzysplit_total","slices":${stats.size},"kept":$nKept,"sec":$tot%.2f}""")
       release()
+      // the direct A/B yardstick: the SAME sub-batch through the gate
+      // split (10 k slices) vs unsplit, against the same store (the
+      // gate writes nothing, so the store is identical for both).
+      // Bounded at 100 k keys and declared — the unsplit in-batch term
+      // is the round-9 quadratic, ~8 min at 100 k on these keys.
+      val yard = math.min(100000L, nDocs - half)
+      val yBatch = keys.where(col("doc_id") >= half &&
+        col("doc_id") < half + yard)
+      for ((label, mk) <- Seq("split" -> 10000, "unsplit" -> Int.MaxValue)) {
+        val t1 = System.nanoTime()
+        val (k2, rel2, st) = IngestFuzzy.gateBatchStats(yBatch, dir, "key", mk)
+        val n2 = k2.count()
+        rel2(); release()
+        println(f"""{"op":"fuzzysplit_yardstick_$label","keys":$yard,"slices":${st.size},"kept":$n2,"sec":${(System.nanoTime() - t1) / 1e9}%.2f}""")
+      }
     }
 
     // Linkage blocking under a PLANTED skewed block (round-10): one

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is integer-exact so the DuckDB oracle hash-matches:
   * agreements are 0/1 ints, u-rates are exact ppm integer divisions,
-  * and scores take the weights as CALLER-SUPPLIED integers — the
-  * standard practice of fixing the weights offline (from `uRates` plus
-  * clerically-estimated m, e.g. w = round(1000·log2(m/u))) and scoring
-  * at scale with pure integer arithmetic. No EM fit: on an unlabeled
-  * corpus the u side is measurable (blocked pairs are overwhelmingly
-  * non-matches — the Fellegi-Sunter estimator), the m side is a
-  * declared error model, and both live OUTSIDE the hot path.
+  * and scoring is pure integer arithmetic. Weights come from either
+  * path: UNSUPERVISED via `emFitParams` (fixed-point integer EM over
+  * the agreement-pattern histogram — itself oracle-exact, q180/q181)
+  * with `emWeights` deriving the integer LLRs, or CALLER-SUPPLIED
+  * clerical integers (u from `uRates` plus a declared m error model,
+  * w = round(1000·log2(m/u)) fixed offline) as the override. Either
+  * way the model lives OUTSIDE the hot path and the row-scoring never
+  * sees a float.
   *
   * Field rules:
   *  - `LevRule(f, d)`   string field, agree ⇔ levenshtein ≤ d
@@ -194,8 +195,9 @@ object Linkage {
     * m_<field>_ppm, u_<field>_ppm …), hash-checkable against the
     * unrolled-EM DuckDB oracle (q180). */
   def emFit(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
-            iters: Int = 15): DataFrame = {
-    val prm = emFitParams(fieldAgreements(a, b, rules), rules.map(_.field), iters)
+            iters: Int = 15, salt: Int = 1): DataFrame = {
+    val prm = emFitParams(fieldAgreements(a, b, rules, salt),
+      rules.map(_.field), iters)
     val spark = a.sparkSession
     val cols = Seq("pairs", "p_ppm") ++
       prm.fields.flatMap(f => Seq(s"m_${f}_ppm", s"u_${f}_ppm"))
@@ -217,9 +219,10 @@ object Linkage {
     * 2^#fields rows, broadcast onto one pass over the pairs. Output
     * (id_a, id_b, post_ppm ≥ threshold), deterministic order. */
   def emPosteriors(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
-                   thresholdPpm: Long, iters: Int = 15): DataFrame = {
+                   thresholdPpm: Long, iters: Int = 15,
+                   salt: Int = 1): DataFrame = {
     val fields = rules.map(_.field)
-    val ag = fieldAgreements(a, b, rules)
+    val ag = fieldAgreements(a, b, rules, salt)
     val prm = emFitParams(ag, fields, iters)
     val spark = a.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
@@ -260,14 +263,14 @@ object Linkage {
     * a lower threshold to surface the clerical-review band. */
   def linkScores(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
                  weights: Map[String, (Int, Int)],
-                 threshold: Int): DataFrame = {
+                 threshold: Int, salt: Int = 1): DataFrame = {
     require(rules.forall(r => weights.contains(r.field)),
       s"weights must cover every rule field: ${rules.map(_.field)}")
     val score = rules.map { r =>
       val (wA, wD) = weights(r.field)
       when(col(s"agree_${r.field}") === 1, lit(wA)).otherwise(lit(wD))
     }.reduce(_ + _)
-    fieldAgreements(a, b, rules)
+    fieldAgreements(a, b, rules, salt)
       .withColumn("score", score.cast("int"))
       .where(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
