@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, length, lit}
+import org.apache.spark.sql.functions.{col, expr, length, lit, when}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
 
@@ -167,18 +167,32 @@ object IngestFuzzy {
         (sb, segs)
       } else // seeded-empty store: no data files yet, appends create them
         (emptyBase, Dedup.edIndexSegs(emptyBase, d, minSeg))
-    // id-ordered slice assignment; a well-sized batch is one slice and
-    // skips the rank join entirely
+    // id-ordered slice assignment from DRIVER-SIDE quantile boundaries
+    // — computed once, then pure literals in a projection over the
+    // persisted batch, so every slice job sees the identical
+    // assignment BY CONSTRUCTION. A rank-based assignment is NOT safe
+    // here: the fold reads it from many separate jobs, and
+    // globalRank's two references to its range-partitioned frame can
+    // materialize as two concurrent AQE stages that each sample their
+    // own boundaries — ranks and offsets then disagree, some ranks
+    // overflow the slice range, and keys silently land in NO slice
+    // (found as a flaky split-vs-unsplit parity break at 10 k+ keys;
+    // single-query users like snmPairs reuse the one exchange and are
+    // safe). Quantile error only skews slice SIZES a fraction of a
+    // percent — slices stay id-ordered and disjoint-covering exactly,
+    // which is all parity needs. Empty slices (duplicate boundaries)
+    // fold through harmlessly.
     val nSlices = (((n max 1L) + maxKeys - 1) / maxKeys).toInt
     val sliced =
       if (nSlices <= 1) b.withColumn("__slice", lit(0))
       else {
-        val assign = graft.operators.Linkage.globalRank(
-            b.select(col("doc_id").cast("long").as("id"),
-              col("doc_id").cast("long").as("skey")), 32)
-          .select(col("id").as("doc_id"),
-            expr(s"CAST((rank - 1) div $maxKeys AS INT)").as("__slice"))
-        b.join(assign, Seq("doc_id"))
+        val probs = (1 until nSlices).map(_.toDouble / nSlices).toArray
+        val bounds = b.select(col("doc_id").cast("double").as("d"))
+          .stat.approxQuantile("d", probs, 0.001)
+        val sliceCol = bounds.foldLeft(lit(0)) { (acc, bv) =>
+          acc + when(col("doc_id").cast("double") > lit(bv), 1).otherwise(0)
+        }
+        b.withColumn("__slice", sliceCol.cast("int"))
       }
     // every persisted slice frame gets its LINEAGE CUT (a LogicalRDD
     // leaf over the materialized cache): without it, slice i's plan
