@@ -996,14 +996,18 @@ object SparkEntry {
               "n_chars" -> (550, -400)), 680))
     }),
     // the skewed-block mitigation under the hash gate: q172's
-    // u-estimator computed over SALTED blocking (a-side salt, b-side
-    // replicate-to-all, join on (block, salt)) — every pair meets
-    // exactly once, so the UNSALTED oracle hash-matches it verbatim,
-    // which is the whole claim: salting changes the shuffle, never the
-    // answer
+    // u-estimator computed over AUTO-salted blocking — per-block pair
+    // counts decide which blocks get salted and by how much
+    // (targetPairs is set low enough that the driver slice's blocks
+    // genuinely salt, so the hash gate exercises the hot path, not
+    // just the plumbing); every pair still meets exactly once, so the
+    // UNSALTED oracle hash-matches it verbatim, which is the whole
+    // claim: salting — manual or auto — changes the shuffle, never
+    // the answer
     "q182_linkage_salted" -> ((s, d) => {
       val (a, b) = linkageFeeds(s, d)
-      Linkage.uRates(a, b, linkageRules, salt = 8)
+      Linkage.uRatesFrom(Linkage.fieldAgreementsAuto(a, b, linkageRules,
+        targetPairs = 1000L, maxSalt = 8), linkageRules)
     }),
     // survivorship under the RECENCY rule: same resolve as q177, but
     // head precedence goes to the feed with the later ingest timestamp

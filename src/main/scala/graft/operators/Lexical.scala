@@ -203,15 +203,21 @@ object Lexical {
     * new geometry via the same meta read.
     *
     * Staged like `Stores.rewriteDeduped`: the full new postings land
-    * at `postings.rebal`, count-verified, then delete-and-rename, then
-    * meta/ is overwritten. Run offline, never concurrently with
-    * ingest. Crash windows: before the rename — the old store is
-    * untouched and `.rebal` is garbage to collect; between the rename
-    * and the meta write — postings are partitioned by the NEW
-    * geometry while meta still names the old one, and probes can miss
-    * rows until a re-run of lexRebalance repairs it (same documented
-    * offline-maintenance window as the CMS generation prune).
-    * Returns the postings row count. */
+    * at `postings.rebal`, COUNT-VERIFIED against the source (a row
+    * lost in the rewrite aborts before anything is touched), then the
+    * swap runs rename-aside — postings → postings.old, .rebal →
+    * postings, delete .old — with every rename/delete boolean checked,
+    * so no crash or silent filesystem failure ever leaves the store
+    * without a readable postings copy. Run offline, never concurrently
+    * with ingest. Crash windows: before the first rename — the old
+    * store is untouched and `.rebal` is garbage to collect; between
+    * the two renames — postings/ is absent but postings.old holds the
+    * full old copy (rename it back, or re-run lexRebalance from it);
+    * between the promote and the meta write — postings are partitioned
+    * by the NEW geometry while meta still names the old one, and
+    * probes can miss rows until a re-run of lexRebalance repairs it
+    * (same documented offline-maintenance window as the CMS generation
+    * prune). Returns the postings row count. */
   def lexRebalance(spark: SparkSession, path: String, nBuckets: Int): Long = {
     require(hadoopExists(spark, s"$path/meta"),
       s"$path is not a lexSave store (missing meta/)")
@@ -220,14 +226,25 @@ object Lexical {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$path/postings")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/postings.rebal")
+    val old = new org.apache.hadoop.fs.Path(s"$path/postings.old")
+    // a stale .old from a crashed prior run: postings/ exists, so the
+    // prior run either completed or never promoted — safe to clear
+    if (fs.exists(old))
+      require(fs.delete(old, true), s"could not clear stale $old")
+    val before = spark.read.parquet(p.toString).count()
     spark.read.parquet(p.toString)
       .withColumn("bucket",
         pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
       .repartition(col("bucket")) // one file per bucket, not per task
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    require(n == before,
+      s"rebalanced postings lost rows ($before -> $n); aborting with " +
+        s"the store untouched — $tmp left for inspection")
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed " +
+      s"(old postings preserved at $old — rename back to recover)")
+    require(fs.delete(old, true), s"could not delete $old")
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -250,7 +267,13 @@ object Lexical {
     val rows = spark.read.parquet(s"$path/postings").count()
     if (rows / nBuckets <= growFactor * targetRowsPerBucket) nBuckets
     else {
-      val want = ((rows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+      val wantL = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
+      // Long→Int truncation guard: a pathological rows/target ratio
+      // must fail loudly, not hand lexRebalance a wrapped bucket count
+      require(wantL <= Int.MaxValue,
+        s"ceil($rows / $targetRowsPerBucket) = $wantL buckets overflows " +
+          "Int — raise targetRowsPerBucket")
+      val want = wantL.toInt
       lexRebalance(spark, path, want)
       want
     }

@@ -81,27 +81,103 @@ object Linkage {
     * fraction of records. AQE is NOT a substitute here: its skew
     * split fires on input-partition bytes, and a hot block's input is
     * tiny while its pair output is quadratic, so no split ever comes
-    * (measured — ScaleReport linkskew, planted 10 % block). */
+    * (measured — ScaleReport linkskew, planted 10 % block).
+    *
+    * `salt = 0` is AUTO: per-block pair counts pick which blocks get
+    * salted and by how much (`fieldAgreementsAuto`) — cold blocks stay
+    * on the plain join, hot blocks each get ceil(pairs / target). */
   def fieldAgreements(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
                       salt: Int = 1): DataFrame = {
     require(rules.nonEmpty, "at least one field rule")
-    require(salt >= 1, "salt must be >= 1")
+    require(salt >= 0, "salt must be >= 1, or 0 for auto")
     require(rules.map(_.field).distinct.size == rules.size,
       s"one rule per field (two rules on one field would emit duplicate " +
         s"agree_<field> columns): ${rules.map(_.field)}")
+    if (salt == 0) return fieldAgreementsAuto(a, b, rules)
     val fields = rules.map(_.field).distinct
-    def side(df: DataFrame, tag: String) =
-      df.select((col("id").cast("long").as(s"id_$tag") +: col("block").as("block") +:
-        fields.map(f => col(f).as(s"${f}_$tag"))): _*)
     val joined =
-      if (salt == 1) side(a, "a").join(side(b, "b"), Seq("block"))
-      else side(a, "a")
+      if (salt == 1) sideProj(a, "a", fields).join(sideProj(b, "b", fields),
+        Seq("block"))
+      else sideProj(a, "a", fields)
         .withColumn("__salt",
           pmod(xxhash64(col("id_a")), lit(salt)).cast("int"))
-        .join(side(b, "b").withColumn("__salt",
+        .join(sideProj(b, "b", fields).withColumn("__salt",
           explode(array((0 until salt).map(lit): _*))),
           Seq("block", "__salt"))
     joined.select((col("id_a") +: col("id_b") +: rules.map(agreeCol)): _*)
+  }
+
+  private def sideProj(df: DataFrame, tag: String,
+                       fields: Seq[String]): DataFrame =
+    df.select((col("id").cast("long").as(s"id_$tag") +:
+      col("block").as("block") +:
+      fields.map(f => col(f).as(s"${f}_$tag"))): _*)
+
+  /** Auto-salt trigger: a block whose a×b pair volume exceeds this
+    * gets its own salt factor ceil(pairs / target). 64 M pairs is a
+    * few seconds of codegen'd agreement projection per reducer
+    * (linkskew campaign measured ~4×10⁸ pairs ≈ 10 s). */
+  val AutoSaltTargetPairs: Long = 64L << 20
+  /** Auto-salt cap — bounds the b-side replication volume
+    * (cb × nsalt rows shuffled) however explosive the block. */
+  val AutoMaxSalt: Int = 64
+
+  /** The statistics frame behind auto-salting: blocks whose pair
+    * volume a×b exceeds `targetPairs`, each with its integer salt
+    * factor `nsalt = min(ceil(pairs / target), maxSalt)`. Cost is two
+    * map-side-combined count aggregates — microscopic next to the
+    * pair join they protect. At most totalPairs / targetPairs rows by
+    * construction, so it rides a broadcast. */
+  private[graft] def hotBlocks(a: DataFrame, b: DataFrame,
+                               targetPairs: Long,
+                               maxSalt: Int): DataFrame = {
+    val ca = a.groupBy("block").agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy("block").agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("block"))
+      .where(col("ca") * col("cb") > targetPairs)
+      .select(col("block"), expr(
+        s"CAST(least((ca * cb + $targetPairs - 1) div $targetPairs, " +
+          s"$maxSalt) AS INT)").as("nsalt"))
+  }
+
+  /** Block-size-driven salting — the AUTO mode of the skew dial
+    * (`fieldAgreements(salt = 0)` routes here): one block-key count
+    * aggregate per side finds blocks whose pair volume exceeds
+    * `targetPairs`, and ONLY those get salted, each with its own
+    * factor ceil(pairs / target) capped at `maxSalt`; cold blocks join
+    * exactly as the unsalted plan (their salt is the constant 0 on
+    * both sides). Output-identical to every manual salt by the q182
+    * construction — each (a, b) pair in a block still meets exactly
+    * once — and pinned bit-equal in LinkageSpec.
+    *
+    * This is the automatic answer to the round-10 finding that AQE
+    * CANNOT fire here (its skew split keys on shuffle input bytes; a
+    * hot block's input is kilobytes while its join output is
+    * quadratic): the operator measures the explosion directly — in
+    * pair units, the thing that actually costs — and spreads exactly
+    * the blocks that need it. The b-side price is replication
+    * cb × nsalt on hot blocks only. */
+  def fieldAgreementsAuto(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+                          targetPairs: Long = AutoSaltTargetPairs,
+                          maxSalt: Int = AutoMaxSalt): DataFrame = {
+    require(rules.nonEmpty, "at least one field rule")
+    require(targetPairs >= 1 && maxSalt >= 1, "positive sizing")
+    require(rules.map(_.field).distinct.size == rules.size,
+      s"one rule per field: ${rules.map(_.field)}")
+    val fields = rules.map(_.field).distinct
+    val hot = hotBlocks(a, b, targetPairs, maxSalt)
+    val sa = sideProj(a, "a", fields)
+      .join(broadcast(hot), Seq("block"), "left")
+      .withColumn("__salt", coalesce(
+        pmod(xxhash64(col("id_a")), col("nsalt")).cast("int"), lit(0)))
+      .drop("nsalt")
+    val sb = sideProj(b, "b", fields)
+      .join(broadcast(hot), Seq("block"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("nsalt"), lit(1)) - 1)))
+      .drop("nsalt")
+    sa.join(sb, Seq("block", "__salt"))
+      .select((col("id_a") +: col("id_b") +: rules.map(agreeCol)): _*)
   }
 
   /** The u-probabilities, measured: per-field agreement rate over ALL
@@ -111,12 +187,16 @@ object Linkage {
     * u_<field>_ppm …). Feed these plus a clerical m into the weight
     * formula offline; the scoring stays integer. */
   def uRates(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
-             salt: Int = 1): DataFrame = {
-    val ag = fieldAgreements(a, b, rules, salt)
-    ag.agg(count(lit(1)).as("pairs"),
-        rules.map(r => expr(s"(sum(agree_${r.field}) * 1000000) div count(1)")
-          .as(s"u_${r.field}_ppm")): _*)
-  }
+             salt: Int = 1): DataFrame =
+    uRatesFrom(fieldAgreements(a, b, rules, salt), rules)
+
+  /** `uRates` over a precomputed agreements frame — lets callers pick
+    * the blocking plan (manual salt, `fieldAgreementsAuto` with
+    * explicit dials) without re-stating the estimator. */
+  def uRatesFrom(agreements: DataFrame, rules: Seq[FieldRule]): DataFrame =
+    agreements.agg(count(lit(1)).as("pairs"),
+      rules.map(r => expr(s"(sum(agree_${r.field}) * 1000000) div count(1)")
+        .as(s"u_${r.field}_ppm")): _*)
 
   /** The EM-fitted Fellegi-Sunter parameters, all in exact ppm
     * integers: match prior `pPpm`, per-field m/u, and the per-pattern
@@ -220,23 +300,42 @@ object Linkage {
     * (id_a, id_b, post_ppm ≥ threshold), deterministic order. */
   def emPosteriors(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
                    thresholdPpm: Long, iters: Int = 15,
-                   salt: Int = 1): DataFrame = {
+                   salt: Int = 1): DataFrame =
+    emPosteriorsScoped(a, b, rules, thresholdPpm, iters, salt)._1
+
+  /** `emPosteriors` with an explicit release hook for the returned
+    * persisted frame (the `multiClassifierScoped` contract). The
+    * blocked-pair join is the expensive stage and feeds BOTH the fit's
+    * histogram and the posterior join — it is persisted once (the
+    * round-1 shared-subplan rule: Spark re-executes shared subplans),
+    * the result is materialized from that cache, and the agreements
+    * cache is released before returning, so the join runs exactly once
+    * however many actions the caller issues. */
+  def emPosteriorsScoped(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+                         thresholdPpm: Long, iters: Int = 15,
+                         salt: Int = 1): (DataFrame, () => Unit) = {
     val fields = rules.map(_.field)
     val ag = fieldAgreements(a, b, rules, salt)
-    val prm = emFitParams(ag, fields, iters)
-    val spark = a.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      fields.map(f => org.apache.spark.sql.types.StructField(s"agree_$f",
-        org.apache.spark.sql.types.IntegerType, nullable = false)) :+
-        org.apache.spark.sql.types.StructField("post_ppm",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val pat = spark.createDataFrame(
-      spark.sparkContext.parallelize(prm.patterns.map { case (g, _, w) =>
-        org.apache.spark.sql.Row.fromSeq(g :+ w) }, 1), schema)
-    ag.join(broadcast(pat), fields.map(f => s"agree_$f"))
-      .where(col("post_ppm") >= thresholdPpm)
-      .select(col("id_a"), col("id_b"), col("post_ppm"))
-      .orderBy("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val prm = emFitParams(ag, fields, iters) // fills the ag cache
+      val spark = a.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        fields.map(f => org.apache.spark.sql.types.StructField(s"agree_$f",
+          org.apache.spark.sql.types.IntegerType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField("post_ppm",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      val pat = spark.createDataFrame(
+        spark.sparkContext.parallelize(prm.patterns.map { case (g, _, w) =>
+          org.apache.spark.sql.Row.fromSeq(g :+ w) }, 1), schema)
+      val res = ag.join(broadcast(pat), fields.map(f => s"agree_$f"))
+        .where(col("post_ppm") >= thresholdPpm)
+        .select(col("id_a"), col("id_b"), col("post_ppm"))
+        .orderBy("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      (res, () => res.unpersist(blocking = false))
+    } finally ag.unpersist(blocking = false)
   }
 
   /** Integer log-likelihood-ratio weights from fitted parameters —

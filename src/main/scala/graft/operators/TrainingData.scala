@@ -1014,11 +1014,23 @@ object TrainingData {
       .groupBy("w", "cls").agg(sum(col("c")).as("cwc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clsTot = counts.groupBy("cls").agg(sum(col("cwc")).as("n_c"))
-    val minClsRow = clsTot.agg(min(col("cls"))).head()
-    require(!minClsRow.isNullAt(0),
-      "labels is empty or shares no doc_id with docs — every prediction " +
-        "would be null; fix the label join instead")
-    val minCls = minClsRow.getString(0)
+    // Validate BEFORE the happy path continues — but the two frames
+    // above are already persisted, so a throw here must release them
+    // or the dead cache entries swap into other suites' plan audits
+    // (the round-6 CacheManager hazard).
+    val minCls =
+      try {
+        val minClsRow = clsTot.agg(min(col("cls"))).head()
+        require(!minClsRow.isNullAt(0),
+          "labels is empty or shares no doc_id with docs — every prediction " +
+            "would be null; fix the label join instead")
+        minClsRow.getString(0)
+      } catch {
+        case e: Throwable =>
+          tc.unpersist(blocking = false)
+          counts.unpersist(blocking = false)
+          throw e
+      }
     val model = counts.join(broadcast(clsTot), Seq("cls"))
       .select(col("w"), col("cls"),
         expr("(cwc * 1000000L) div n_c").as("w_ppm"))

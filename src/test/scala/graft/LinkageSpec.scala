@@ -299,8 +299,10 @@ class LinkageSpec extends SparkSpec {
     Linkage.emWeights(prm).values.foreach { case (wA, wD) =>
       assert(wA > 0 && wD < 0) }
     // posterior scoring at the Bayes point recovers the planted matches
-    val hits = Linkage.emPosteriors(a, b, emRules, 500000L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (postDf, release) = Linkage.emPosteriorsScoped(a, b, emRules, 500000L)
+    val hits =
+      try postDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally release()
     val matched = ents.map(e => (e, 1000L + e)).toSet
     val recall = (hits & matched).size.toDouble / matched.size
     val precision = if (hits.isEmpty) 0.0 else (hits & matched).size.toDouble / hits.size
@@ -325,6 +327,43 @@ class LinkageSpec extends SparkSpec {
     assert(plain.nonEmpty)
     assert(run(4) == plain)
     assert(run(16) == plain)
+  }
+
+  test("auto salt: hot blocks only, cap respected, output bit-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"doc_id" < 300)
+    val blockExpr = "CASE WHEN doc_id % 10 = 0 THEN 'hot' " +
+      "ELSE CAST(doc_id % 16 AS STRING) END"
+    val a = docs.selectExpr("doc_id AS id", s"$blockExpr AS block",
+      "substring(text, 1, 24) AS head", "source", "n_chars")
+    val b = docs.selectExpr("doc_id + 100000 AS id", s"$blockExpr AS block",
+      "substring(text, 1, 23) AS head", "source", "n_chars + 3 AS n_chars")
+    // the planted hot block holds 30 records a side (30×30 = 900
+    // pairs); cold blocks hold ~17 (≤ ~324 pairs) — a 500-pair target
+    // salts EXACTLY the hot block, with nsalt = ceil(900/500) = 2
+    val hot = Linkage.hotBlocks(a, b, 500L, 8)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(hot == Map("hot" -> 2), s"hot=$hot")
+    // cold corpus under a high target: nothing salted at all
+    assert(Linkage.hotBlocks(a, b, 10000000L, 8).isEmpty)
+    // an explosive target hits the cap on every hot block
+    val capped = Linkage.hotBlocks(a, b, 10L, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(capped.values.forall(_ == 4), s"capped=$capped")
+    assert(capped.contains("hot"))
+    // the whole claim: auto == manual == plain, bit-for-bit, at any dial
+    val plain = Linkage.fieldAgreements(a, b, rules2)
+      .collect().map(_.toSeq).toSet
+    def auto(target: Long, cap: Int) =
+      Linkage.fieldAgreementsAuto(a, b, rules2, target, cap)
+        .collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty)
+    assert(auto(500L, 8) == plain)   // hot block salted, cold plain
+    assert(auto(10L, 4) == plain)    // everything salted, capped
+    assert(auto(1000000000000L, 8) == plain) // nothing salted
+    // and the salt=0 routing reaches the same place
+    assert(Linkage.fieldAgreements(a, b, rules2, salt = 0)
+      .collect().map(_.toSeq).toSet == plain)
   }
   private val rules2 = Seq(LevRule("head", 2), ExactRule("source"),
     BandRule("n_chars", 5))
