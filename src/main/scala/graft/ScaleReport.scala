@@ -44,7 +44,7 @@ object ScaleReport {
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
     // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,
-    // pipeline,linkskew,snm) for
+    // pipeline,linkskew,snm,linkcc,ingestlink) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -1239,6 +1239,97 @@ object ScaleReport {
         println(s"""{"op":"snm_recall","cand_bound":${nDocs * w},"snm_verified":$nSnm,"exact_verified":$nExact,"recall_ppm":${if (nExact > 0) hit * 1000000L / nExact else 1000000L}}""")
       } else
         println(s"""{"op":"snm_recall","skipped":"exact-join baseline quadratic beyond 100k docs","cand_bound":${nDocs * w}}""")
+    }
+
+    // Entity clustering at corpus scale (q184's CC over the match
+    // graph): three planted feeds per entity (nonlinear md5/xxhash64
+    // mixers per the round-10 corpus rule), one blocked self-join for
+    // the scored links, GraphX connectedComponents over the verified
+    // match set. Measures the un-measured term from round 10: CC
+    // iteration cost on a linkage graph (per-entity triangles, not the
+    // near-dup graph's degree profile) as the corpus grows.
+    if (section("linkcc") && docsOpt.nonEmpty) {
+      import graft.operators.Linkage
+      import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.storage.StorageLevel
+      val nBlocks = math.max(64L, (nDocs * 3) / 48) // ~48 records/block
+      val recs = docs.selectExpr("doc_id AS e")
+        .selectExpr("e", "explode(array(0, 1, 2)) AS f")
+        .selectExpr("e * 4 + f AS id",
+          s"CAST(pmod(xxhash64(e), $nBlocks) AS STRING) AS block",
+          "concat(substr(md5(concat('k', e)), 1, 16), " +
+            "CASE WHEN f = 0 THEN '' ELSE char(96 + f) END) AS key",
+          "substr(md5(concat('s', e)), 1, 6) AS src",
+          "pmod(xxhash64(concat('n', e)), 1000000) + f AS num")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nRecs = recs.count()
+      println(s"""{"op":"linkcc_corpus","entities":$nDocs,"records":$nRecs,"blocks":$nBlocks}""")
+      val lkRules = Seq(LevRule("key", 2), ExactRule("src"),
+        BandRule("num", 5))
+      val lkW = Map("key" -> (600, -400), "src" -> (300, -200),
+        "num" -> (200, -100))
+      var t0 = System.nanoTime()
+      val links = Linkage.fieldAgreements(recs, recs, lkRules)
+        .withColumn("score", Linkage.scoreColumn(lkRules, lkW).cast("int"))
+        .where(col("score") >= 700 && col("id_a") < col("id_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nLinks = links.count()
+      println(f"""{"op":"linkcc_links","links":$nLinks,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      t0 = System.nanoTime()
+      val clusters = Linkage.entityClusters(recs, recs, links)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nAssigned = clusters.count()
+      println(f"""{"op":"linkcc_cc","rows":$nAssigned,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      val good = clusters.groupBy("entity").count()
+        .where(col("count") === 3).count()
+      println(s"""{"op":"linkcc_recovered","clusters_of_3":$good,"planted":$nDocs}""")
+      release()
+    }
+
+    // Streaming entity resolution (IngestLinkage): per-batch cost as
+    // the entity store grows — the flat-append claim every ingest
+    // store carries, measured on the same planted three-feed corpus
+    // (id-interleaved so every batch mixes store matches, in-batch
+    // chains, and new entities).
+    if (section("ingestlink") && docsOpt.nonEmpty) {
+      import graft.operators.Linkage.{BandRule, ExactRule, LevRule,
+        Longest, PreferA, Greatest}
+      import graft.streaming.IngestLinkage
+      val entPerBatch = 3000L // ~9 k records/batch, the micro-batch size
+      val nBatches = math.min(8L, nDocs / entPerBatch).toInt
+      if (nBatches >= 2) {
+        val nBlocks = math.max(64L, (nDocs * 3) / 48)
+        val feed = docs.selectExpr("doc_id AS e")
+          .where(s"e < ${nBatches * entPerBatch}")
+          .selectExpr("e", "explode(array(0, 1, 2)) AS f")
+          .selectExpr("e * 4 + f AS doc_id",
+            s"CAST(pmod(xxhash64(e), $nBlocks) AS STRING) AS block",
+            "concat(substr(md5(concat('k', e)), 1, 16), " +
+              "CASE WHEN f = 0 THEN '' ELSE char(96 + f) END) AS key",
+            "substr(md5(concat('s', e)), 1, 6) AS src",
+            "pmod(xxhash64(concat('n', e)), 1000000) + f AS num")
+        val dir = java.nio.file.Files.createTempDirectory("sr_link").toString
+        IngestLinkage.linkSave(spark, s"$dir/store",
+          Seq(LevRule("key", 2), ExactRule("src"), BandRule("num", 5)),
+          Map("key" -> (600, -400), "src" -> (300, -200),
+              "num" -> (200, -100)), 700,
+          Seq(Longest("key"), PreferA("src"), Greatest("num")))
+        for (i <- 0 until nBatches) {
+          val (lo, hi) = (i * entPerBatch * 4, (i + 1) * entPerBatch * 4)
+          val t0 = System.nanoTime()
+          val nb = IngestLinkage.processBatch(
+            feed.where(s"doc_id >= $lo AND doc_id < $hi"),
+            s"$dir/store", s"$dir/out")
+          release()
+          val members = spark.read.parquet(s"$dir/store/members").count()
+          println(f"""{"op":"ingestlink_batch","batch":$i,"rows":$nb,"store_members":$members,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        }
+        val ents = spark.read.parquet(s"$dir/store/entities")
+          .select("entity").distinct().count()
+        println(s"""{"op":"ingestlink_entities","entities":$ents,"planted":${nBatches * entPerBatch}}""")
+        release()
+      } else println(s"""{"op":"ingestlink","skipped":"corpus too small"}""")
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

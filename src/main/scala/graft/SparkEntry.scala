@@ -1009,6 +1009,43 @@ object SparkEntry {
       Linkage.uRatesFrom(Linkage.fieldAgreementsAuto(a, b, linkageRules,
         targetPairs = 1000L, maxSalt = 8), linkageRules)
     }),
+    // the STREAMING entity-resolution face (IngestLinkage), batch form:
+    // the registry feed then the vendor feed run through the persisted
+    // store as two id-ordered micro-batches, and the sequential-arrival
+    // assignment (each record joins its best-scoring prior's entity or
+    // founds its own; parent chains resolve to their root) is replayed
+    // by the oracle as ONE global pass — which is the fold-parity claim
+    // itself, made hash-checkable
+    "q185_linkage_ingest" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q185_link").toString
+      val (a, b) = linkageFeeds(s, d)
+      graft.streaming.IngestLinkage.linkSave(s, s"$dir/store", linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 680,
+        Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
+            Linkage.Greatest("n_chars")))
+      Seq(a, b).foreach(f => graft.streaming.IngestLinkage.processBatch(
+        f.withColumnRenamed("id", "doc_id"), s"$dir/store", s"$dir/out"))
+      s.read.parquet(s"$dir/out").select("doc_id", "entity")
+        .orderBy("doc_id")
+    }),
+    // the golden-record store after the same two-batch ingest: the
+    // incremental survivorship aggregates (Longest/PreferA/Greatest,
+    // golden riding at seq −1 so earliest-wins ties replay the fold)
+    // must equal the one-pass per-entity merge the oracle computes
+    "q186_linkage_golden_inc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q186_link").toString
+      val (a, b) = linkageFeeds(s, d)
+      graft.streaming.IngestLinkage.linkSave(s, s"$dir/store", linkageRules,
+        Map("head" -> (200, -300), "source" -> (430, -300),
+            "n_chars" -> (550, -400)), 680,
+        Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
+            Linkage.Greatest("n_chars")))
+      Seq(a, b).foreach(f => graft.streaming.IngestLinkage.processBatch(
+        f.withColumnRenamed("id", "doc_id"), s"$dir/store", s"$dir/out"))
+      graft.streaming.IngestLinkage.goldenLatest(s, s"$dir/store")
+        .orderBy("entity")
+    }),
     // survivorship under the RECENCY rule: same resolve as q177, but
     // head precedence goes to the feed with the later ingest timestamp
     // (deterministic per-feed timestamps derived from the ids). The
@@ -1760,6 +1797,75 @@ object SparkEntry {
         SELECT r.src, e.y FROM reach r JOIN e ON r.dst = e.x)
       SELECT src AS id, MIN(dst) AS entity
       FROM reach GROUP BY 1 ORDER BY id""",
+    // the streaming gate's fold replayed as ONE global sequential pass:
+    // best prior per record (score desc, id asc) is a window, the
+    // parent forest resolves through a recursive chain to its root
+    "q185_linkage_ingest" -> """
+      WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      r AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d
+            UNION ALL
+            SELECT doc_id + 100000, lang, substr(text, 1, 23), source,
+                   n_chars + 3 FROM d),
+      p AS (SELECT x.id AS id_b, y.id AS id_a,
+                   CAST((CASE WHEN levenshtein(y.head, x.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN y.source = x.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(y.n_chars - x.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM r x JOIN r y ON x.block = y.block AND y.id < x.id),
+      par AS (SELECT id_b AS id, id_a AS parent FROM (
+                SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_b
+                  ORDER BY score DESC, id_a ASC) AS rn
+                FROM p WHERE score >= 680) t WHERE rn = 1),
+      chain(id, anc) AS (
+        SELECT id, parent FROM par
+        UNION ALL
+        SELECT c.id, p2.parent FROM chain c JOIN par p2 ON c.anc = p2.id),
+      roots AS (SELECT id, MIN(anc) AS root FROM chain GROUP BY 1)
+      SELECT CAST(r.id AS BIGINT) AS doc_id,
+             CAST(COALESCE(roots.root, r.id) AS BIGINT) AS entity
+      FROM r LEFT JOIN roots ON r.id = roots.id
+      ORDER BY doc_id""",
+    // the golden store after the fold: per-entity one-pass merges —
+    // Longest = max length tie earliest id, PreferA = founder's value,
+    // Greatest = max, ver = newest merged id
+    "q186_linkage_golden_inc" -> """
+      WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      r AS (SELECT doc_id AS id, lang AS block, substr(text, 1, 24) AS head,
+                   source, n_chars FROM d
+            UNION ALL
+            SELECT doc_id + 100000, lang, substr(text, 1, 23), source,
+                   n_chars + 3 FROM d),
+      p AS (SELECT x.id AS id_b, y.id AS id_a,
+                   CAST((CASE WHEN levenshtein(y.head, x.head) <= 2
+                              THEN 200 ELSE -300 END) +
+                        (CASE WHEN y.source = x.source
+                              THEN 430 ELSE -300 END) +
+                        (CASE WHEN abs(y.n_chars - x.n_chars) <= 5
+                              THEN 550 ELSE -400 END) AS INT) AS score
+            FROM r x JOIN r y ON x.block = y.block AND y.id < x.id),
+      par AS (SELECT id_b AS id, id_a AS parent FROM (
+                SELECT id_a, id_b, ROW_NUMBER() OVER (PARTITION BY id_b
+                  ORDER BY score DESC, id_a ASC) AS rn
+                FROM p WHERE score >= 680) t WHERE rn = 1),
+      chain(id, anc) AS (
+        SELECT id, parent FROM par
+        UNION ALL
+        SELECT c.id, p2.parent FROM chain c JOIN par p2 ON c.anc = p2.id),
+      roots AS (SELECT id, MIN(anc) AS root FROM chain GROUP BY 1),
+      g AS (SELECT CAST(COALESCE(roots.root, r.id) AS BIGINT) AS entity,
+                   r.id, r.head, r.source, r.n_chars
+            FROM r LEFT JOIN roots ON r.id = roots.id)
+      SELECT DISTINCT entity,
+        CAST(MAX(id) OVER (PARTITION BY entity) AS BIGINT) AS ver,
+        FIRST_VALUE(head) OVER (PARTITION BY entity
+          ORDER BY length(head) DESC, id ASC) AS head,
+        FIRST_VALUE(source) OVER (PARTITION BY entity
+          ORDER BY id ASC) AS source,
+        MAX(n_chars) OVER (PARTITION BY entity) AS n_chars
+      FROM g ORDER BY entity""",
     // the salted plan must produce the UNSALTED answer — q172's oracle
     // verbatim is the point
     "q182_linkage_salted" -> """

@@ -360,15 +360,22 @@ object Linkage {
     * Output (id_a, id_b, score ≥ threshold), deterministic order —
     * the "link" stratum of the Fellegi-Sunter decision rule; run with
     * a lower threshold to surface the clerical-review band. */
-  def linkScores(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
-                 weights: Map[String, (Int, Int)],
-                 threshold: Int, salt: Int = 1): DataFrame = {
+  /** The integer match score over an agreements frame — shared by
+    * `linkScores` and the streaming gate (`IngestLinkage`). */
+  private[graft] def scoreColumn(rules: Seq[FieldRule],
+                                 weights: Map[String, (Int, Int)]): Column = {
     require(rules.forall(r => weights.contains(r.field)),
       s"weights must cover every rule field: ${rules.map(_.field)}")
-    val score = rules.map { r =>
+    rules.map { r =>
       val (wA, wD) = weights(r.field)
       when(col(s"agree_${r.field}") === 1, lit(wA)).otherwise(lit(wD))
     }.reduce(_ + _)
+  }
+
+  def linkScores(a: DataFrame, b: DataFrame, rules: Seq[FieldRule],
+                 weights: Map[String, (Int, Int)],
+                 threshold: Int, salt: Int = 1): DataFrame = {
+    val score = scoreColumn(rules, weights)
     fieldAgreements(a, b, rules, salt)
       .withColumn("score", score.cast("int"))
       .where(col("score") >= threshold)

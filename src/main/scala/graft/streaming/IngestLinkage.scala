@@ -1,0 +1,388 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Linkage
+import graft.operators.Linkage._
+
+/** Continuous ENTITY RESOLUTION of an unbounded feed — the streaming
+  * face of the `Linkage` family (block → score → resolve → merge),
+  * completing the store-backed ingest symmetry (IngestDedup resolves
+  * content, IngestFuzzy resolves typo-keys; this resolves ENTITIES:
+  * the same real-world thing arriving repeatedly across feeds and
+  * time, the reference's freshness watch loop lifted to records the
+  * way IngestDedup lifted it to content).
+  *
+  * Semantics are the SEQUENTIAL-ARRIVAL resolution (the incremental
+  * analogue of `entityClusters`, exactly as IngestFuzzy's first-wins
+  * cascade is the incremental analogue of the pair closure): records
+  * are resolved in id order, and each record's PARENT is its
+  * best-scoring prior record — any store member, or a smaller-id
+  * record of the same batch — with score ≥ threshold (ties break to
+  * the smallest prior id). A record with no parent FOUNDS an entity
+  * (entity = its own id); otherwise it joins its parent's entity.
+  * Because every parent has a smaller id, the parent pointers form a
+  * forest, and a component's root (= its minimum id, resolvable by
+  * connected components) carries the entity for the whole chain. The
+  * decision for record r depends only on records before r, so
+  * processing a feed in ANY id-ordered batch split is bit-identical
+  * to processing it in one batch (IngestLinkageSpec fold-parity pin;
+  * feeds arriving id-ordered is the store contract, the IngestFuzzy
+  * id-ordered-slice discipline).
+  *
+  * State is parquet, not Spark streaming state:
+  *   members/  (id, block, <rule fields>, entity) — every resolved
+  *             record, the probe side of all later batches
+  *   entities/ (entity, ver, <merge fields>[, <f>__ts]) — the golden
+  *             record per entity, append-only versions; the latest
+  *             `ver` wins (`goldenLatest`)
+  *   meta/ rules/ mrules/ — threshold, field rules + integer weights,
+  *             merge rules: the full model is fixed at `linkSave` and
+  *             read back per batch, so probes can never run a
+  *             different model than the store was built with
+  *
+  * Survivorship is INCREMENTAL: each merge rule is an associative
+  * aggregate over (existing golden at seq −1, batch records at seq =
+  * id) whose one-batch result equals the id-ordered pairwise
+  * `goldenRecords` fold — Longest/Greatest pick the max key with
+  * earliest-wins ties, PreferA pins the founder's value, Newest keeps
+  * the winning value's timestamp in a `<f>__ts` column so later
+  * batches compare against it. PreferB is rejected at `linkSave`
+  * (arrival-order-dependent, so replays could rewrite history — use
+  * Newest with a real timestamp). Null timestamps sort below every
+  * non-null timestamp.
+  *
+  * Delivery is at-least-once like every store here, and the gate is
+  * REPLAY-IDEMPOTENT: a replayed record re-finds itself in members/
+  * at the maximum score (all fields agree; `linkSave` requires
+  * Σ w_agree ≥ threshold exactly so self-match always clears the
+  * bar), lands back in its own entity, and re-merging its fields into
+  * the golden record is a no-op by the aggregates' monotonicity.
+  * Duplicated member/out rows are bit-identical and `compact*`
+  * reclaims them offline.
+  *
+  * Shapes for scale: the store probe is ONE blocked equi-join whose
+  * batch side broadcasts — members/ is never shuffled and per-batch
+  * cost tracks the batch, not the store (the flat-append law every
+  * ingest store follows); the in-batch self-join is quadratic in
+  * batch size on adversarial keys (round-9), so it runs through
+  * `fieldAgreementsAuto` with BATCH-sized count aggregates — hot
+  * blocks split automatically, and the micro-batch sizing discipline
+  * (~10⁴ keys) still owns the law. Parent-chain resolution localizes
+  * a batch-bounded component set (the bounded-k rule), never a
+  * corpus-wide graph. Appends follow the refreshByPath order: every
+  * append frame is persisted, counted, and LINEAGE-CUT before the
+  * first write, then out → entities/ → members/ (the store every
+  * later batch reads grows last). */
+object IngestLinkage {
+
+  /** Fix the model at `path`: field rules + integer LLR weights +
+    * decision threshold + survivorship rules. Creates empty members/
+    * and entities/; feed records through `processBatch`. */
+  def linkSave(spark: SparkSession, path: String, rules: Seq[FieldRule],
+               weights: Map[String, (Int, Int)], threshold: Int,
+               merge: Seq[MergeRule]): Unit = {
+    import spark.implicits._
+    require(rules.nonEmpty, "at least one field rule")
+    require(merge.nonEmpty, "at least one merge rule")
+    require(rules.map(_.field).distinct.size == rules.size,
+      s"one rule per field: ${rules.map(_.field)}")
+    require(merge.map(_.field).distinct.size == merge.size,
+      s"one merge rule per field: ${merge.map(_.field)}")
+    require(rules.forall(r => weights.contains(r.field)),
+      s"weights must cover every rule field: ${rules.map(_.field)}")
+    require(!merge.exists(_.isInstanceOf[PreferB]),
+      "PreferB is arrival-order-dependent (a replay could rewrite the " +
+        "golden record); use Newest with a real timestamp")
+    val allAgree = rules.map(r => weights(r.field)._1).sum
+    require(allAgree >= threshold,
+      s"sum of agreement weights ($allAgree) must clear the threshold " +
+        s"($threshold) or a replayed record cannot re-find itself and " +
+        "the gate loses idempotency")
+    Seq(threshold).toDF("threshold")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    rules.zipWithIndex.map { case (r, i) =>
+      val (wA, wD) = weights(r.field)
+      r match {
+        case LevRule(f, d)  => (i, f, "lev", d.toLong, wA, wD)
+        case ExactRule(f)   => (i, f, "exact", 0L, wA, wD)
+        case BandRule(f, t) => (i, f, "band", t, wA, wD)
+      }
+    }.toDF("pos", "field", "kind", "param", "w_agree", "w_disagree")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rules")
+    merge.zipWithIndex.map { case (m, i) =>
+      m match {
+        case PreferA(f)    => (i, f, "prefa", null: String)
+        case Longest(f)    => (i, f, "longest", null: String)
+        case Greatest(f)   => (i, f, "greatest", null: String)
+        case Newest(f, ts) => (i, f, "newest", ts)
+        case PreferB(f)    => (i, f, "prefb", null: String) // unreachable
+      }
+    }.toDF("pos", "field", "kind", "tsf")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/mrules")
+  }
+
+  private[graft] final case class Cfg(rules: Seq[FieldRule],
+                                      weights: Map[String, (Int, Int)],
+                                      threshold: Int, merge: Seq[MergeRule])
+
+  private[graft] def readCfg(spark: SparkSession, path: String): Cfg = {
+    require(exists(spark, s"$path/meta"),
+      s"$path is not a linkSave store (missing meta/)")
+    val threshold = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val rr = spark.read.parquet(s"$path/rules").collect()
+      .sortBy(_.getInt(0)).toSeq
+    val rules = rr.map { r =>
+      (r.getString(2) match {
+        case "lev"   => LevRule(r.getString(1), r.getLong(3).toInt)
+        case "exact" => ExactRule(r.getString(1))
+        case "band"  => BandRule(r.getString(1), r.getLong(3))
+      }): FieldRule
+    }
+    val weights = rr.map(r => r.getString(1) -> (r.getInt(4), r.getInt(5))).toMap
+    val merge = spark.read.parquet(s"$path/mrules").collect()
+      .sortBy(_.getInt(0)).toSeq.map { m =>
+        (m.getString(2) match {
+          case "prefa"    => PreferA(m.getString(1))
+          case "longest"  => Longest(m.getString(1))
+          case "greatest" => Greatest(m.getString(1))
+          case "newest"   => Newest(m.getString(1), m.getString(3))
+        }): MergeRule
+      }
+    Cfg(rules, weights, threshold, merge)
+  }
+
+  /** The columns a batch must carry beyond doc_id + block. */
+  private def dataCols(cfg: Cfg): Seq[String] =
+    (cfg.rules.map(_.field) ++ cfg.merge.map(_.field) ++
+      cfg.merge.collect { case Newest(_, ts) => ts }).distinct
+
+  /** The latest golden record per entity — (entity, ver, <merge
+    * fields>[, <f>__ts aux]); empty-store safe. */
+  def goldenLatest(spark: SparkSession, path: String): DataFrame = {
+    val cfg = readCfg(spark, path)
+    val all =
+      if (exists(spark, s"$path/entities"))
+        spark.read.parquet(s"$path/entities")
+      else emptyGolden(spark, path, cfg)
+    all.withColumn("__rn", row_number().over(
+        Window.partitionBy("entity").orderBy(col("ver").desc)))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  // members/ before the first append has no schema on disk; derive the
+  // empty frame from the batch's own projection so types always match
+  private def emptyMembersFrom(b0: DataFrame, cfg: Cfg): DataFrame =
+    b0.select((col("id") +: col("block") +:
+      cfg.rules.map(r => col(r.field))): _*)
+      .withColumn("entity", lit(null).cast("long")).limit(0)
+
+  private def emptyGolden(spark: SparkSession, path: String,
+                          cfg: Cfg): DataFrame = {
+    // schema can't be derived without a batch; entities/ is created on
+    // the first processBatch, so an empty read only needs the shape
+    val fields = cfg.merge.map(_.field)
+    val aux = cfg.merge.collect { case Newest(f, _) => s"${f}__ts" }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("entity",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ver",
+            org.apache.spark.sql.types.LongType)) ++
+        (fields ++ aux).map(f => org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** One merge rule as its incremental aggregate over rows (entity,
+    * seq, <fields>[, <f>__ts]): golden rides at seq −1 (so the
+    * earliest-wins tie always keeps what the fold already chose),
+    * batch records at seq = id. Each aggregate's one-batch result
+    * equals the id-ordered pairwise `goldenRecords` fold. */
+  private def mergeAggs(m: MergeRule): Seq[org.apache.spark.sql.Column] =
+    m match {
+      case PreferA(f) =>
+        Seq(min(struct(col("seq").as("s"), col(f).as("v")))
+          .getField("v").as(f))
+      case Longest(f) =>
+        Seq(max(when(col(f).isNotNull,
+          struct(length(col(f)).as("k"), (-col("seq")).as("t"),
+            col(f).as("v")))).getField("v").as(f))
+      case Greatest(f) =>
+        Seq(max(when(col(f).isNotNull,
+          struct(col(f).as("k"), (-col("seq")).as("t"),
+            col(f).as("v")))).getField("v").as(f))
+      case Newest(f, _) =>
+        val m0 = max(when(col(f).isNotNull,
+          struct(col(s"${f}__ts").as("k"), (-col("seq")).as("t"),
+            col(f).as("v"), col(s"${f}__ts").as("ts"))))
+        Seq(m0.getField("v").as(f), m0.getField("ts").as(s"${f}__ts"))
+      case PreferB(f) =>
+        throw new IllegalStateException(s"PreferB($f) rejected at linkSave")
+    }
+
+  /** Resolve one micro-batch against the store: assign-or-create
+    * entity ids, merge survivorship, append (doc_id…, entity) rows to
+    * `outPath` and grow the store. Returns the batch row count.
+    * Input contract: doc_id (globally unique, feeds arrive id-ordered),
+    * block (null blocks never match — they found their own entities),
+    * plus every rule/merge/timestamp field the store's model names. */
+  def processBatch(batch: DataFrame, storePath: String, outPath: String,
+                   inBatchTargetPairs: Long = 1L << 20,
+                   inBatchMaxSalt: Int = 32): Long = {
+    val spark = batch.sparkSession
+    val cfg = readCfg(spark, storePath)
+    val fields = cfg.rules.map(_.field)
+    val b0 = batch.select((col("doc_id").cast("long").as("id") +:
+        col("block") +: dataCols(cfg).map(col)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = b0.count()
+    if (n == 0) { b0.unpersist(blocking = false); return 0L }
+    val members =
+      if (exists(spark, s"$storePath/members"))
+        spark.read.parquet(s"$storePath/members")
+      else emptyMembersFrom(b0, cfg)
+    // best prior per record: store members at any id (a replay finds
+    // itself at distance 0), same-batch records at smaller ids only —
+    // one blocked probe each, scored with the stored integer weights
+    val score = Linkage.scoreColumn(cfg.rules, cfg.weights)
+    val storePairs = Linkage.fieldAgreements(members, b0, cfg.rules)
+      .withColumn("score", score.cast("int"))
+      .where(col("score") >= cfg.threshold)
+    val batchPairs = Linkage.fieldAgreementsAuto(b0, b0, cfg.rules,
+        inBatchTargetPairs, inBatchMaxSalt)
+      .withColumn("score", score.cast("int"))
+      .where(col("score") >= cfg.threshold && col("id_a") < col("id_b"))
+    val parents = storePairs.unionByName(batchPairs)
+      .withColumn("__rn", row_number().over(Window.partitionBy("id_b")
+        .orderBy(col("score").desc, col("id_a").asc)))
+      .where(col("__rn") === 1)
+      .select(col("id_b").as("id"), col("id_a").as("parent"))
+    // parents pointing at members resolve directly; parents pointing
+    // inside the batch form a forest (every parent id is smaller), and
+    // each tree's root — the component minimum — owns the entity
+    val pm = parents.join(
+        members.select(col("id").as("parent"), col("entity")),
+        Seq("parent"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pm.count()
+    val direct = pm.where(col("entity").isNotNull).select("id", "entity")
+    val edges = pm.where(col("entity").isNull)
+      .select("id", "parent").collect() // batch-bounded (≤ 1 row/record)
+    val comp: Map[Long, Long] =
+      if (edges.isEmpty) Map.empty
+      else {
+        val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+          spark.sparkContext.parallelize(
+            edges.toSeq.map(r => (r.getLong(0), r.getLong(1)))), 1)
+        val cc = g.connectedComponents()
+        val out = cc.vertices.collect().map { case (i, c) => (i: Long, c: Long) }
+        cc.unpersist(blocking = false); g.unpersist(blocking = false)
+        out.toMap
+      }
+    val compDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(comp.toSeq.map {
+        case (i, r) => Row(i, r) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("root",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val rootEnt = compDf.select(col("root")).distinct()
+      .join(direct.withColumnRenamed("id", "root"), Seq("root"), "left")
+      .select(col("root"), coalesce(col("entity"), col("root")).as("entity"))
+    val viaForest = compDf.join(broadcast(rootEnt), Seq("root"))
+      .select("id", "entity")
+    val assign = b0.select(col("id"))
+      .join(direct.unionByName(viaForest)
+        .groupBy("id").agg(min("entity").as("entity")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assign.count()
+    pm.unpersist(blocking = false)
+    // survivorship: existing golden (seq −1) + assigned records (seq =
+    // id) fold through the incremental aggregates; ver advances to the
+    // newest record merged so the latest row per entity wins
+    val touched = assign.join(b0, Seq("id"))
+    val auxTs = cfg.merge.collect { case Newest(f, ts) =>
+      (col(ts).as(s"${f}__ts"), s"${f}__ts") }
+    val recRows = touched.select((col("entity") +: col("id").as("seq") +:
+      col("id").as("vseq") +: cfg.merge.map(m => col(m.field)) ++:
+      auxTs.map(_._1)): _*)
+    val goldenAll =
+      if (exists(spark, s"$storePath/entities"))
+        spark.read.parquet(s"$storePath/entities")
+      else recRows.select((col("entity") +: col("vseq").as("ver") +:
+        cfg.merge.map(m => col(m.field)) ++: auxTs.map(t => col(t._2))): _*)
+        .limit(0)
+    val gRows = goldenAll.withColumn("__rn", row_number().over(
+        Window.partitionBy("entity").orderBy(col("ver").desc)))
+      .where(col("__rn") === 1)
+      .join(assign.select(col("entity")).distinct(), Seq("entity"), "left_semi")
+      .select((col("entity") +: lit(-1L).as("seq") +:
+        col("ver").as("vseq") +: cfg.merge.map(m => col(m.field)) ++:
+        auxTs.map(t => col(t._2))): _*)
+    val newGolden = recRows.unionByName(gRows)
+      .groupBy("entity")
+      .agg(max(col("vseq")).as("ver"), cfg.merge.flatMap(mergeAggs): _*)
+      .select((col("entity") +: col("ver") +:
+        cfg.merge.map(m => col(m.field)) ++: auxTs.map(t => col(t._2))): _*)
+    val outRows = batch.join(
+      assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    val memberRows = touched.select((col("id") +: col("block") +:
+      fields.map(col) :+ col("entity")): _*)
+    // materialize + lineage-cut every append frame BEFORE the first
+    // write (refreshByPath: an append would silently re-execute any
+    // later frame whose lineage reads the grown path), then append with
+    // the store every later batch probes (members/) last
+    val holds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cutM(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); holds += p
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val (outC, goldC, memC) = (cutM(outRows), cutM(newGolden), cutM(memberRows))
+    outC.write.mode("append").parquet(outPath)
+    goldC.write.mode("append").parquet(s"$storePath/entities")
+    memC.write.mode("append").parquet(s"$storePath/members")
+    (holds ++ Seq(assign, b0)).foreach(_.unpersist(blocking = false))
+    n
+  }
+
+  /** Start the streaming loop: `records` is an unbounded stream
+    * carrying doc_id + block + the model's fields. */
+  def start(records: DataFrame, storePath: String, outPath: String,
+            checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    records.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, storePath, outPath)
+        ()
+      }
+      .start()
+
+  /** Offline compaction of the at-least-once sinks: replayed member /
+    * out rows are bit-identical (dedup on id); entities/ keeps one row
+    * per (entity, ver). */
+  def compactOut(spark: SparkSession, outPath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
+
+  def compactStore(spark: SparkSession, storePath: String): Long =
+    graft.core.Stores.rewriteDeduped(spark, s"$storePath/members", Seq("id")) +
+      graft.core.Stores.rewriteDeduped(spark, s"$storePath/entities",
+        Seq("entity", "ver"))
+
+  // committed DATA files, not just _SUCCESS (the IngestFuzzy rule: an
+  // empty append commits no part file and schema inference would die)
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(
+      _.getPath.getName.endsWith(".parquet"))
+  }
+}
