@@ -231,6 +231,31 @@ object SparkEntry {
       Multimodal.imageStats(Multimodal.syntheticImages(s, n))
         .toDF().orderBy("media_id")
     }),
+    // the image near-dup channel (dHash + banded Hamming): 40 distinct
+    // md5-patterned PNGs plus a BRIGHTNESS variant of every 4th — the
+    // variant's gray values all shift uniformly, the difference hash
+    // cancels the shift, and the pair lands at hamming 0. REAL decode
+    // on the engine side (PNG bytes → ImageIO → 9×8 NN sample → luma);
+    // the oracle recomputes the same 72 sampled gray values per image
+    // from the md5-nibble generator formula (the q148/q171 trick) and
+    // counts disagreeing difference signs — the whole decode→hash→
+    // band→verify path is hash-checked, with pigeonhole recall making
+    // the banded set EQUAL the all-pairs hamming ≤ 2 set
+    "q187_image_dhash_pairs" -> ((s, d) => {
+      val specs = (0L until 40L).map(i => (i, i, 0)) ++
+        (0L until 40L by 4L).map(i => (i + 1000L, i, 40))
+      Multimodal.imageNearDupPairs(
+        Multimodal.patternImages(s, specs, 36, 32), maxHamming = 2)
+    }),
+    // the closure: every image labeled by its near-dup cluster's
+    // smallest media_id — the q72 recursive-reach oracle over the q187
+    // pair set (third dedup channel complete: content, fuzzy key, image)
+    "q188_image_dedup" -> ((s, d) => {
+      val specs = (0L until 40L).map(i => (i, i, 0)) ++
+        (0L until 40L by 4L).map(i => (i + 1000L, i, 40))
+      Multimodal.imageDupComponents(
+        Multimodal.patternImages(s, specs, 36, 32), maxHamming = 2)
+    }),
     // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
     // frame counts + absolute-amplitude sums over executor-synthesized
     // WAVs. Hash-green against the triangle-wave closed form.
@@ -2237,6 +2262,67 @@ object SparkEntry {
     // Spark decodes actual pixels/samples/frames; the oracle computes
     // the same sums from the generator formulas in pure SQL. Integer
     // division (//) mirrors the Scala generators exactly.
+    // the dHash oracle: recompute the 72 sampled gray values per image
+    // from the md5-nibble generator formula (sample coords x·4, y·4 at
+    // 36×32), count disagreeing horizontal-difference signs per pair.
+    // `bright` never appears: a uniform shift cancels in the
+    // difference — the invariance the channel exists for
+    "q187_image_dhash_pairs" -> """
+      WITH imgs AS (
+        SELECT i AS id, i AS seed FROM range(0, 40) t(i)
+        UNION ALL
+        SELECT i + 1000, i FROM range(0, 40) t(i) WHERE i % 4 = 0),
+      cells AS (
+        SELECT id, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM imgs, range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.y, c.x, CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n ON n.id = c.id AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2)
+      SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
+             CAST(hm AS INT) AS hamming
+      FROM ham WHERE hm <= 2 ORDER BY a, b""",
+    // q72's recursive reach over the q187 pair set: component = min
+    // reachable id, isolated images stay their own component
+    "q188_image_dedup" -> """
+      WITH RECURSIVE imgs AS (
+        SELECT i AS id, i AS seed FROM range(0, 40) t(i)
+        UNION ALL
+        SELECT i + 1000, i FROM range(0, 40) t(i) WHERE i % 4 = 0),
+      cells AS (
+        SELECT id, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM imgs, range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.y, c.x, CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n ON n.id = c.id AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2),
+      l AS (SELECT ia, ib FROM ham WHERE hm <= 2),
+      e AS (SELECT ia AS x, ib AS y FROM l UNION SELECT ib, ia FROM l),
+      reach(src, dst) AS (
+        SELECT id, id FROM imgs
+        UNION
+        SELECT r.src, e.y FROM reach r JOIN e ON r.dst = e.x)
+      SELECT CAST(src AS BIGINT) AS media_id,
+             CAST(MIN(dst) AS BIGINT) AS component
+      FROM reach GROUP BY 1 ORDER BY media_id""",
     "q148_image_stats" -> """
       WITH sx AS (SELECT SUM(x*255 // 31) AS s FROM range(0,32) t(x)),
            sy AS (SELECT SUM(y*255 // 23) AS s FROM range(0,24) t(y)),

@@ -403,6 +403,61 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy("a", "b")
 
+  /** Banded Hamming self-join over ARBITRARY caller-computed `bits`-bit
+    * fingerprints (id: long, h: long) — the simhash block machinery
+    * factored out so other fingerprint channels (image dHash, any
+    * future pHash) reuse it instead of re-deriving the pigeonhole.
+    * Exact recall at `maxHamming`: maxHamming + blockChoose blocks, a
+    * pair within the radius disagrees on ≤ maxHamming of them, so some
+    * blockChoose-subset of agreeing blocks lands it in a band bucket.
+    * shuffle_hash on the band join (the explode-blinded-broadcast
+    * rule); fingerprints persist only through candidate
+    * materialization. Output (a, b, hamming ≤ maxHamming), ordered. */
+  def hammingPairs(hashes: DataFrame, bits: Int, maxHamming: Int,
+                   blockChoose: Int = 3): DataFrame = {
+    val sigs = hashes.select(col("id").cast("long").as("id"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = hammingBandRows(sigs, bits, maxHamming, blockChoose)
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count() // eager: materialize before releasing fingerprints
+    sigs.unpersist(blocking = false)
+    candidates.orderBy("a", "b")
+  }
+
+  /** Band rows (id, h, band, bkey) for the pigeonhole Hamming join —
+    * shared by `hammingPairs` and the streaming image gate. Join two
+    * band-row frames on (band, bkey), verify with bit_count(xor). */
+  private[graft] def hammingBandRows(hashes: DataFrame, bits: Int,
+                                     maxHamming: Int,
+                                     blockChoose: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    require(maxHamming >= 0 && blockChoose >= 1, "non-negative radius")
+    val numBlocks = maxHamming + blockChoose
+    require(numBlocks <= bits,
+      s"maxHamming $maxHamming too large for $bits-bit fingerprints")
+    val widths = (0 until numBlocks).map(b =>
+      bits / numBlocks + (if (b < bits % numBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).init
+    def block(b: Int): Column =
+      shiftright(col("h"), starts(b)).bitwiseAND(lit(
+        if (widths(b) == 64) -1L else (1L << widths(b)) - 1))
+    val tables = (0 until numBlocks).combinations(blockChoose).toSeq
+    val withBlocks = hashes.select(col("id") +: col("h") +:
+      (0 until numBlocks).map(b => block(b).as(s"blk$b")): _*)
+    withBlocks.select(col("id"), col("h"),
+      posexplode(array(tables.map(s =>
+        xxhash64(s.map(b => col(s"blk$b")): _*): Column): _*))
+        .as(Seq("band", "bkey")))
+      .hint("shuffle_hash")
+  }
+
   /** Near-duplicate cluster closure: connected components over verified
     * pair edges → (doc_id, component), component = min doc_id of the
     * cluster (a doc survives dedup iff doc_id == component). Chains

@@ -115,6 +115,126 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash — the standard perceptual
+    * fingerprint for image near-dup detection; Krawetz's "kind of like
+    * that" construction): nearest-neighbor sample the image at 9×8,
+    * integer luma (299r + 587g + 114b) div 1000, bit (y·8+x) set iff
+    * gray(x, y) > gray(x+1, y). Horizontal gradient SIGNS survive
+    * exactly the edits near-dup channels care about — brightness
+    * shifts cancel in the difference, rescales ride the resample —
+    * while unrelated images land ~32 bits apart. Same manual raster
+    * indexing as `resizePixels` (src pixel at x·sw/9, y·sh/8), so the
+    * hash is bit-stable across JVMs and, on closed-form synthetic
+    * pixels, computable in oracle SQL. None for undecodable bytes. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val g = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val p = img.getRGB(x * sw / 9, y * sh / 8)
+          g(y)(x) = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+            114 * (p & 0xFF)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y)(x) > g(y)(x + 1)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Perceptual fingerprints of the image rows: (media_id, dhash) —
+    * one decode per payload inside mapPartitions; undecodable payloads
+    * drop here (pair with an input count for the failure rate). */
+  def imageDHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap(m => dHash64(m.content).map(h => (m.media_id, h)))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs — the THIRD dedup channel (content →
+    * MinHash, fuzzy keys → PassJoin, images → this): banded Hamming
+    * join over the dHash fingerprints, exact recall at `maxHamming` by
+    * the SimHash pigeonhole (maxHamming + blockChoose blocks — a pair
+    * within the radius agrees on some blockChoose-subset), never an
+    * all-pairs compare. Output (a, b, hamming), deterministic order. */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int,
+                        blockChoose: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      imageDHashes(ds).select(col("media_id").as("id"), col("dhash").as("h")),
+      64, maxHamming, blockChoose)
+
+  /** The closure: every image labeled by its near-dup cluster's
+    * smallest media_id (GraphX CC over verified pairs — the q72
+    * discipline, components over the THRESHOLDED set only). */
+  def imageDupComponents(ds: Dataset[MediaRow], maxHamming: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    Dedup.nearDupComponents(
+      ds.map(_.media_id).toDF("doc_id"),
+      imageNearDupPairs(ds, maxHamming).select("a", "b"),
+      Long.MaxValue)
+      .withColumnRenamed("doc_id", "media_id")
+  }
+
+  /** Deterministic patterned PNG for the dHash oracle: every channel
+    * carries the same value v(px, py) = (hex(md5("seed:px:py")[0..2])
+    * mod 200) + bright — md5-nibble pixels are closed-form in DuckDB
+    * (the q171 idiom), all-equal channels make luma = v exactly, and
+    * `bright` shifts every pixel uniformly, which dHash cancels: the
+    * brightness variant is a PLANTED hamming-0 duplicate. Values stay
+    * ≤ 199 + bright, so no channel clamps for bright ≤ 56. */
+  def pngPatternBytes(seed: Long, bright: Int, w: Int, h: Int): Array[Byte] = {
+    require(bright >= 0 && bright <= 56, "bright must stay clamp-free")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val hex = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
+        val v = (((hex(0) >> 4) & 0xF) * 16 + (hex(0) & 0xF)) % 200 + bright
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        md.reset()
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A media table of patterned PNGs from (media_id, seed, bright)
+    * specs — generated in executors like `syntheticImages`. */
+  def patternImages(spark: org.apache.spark.sql.SparkSession,
+                    specs: Seq[(Long, Long, Int)],
+                    w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.createDataset(specs).map { case (id, seed, bright) =>
+      MediaRow(id, "image", pngPatternBytes(seed, bright, w, h),
+        MediaMeta(w, h, 0L, "png"))
+    }
+  }
+
   /** Deterministic PNG payload for `syntheticImages`: a horizontal red
     * gradient × vertical green gradient with a seed-keyed blue plane —
     * closed-form channel sums, so decode tests pin exact values. */

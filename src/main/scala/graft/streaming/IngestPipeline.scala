@@ -15,8 +15,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      kept so far, or an earlier doc of the same batch); optionally
   *      (`fuzzyStorePath`, an `IngestFuzzy.fuzzySave` store, feed must
   *      carry the key column) composed IN SERIES with the typo-distance
-  *      KEY gate — content near-dups and retyped keys are independent
-  *      duplicate channels, so a record must pass both;
+  *      KEY gate, and optionally (`imageStorePath`, an
+  *      `IngestImages.dhashSave` store, feed must carry the binary
+  *      image column) with the perceptual IMAGE gate — content
+  *      near-dups, retyped keys, and re-encoded images are independent
+  *      duplicate channels, so a record must pass every armed gate;
   *   2. kept-document landing (`outPath` parquet append);
   *   3. signature-store growth (survivors' sketches only);
   *   4. vector-index append of the KEPT docs' embeddings —
@@ -84,6 +87,8 @@ object IngestPipeline {
                    fuzzyStorePath: Option[String] = None,
                    fuzzyKeyCol: String = "key",
                    fuzzyMaxKeys: Int = 10000,
+                   imageStorePath: Option[String] = None,
+                   imageCol: String = "image",
                    timings: Option[scala.collection.mutable.Map[String, Double]]
                      = None): Long = {
     // optional per-stage wall-clock capture (ScaleReport's composed
@@ -118,16 +123,29 @@ object IngestPipeline {
     // every content-novel doc, including ones the key gate dropped — a
     // later clone of a fuzzy-dropped doc is still SEEN content and
     // drops.
-    val (kept, keptSigs, release) = fuzzyStorePath match {
-      case None =>
-        t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
-      case Some(fp) =>
-        val (k1, sigs1, rel1) =
-          t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
-        val (k2, rel2) = t("gate_fuzzy")(
-          IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol, fuzzyMaxKeys))
-        (k2, sigs1, () => { rel2(); rel1() })
+    val (k1, keptSigs, rel1) =
+      t("gate_sig")(IngestDedup.gateBatch(batch, sigStorePath, threshold))
+    val (k2, rel2) = fuzzyStorePath match {
+      case None => (k1, () => ())
+      case Some(fp) => t("gate_fuzzy")(
+        IngestFuzzy.gateBatch(k1, fp, fuzzyKeyCol, fuzzyMaxKeys))
     }
+    // optional THIRD gate, same series composition: perceptual image
+    // near-dup on the binary payload (dHash + banded Hamming) — text
+    // content, typo keys, and image payloads are independent duplicate
+    // channels, so a record must pass all the gates the caller armed.
+    // The three-store append cascade below follows the two-store rule:
+    // each store's append derives from a frame whose lineage reads at
+    // most the stores not yet appended — image (reads all three) →
+    // fuzzy (reads sig + fuzzy) → signatures (reads sig only).
+    val (kept, keptHashes, rel3) = imageStorePath match {
+      case None => (k2, None: Option[DataFrame], () => ())
+      case Some(ip) =>
+        val (k3, kh, r) = t("gate_image")(
+          IngestImages.gateBatch(k2, ip, imageCol))
+        (k3, Some(kh), r)
+    }
+    val release = () => { rel3(); rel2(); rel1() }
     val nKept = t("gate_count")(kept.count())
     if (nKept > 0) {
       // optional online pair mining: each KEPT doc's top-k neighbors
@@ -174,21 +192,35 @@ object IngestPipeline {
           kept.sparkSession, lp, kept.select(col("doc_id"), col("text")),
           batchId + 1L))
       }
-      // state stores LAST, after every consumer of `kept` has run (the
-      // refreshByPath rule applies to the fuzzy store's keys/segs too:
-      // kept's anti-join reads them through the gate's drops)
-      fuzzyStorePath.foreach { fp => t("append_fuzzy") {
-        val keptKeys = kept.where(col(fuzzyKeyCol).isNotNull)
-          .select(col("doc_id").cast("long").as("id"), col(fuzzyKeyCol).as("s"))
-        IngestFuzzy.appendKeys(kept.sparkSession, fp, keptKeys)
-      }}
+      // state stores LAST, after every consumer of `kept` has run, in
+      // the dependency-safe cascade: image store first (its append
+      // frame reads all three stores), fuzzy next, signatures below
+      imageStorePath.foreach { ip => t("append_image")(
+        keptHashes.foreach(kh =>
+          IngestImages.appendHashes(kept.sparkSession, ip, kh)))
+      }
+    }
+    // the fuzzy append sits outside the kept-guard once a later gate
+    // exists: the key gate can keep records the image gate then drops
+    // (kept = 0 but k2 nonempty), and their key-novelty must still be
+    // recorded — k2's lineage reads only the signature + fuzzy stores,
+    // both still un-appended here
+    fuzzyStorePath.foreach { fp =>
+      if (nKept > 0 || (imageStorePath.isDefined && !k2.isEmpty))
+        t("append_fuzzy") {
+          val keptKeys = k2.where(col(fuzzyKeyCol).isNotNull)
+            .select(col("doc_id").cast("long").as("id"),
+              col(fuzzyKeyCol).as("s"))
+          IngestFuzzy.appendKeys(k2.sparkSession, fp, keptKeys)
+        }
     }
     // the signature append sits OUTSIDE the kept-guard: in the composed
-    // path the content gate can keep docs the key gate then drops
+    // path the content gate can keep docs a later gate then drops
     // (kept = 0 but keptSigs nonempty), and their novelty must still be
-    // recorded — and keptSigs' lineage never reads the fuzzy store, so
+    // recorded — and keptSigs' lineage never reads the other stores, so
     // the append order stays refreshByPath-safe
-    if (nKept > 0 || (fuzzyStorePath.isDefined && !keptSigs.isEmpty))
+    if (nKept > 0 || ((fuzzyStorePath.isDefined || imageStorePath.isDefined)
+        && !keptSigs.isEmpty))
       keptSigs.write.mode("append").parquet(sigStorePath)
     release()
     nKept
@@ -211,10 +243,13 @@ object IngestPipeline {
             neighborScanFrac: Option[Double] = None,
             lexPath: Option[String] = None,
             fuzzyStorePath: Option[String] = None,
-            fuzzyKeyCol: String = "key"): StreamingQuery = {
+            fuzzyKeyCol: String = "key",
+            imageStorePath: Option[String] = None,
+            imageCol: String = "image"): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil) ++
-      (if (fuzzyStorePath.isDefined) Seq(fuzzyKeyCol) else Nil)
+      (if (fuzzyStorePath.isDefined) Seq(fuzzyKeyCol) else Nil) ++
+      (if (imageStorePath.isDefined) Seq(imageCol) else Nil)
     docs.select(cols.map(col): _*).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -223,7 +258,8 @@ object IngestPipeline {
         processBatch(batch, id, sigStorePath, outPath, indexPath,
           telemetryPath, threshold, vocabPath, neighborsPath,
           neighborK, neighborProbe, neighborScanFrac, lexPath,
-          fuzzyStorePath, fuzzyKeyCol)
+          fuzzyStorePath, fuzzyKeyCol,
+          imageStorePath = imageStorePath, imageCol = imageCol)
         ()
       }
       .start()

@@ -572,4 +572,100 @@ class IngestPipelineSpec extends SparkSpec {
     assert(sigIds == foldSigIds)
     assert(sigIds.contains(9100L) && !sigIds.contains(9200L))
   }
+
+  test("image gate composes third in series: the three-store append cascade") {
+    import graft.operators.Multimodal
+    import graft.streaming.{IngestFuzzy, IngestImages}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mkImg = udf((id: Long) => Multimodal.pngPatternBytes(id, 0, 36, 32))
+    val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"doc_id", $"text", $"embedding",
+        substring($"text", 1, 40).as("key"), mkImg($"doc_id").as("image"))
+
+    val indexPath = tmp("pipeim_index")
+    val seedIdx = Similarity.ivfBuild(emb.where($"vec_id" < 300), 8)
+    Similarity.ivfSave(seedIdx, indexPath)
+    seedIdx.release()
+
+    // one planted drop per gate: 9100 = novel text + novel key +
+    // BRIGHTNESS TWIN of doc 300's image (falls only at the image
+    // gate — its key must still reach the fuzzy store, the cascade
+    // contract); 9200 = novel text + one-edit typo of doc 300's key +
+    // novel image (falls at the fuzzy gate — its image hash must never
+    // reach the image store)
+    val key300 = base.where($"doc_id" === 300L)
+      .select("key").head().getString(0)
+    val typoKey = key300.dropRight(1) + (if (key300.last == 'z') 'y' else 'z')
+    val img300Twin = Multimodal.pngPatternBytes(300L, 40, 36, 32)
+    val plant9100 = base.where($"doc_id" === 480L)
+      .select(lit(9100L).as("doc_id"), $"text", $"embedding",
+        lit("a key with no neighbors anywhere").as("key"),
+        lit(img300Twin).as("image"))
+    val plant9200 = base.where($"doc_id" === 481L)
+      .select(lit(9200L).as("doc_id"), $"text", $"embedding",
+        lit(typoKey).as("key"), mkImg(lit(9200L)).as("image"))
+    val b1 = base.where($"doc_id" >= 300 && $"doc_id" < 350)
+    val b2 = base.where($"doc_id" >= 350 && $"doc_id" < 400)
+      .unionByName(plant9100).unionByName(plant9200)
+    val batches = Seq(b1, b2)
+
+    val (sigs, out, tele, fz, im) = (tmp("pipeim_sigs"), tmp("pipeim_out"),
+      tmp("pipeim_tele"), tmp("pipeim_fz"), tmp("pipeim_im"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), fz, maxDist = 1)
+    IngestImages.dhashSave(spark,
+      Seq.empty[(Long, Long)].toDF("id", "h"), im, maxHamming = 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IngestPipeline.processBatch(b, i.toLong, sigs, out, indexPath, tele, 0.5,
+        fuzzyStorePath = Some(fz), imageStorePath = Some(im))
+    }
+    val keptIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(9100L) && !keptIds.contains(9200L))
+    assert(keptIds.contains(300L))
+
+    // standalone three-gate fold over separate stores — same policy
+    val (sigs2, fz2, im2) =
+      (tmp("pipeim_sigs2"), tmp("pipeim_fz2"), tmp("pipeim_im2"))
+    IngestFuzzy.fuzzySave(spark,
+      Seq.empty[(Long, String)].toDF("id", "s"), fz2, maxDist = 1)
+    IngestImages.dhashSave(spark,
+      Seq.empty[(Long, Long)].toDF("id", "h"), im2, maxHamming = 2)
+    var foldKept = Set.empty[Long]
+    batches.foreach { b =>
+      val (k1, sigs1, rel1) = IngestDedup.gateBatch(b, sigs2, 0.5)
+      val (k2, rel2) = IngestFuzzy.gateBatch(k1, fz2, "key")
+      val (k3, kh, rel3) = IngestImages.gateBatch(k2, im2)
+      foldKept ++= k3.select("doc_id").collect().map(_.getLong(0))
+      IngestImages.appendHashes(spark, im2, kh)
+      IngestFuzzy.appendKeys(spark, fz2,
+        k2.where($"key".isNotNull)
+          .select($"doc_id".cast("long").as("id"), $"key".as("s")))
+      sigs1.write.mode("append").parquet(sigs2)
+      rel3(); rel2(); rel1()
+    }
+    assert(keptIds == foldKept)
+
+    // the cascade contracts: image hashes == full survivors (9200's
+    // novel image fell with it at the fuzzy gate); fuzzy keys == key
+    // survivors INCLUDING 9100 (novel key, dropped only for its image);
+    // signatures == content survivors including both plants
+    val imIds = spark.read.parquet(s"$im/hashes")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(imIds == keptIds)
+    val fzIds = spark.read.parquet(s"$fz/keys")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fzIds == keptIds + 9100L)
+    val sigIds = Dedup.signatureLoad(spark, sigs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds.contains(9100L) && sigIds.contains(9200L))
+    // index grew by exactly the kept set
+    val idx = Similarity.ivfLoad(spark, indexPath)
+    val vids = idx.assigned.select("vid").collect().map(_.getLong(0)).toSet
+    idx.release()
+    assert(vids == (0L until 300L).toSet ++ keptIds)
+  }
 }

@@ -174,4 +174,72 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.videoStats(media((1L, "image", "x", 0L))).count() == 0)
   }
+
+  // the closed-form dHash reference: same md5-nibble pixel formula as
+  // pngPatternBytes, same 9×8 NN sample, same integer luma
+  private def refDHash(seed: Long, w: Int, h: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def v(px: Int, py: Int): Int = {
+      val d = md.digest(s"$seed:$px:$py".getBytes("UTF-8")); md.reset()
+      (((d(0) >> 4) & 0xF) * 16 + (d(0) & 0xF)) % 200
+    }
+    var hsh = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (v(x * w / 9, y * h / 8) > v((x + 1) * w / 9, y * h / 8))
+        hsh |= 1L << (y * 8 + x)
+    hsh
+  }
+
+  test("dHash64: decode-side hash equals the closed-form formula; brightness cancels") {
+    for (seed <- 0L until 6L) {
+      val base = Multimodal.dHash64(Multimodal.pngPatternBytes(seed, 0, 36, 32))
+      assert(base.contains(refDHash(seed, 36, 32)), s"seed $seed")
+      // a uniform brightness shift changes every gray value but no
+      // difference sign — the planted hamming-0 duplicate
+      assert(Multimodal.dHash64(Multimodal.pngPatternBytes(seed, 40, 36, 32)) == base)
+    }
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup channel: banded pairs recover planted variants, closure labels them") {
+    // 30 distinct base images + brightness variants of every 3rd: the
+    // variant pairs are hamming 0 BY CONSTRUCTION; distinct md5
+    // patterns sit ~32 bits apart, far outside maxHamming = 2
+    val specs = (0L until 30L).map(i => (i, i, 0)) ++
+      (0L until 30L by 3L).map(i => (i + 1000L, i, 40))
+    val ds = Multimodal.patternImages(spark, specs, 36, 32)
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = (0L until 30L by 3L).map(i => (i, i + 1000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(got), s"missing ${planted -- got}")
+    pairs.foreach { case (a, b, hm) =>
+      assert(hm <= 2, s"($a,$b) hamming $hm leaked past the verify") }
+    // closure: every variant labels back to its base id
+    val comp = Multimodal.imageDupComponents(ds, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 30L by 3L).foreach(i => assert(comp(i + 1000L) == comp(i)))
+    assert(comp.size == specs.size)
+  }
+
+  test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
+    import spark.implicits._
+    // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
+    // ALL pairs within hamming 2 (pigeonhole recall is exact) and none
+    // beyond (the bit_count verify)
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val rows = Seq((0L, base)) ++
+      (0 until 64).map(i => (i + 1L, base ^ (1L << i))) ++
+      Seq((100L, base ^ 7L))
+    val got = graft.operators.Dedup.hammingPairs(rows.toDF("id", "h"), 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byPair = got.map(p => ((p._1, p._2), p._3)).toMap
+    // brute-force reference over the 66-row set
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 2
+    } yield ((ia, ib), hm)).toMap
+    assert(byPair == want,
+      s"missing=${want.keySet -- byPair.keySet} extra=${byPair.keySet -- want.keySet}")
+  }
 }
