@@ -1199,6 +1199,25 @@ object SparkEntry {
     // TextAnalysisSpec pins a hand-traced encode + training round trip
     "q120_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncodeCounts(documents(s, d), 15, 100)),
+    // the APPLY half under the hash gate: greedy min-rank merging with
+    // a FIXED merge table is a bounded recursion per word (at most
+    // word-length steps, each merging every occurrence of the lowest-
+    // ranked adjacent pair), so the DuckDB oracle replays it step for
+    // step over (sym)-delimited states — self-contained delimiters make
+    // plain string replace() exactly the engine's left-to-right
+    // non-overlapping merge. Training (q110/q120) stays rows-only: its
+    // merge table EVOLVES per iteration, which has no first-order SQL
+    // analog; the consumer half is now oracle-checked
+    "q189_bpe_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .select(explode(
+          graft.functions.Bpe.encode(col("w"), bpeFixedMerges)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(100)
+    }),
     // model-based quality filtering (Brown et al. 2020 App. A): LR
     // trained on gopherQuality's verdict over docs < 250 as weak
     // labels, every doc scored with a soft probability (rows-only —
@@ -1354,6 +1373,13 @@ object SparkEntry {
   }
   private val linkageRules = Seq(Linkage.LevRule("head", 2),
     Linkage.ExactRule("source"), Linkage.BandRule("n_chars", 5))
+
+  /** q189's frozen merge table — common English digraph merges plus
+    * end-of-word closures, in rank order (mirrored verbatim in the
+    * oracle's VALUES list). */
+  private val bpeFixedMerges: Array[(String, String)] = Array(
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"),
+    ("o", "n"), ("r", "e"), ("in", "g"), ("ing", "</w>"), ("s", "</w>"))
 
   /** The unrolled fixed-point-EM oracle for q180/q181: DuckDB re-runs
     * `Linkage.emFitParams`' exact integer iteration — HUGEINT products
@@ -1822,6 +1848,45 @@ object SparkEntry {
         SELECT r.src, e.y FROM reach r JOIN e ON r.dst = e.x)
       SELECT src AS id, MIN(dst) AS entity
       FROM reach GROUP BY 1 ORDER BY id""",
+    // greedy min-rank BPE apply replayed as a bounded recursion over
+    // (sym)-delimited states: one step merges ALL occurrences of the
+    // lowest-ranked pair present (plain replace — the self-contained
+    // delimiters make it exactly the engine's left-to-right merge),
+    // recursion stops when no pair matches, arg_max(it) is the final
+    // state; per-TYPE encode × type count = per-occurrence counts
+    "q189_bpe_apply" -> """
+      WITH RECURSIVE w AS (
+        SELECT word, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents) t
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY 1),
+      m(rank, l, r) AS (VALUES
+        (0,'e','</w>'), (1,'t','h'), (2,'th','e</w>'), (3,'i','n'),
+        (4,'a','n'), (5,'o','n'), (6,'r','e'), (7,'in','g'),
+        (8,'ing','</w>'), (9,'s','</w>')),
+      enc(word, state, it) AS (
+        SELECT word, regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)', 0
+        FROM w
+        UNION ALL
+        SELECT word,
+               replace(state, '(' || l || ')(' || r || ')',
+                       '(' || l || r || ')'),
+               it + 1
+        FROM (
+          SELECT e.word, e.state, e.it, m.l, m.r,
+                 ROW_NUMBER() OVER (PARTITION BY e.word ORDER BY m.rank) AS rn
+          FROM enc e JOIN m
+            ON contains(e.state, '(' || m.l || ')(' || m.r || ')')
+        ) t WHERE rn = 1),
+      final AS (SELECT word, arg_max(state, it) AS state FROM enc GROUP BY 1),
+      toks AS (
+        SELECT unnest(string_split(
+                 substr(f.state, 2, length(f.state) - 2), ')(')) AS tok,
+               w.c
+        FROM final f JOIN w USING (word))
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS n
+      FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 100""",
     // the streaming gate's fold replayed as ONE global sequential pass:
     // best prior per record (score desc, id asc) is a window, the
     // parent forest resolves through a recursive chain to its root
