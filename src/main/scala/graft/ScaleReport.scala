@@ -44,7 +44,7 @@ object ScaleReport {
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
     // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,
-    // pipeline,linkskew,snm,linkcc,ingestlink) for
+    // pipeline,linkskew,snm,linkcc,ingestlink,ingestlinkbig) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -1287,34 +1287,40 @@ object ScaleReport {
       release()
     }
 
+    // shared planted three-feed linkage feed (nonlinear mixers)
+    def linkFeed(maxEnt: Long, nBlocks: Long) = docs.selectExpr("doc_id AS e")
+      .where(s"e < $maxEnt")
+      .selectExpr("e", "explode(array(0, 1, 2)) AS f")
+      .selectExpr("e * 4 + f AS doc_id",
+        s"CAST(pmod(xxhash64(e), $nBlocks) AS STRING) AS block",
+        "concat(substr(md5(concat('k', e)), 1, 16), " +
+          "CASE WHEN f = 0 THEN '' ELSE char(96 + f) END) AS key",
+        "substr(md5(concat('s', e)), 1, 6) AS src",
+        "pmod(xxhash64(concat('n', e)), 1000000) + f AS num")
+    val linkRules = Seq(graft.operators.Linkage.LevRule("key", 2),
+      graft.operators.Linkage.ExactRule("src"),
+      graft.operators.Linkage.BandRule("num", 5))
+    val linkW = Map("key" -> (600, -400), "src" -> (300, -200),
+      "num" -> (200, -100))
+    val linkMerge = Seq(graft.operators.Linkage.Longest("key"),
+      graft.operators.Linkage.PreferA("src"),
+      graft.operators.Linkage.Greatest("num"))
+
     // Streaming entity resolution (IngestLinkage): per-batch cost as
     // the entity store grows — the flat-append claim every ingest
     // store carries, measured on the same planted three-feed corpus
     // (id-interleaved so every batch mixes store matches, in-batch
     // chains, and new entities).
     if (section("ingestlink") && docsOpt.nonEmpty) {
-      import graft.operators.Linkage.{BandRule, ExactRule, LevRule,
-        Longest, PreferA, Greatest}
       import graft.streaming.IngestLinkage
       val entPerBatch = 3000L // ~9 k records/batch, the micro-batch size
       val nBatches = math.min(8L, nDocs / entPerBatch).toInt
       if (nBatches >= 2) {
-        val nBlocks = math.max(64L, (nDocs * 3) / 48)
-        val feed = docs.selectExpr("doc_id AS e")
-          .where(s"e < ${nBatches * entPerBatch}")
-          .selectExpr("e", "explode(array(0, 1, 2)) AS f")
-          .selectExpr("e * 4 + f AS doc_id",
-            s"CAST(pmod(xxhash64(e), $nBlocks) AS STRING) AS block",
-            "concat(substr(md5(concat('k', e)), 1, 16), " +
-              "CASE WHEN f = 0 THEN '' ELSE char(96 + f) END) AS key",
-            "substr(md5(concat('s', e)), 1, 6) AS src",
-            "pmod(xxhash64(concat('n', e)), 1000000) + f AS num")
+        val feed = linkFeed(nBatches * entPerBatch,
+          math.max(64L, (nDocs * 3) / 48))
         val dir = java.nio.file.Files.createTempDirectory("sr_link").toString
-        IngestLinkage.linkSave(spark, s"$dir/store",
-          Seq(LevRule("key", 2), ExactRule("src"), BandRule("num", 5)),
-          Map("key" -> (600, -400), "src" -> (300, -200),
-              "num" -> (200, -100)), 700,
-          Seq(Longest("key"), PreferA("src"), Greatest("num")))
+        IngestLinkage.linkSave(spark, s"$dir/store", linkRules, linkW, 700,
+          linkMerge)
         for (i <- 0 until nBatches) {
           val (lo, hi) = (i * entPerBatch * 4, (i + 1) * entPerBatch * 4)
           val t0 = System.nanoTime()
@@ -1330,6 +1336,40 @@ object ScaleReport {
         println(s"""{"op":"ingestlink_entities","entities":$ents,"planted":${nBatches * entPerBatch}}""")
         release()
       } else println(s"""{"op":"ingestlink","skipped":"corpus too small"}""")
+    }
+
+    // The store-growth LAW: micro-batch cost against a store three
+    // orders larger than the batch — the per-batch term that grows
+    // with the store is one columnar members/ scan (the batch side
+    // broadcasts), and this measures its slope. Seeding runs through
+    // the SAME gate in coarse slices (big batches are legal, just not
+    // the steady-state discipline), then timed micro-batches probe
+    // stores of increasing size.
+    if (section("ingestlinkbig") && docsOpt.nonEmpty && nDocs >= 320000) {
+      import graft.streaming.IngestLinkage
+      val nBlocks = math.max(64L, (nDocs * 3) / 48)
+      val feed = linkFeed(312000L, nBlocks)
+      val dir = java.nio.file.Files.createTempDirectory("sr_linkbig").toString
+      IngestLinkage.linkSave(spark, s"$dir/store", linkRules, linkW, 700,
+        linkMerge)
+      // alternate: one coarse 60 k-entity seed slice, then a timed
+      // 3 k-entity micro-batch — five rungs of store size
+      for (i <- 0 until 5) {
+        val seedLo = i * 63000L
+        val seedHi = seedLo + 60000L
+        IngestLinkage.processBatch(
+          feed.where(s"doc_id >= ${seedLo * 4} AND doc_id < ${seedHi * 4}"),
+          s"$dir/store", s"$dir/out")
+        release()
+        val members = spark.read.parquet(s"$dir/store/members").count()
+        val t0 = System.nanoTime()
+        val nb = IngestLinkage.processBatch(
+          feed.where(s"doc_id >= ${seedHi * 4} AND doc_id < ${(seedHi + 3000L) * 4}"),
+          s"$dir/store", s"$dir/out")
+        release()
+        println(f"""{"op":"ingestlinkbig_rung","rung":$i,"store_members":$members,"micro_rows":$nb,"micro_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      release()
     }
 
     val leaked = spark.sparkContext.getPersistentRDDs.size

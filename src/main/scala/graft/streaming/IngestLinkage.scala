@@ -249,7 +249,13 @@ object IngestLinkage {
     // itself at distance 0), same-batch records at smaller ids only —
     // one blocked probe each, scored with the stored integer weights
     val score = Linkage.scoreColumn(cfg.rules, cfg.weights)
-    val storePairs = Linkage.fieldAgreements(members, b0, cfg.rules)
+    // the batch side broadcasts EXPLICITLY: members/ is the corpus-
+    // scale side and must stream straight from parquet into the join
+    // with no shuffle — static size estimates on a persisted batch
+    // frame are not to be trusted with that decision (the round-3/7
+    // explode-blinded-broadcast lessons), and the micro-batch sizing
+    // discipline (~10⁴ records) keeps the broadcast a few MB
+    val storePairs = Linkage.fieldAgreements(members, broadcast(b0), cfg.rules)
       .withColumn("score", score.cast("int"))
       .where(col("score") >= cfg.threshold)
     val batchPairs = Linkage.fieldAgreementsAuto(b0, b0, cfg.rules,

@@ -176,6 +176,39 @@ class IngestLinkageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/members").count() == feed.size)
   }
 
+  test("store probe plan: the batch broadcasts, members never shuffle") {
+    // the corpus-scale side of the probe is members/; it must stream
+    // straight from parquet into the join — the batch side carries the
+    // explicit broadcast hint, so the shape holds at any store size,
+    // independent of static size estimates
+    val (store, _) = runBatches(Seq(feed.sortBy(_._1).take(6)))
+    val members = spark.read.parquet(s"$store/members")
+    val batch = df(feed.sortBy(_._1).drop(6))
+      .selectExpr("doc_id AS id", "block", "key", "src", "num")
+    val probe = graft.operators.Linkage.fieldAgreements(members,
+      org.apache.spark.sql.functions.broadcast(batch), rules)
+    val p = probe.queryExecution.sparkPlan // pre-AQE, the planned shape
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val joins = p.collectWithSubqueries { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "probe lost its broadcast join")
+    joins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      assert(build.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.isEmpty, "the members scan sits on the broadcast build side")
+    }
+    // a broadcast join on the only join in the plan ⇒ members stream
+    // straight from parquet, no shuffle anywhere on the probe
+    assert(p.collectWithSubqueries { case j: SortMergeJoinExec => j }.isEmpty
+      && p.collectWithSubqueries { case j: ShuffledHashJoinExec => j }.isEmpty,
+      "the store probe plans a shuffle join")
+  }
+
   test("model guards at linkSave") {
     val p = tmp("lk_bad")
     intercept[IllegalArgumentException] { // weights below threshold
