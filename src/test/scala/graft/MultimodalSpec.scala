@@ -201,6 +201,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("dHash64: integer-multiple rescale through the real resize path preserves the hash") {
+    // dHash's 9×8 NN sample composes with NN upscaling: a k× upscale
+    // samples pixel (k·4x, k·4y) which replicates original (4x, 4y) —
+    // the rescale-invariance the perceptual channel exists for,
+    // exercised through resizePixels (decode → resample → re-encode)
+    for (seed <- 0L until 4L) {
+      val base = Multimodal.pngPatternBytes(seed, 0, 36, 32)
+      val up2 = Multimodal.resizePixels(base, 72, 64).get
+      val up3 = Multimodal.resizePixels(base, 108, 96).get
+      assert(Multimodal.dHash64(up2) == Multimodal.dHash64(base), s"2x seed $seed")
+      assert(Multimodal.dHash64(up3) == Multimodal.dHash64(base), s"3x seed $seed")
+    }
+  }
+
   test("image near-dup channel: banded pairs recover planted variants, closure labels them") {
     // 30 distinct base images + brightness variants of every 3rd: the
     // variant pairs are hamming 0 BY CONSTRUCTION; distinct md5
