@@ -247,6 +247,17 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.patternImages(s, specs, 36, 32), maxHamming = 2)
     }),
+    // the AUDIO sibling: energy-envelope fingerprints over REAL PCM
+    // decode (javax.sound), half-volume variants planted as hamming-0
+    // duplicates (uniform gain cancels in the energy comparison — the
+    // brightness analog); the oracle recomputes every window energy
+    // from the triangle-wave closed form with the amplitude dropped
+    "q190_audio_ahash_pairs" -> ((s, d) => {
+      val specs = (0L until 40L).map(i => (i, i, 500)) ++
+        (0L until 40L by 4L).map(i => (i + 1000L, i, 250))
+      Multimodal.audioNearDupPairs(
+        Multimodal.patternAudio(s, specs, 1600), maxHamming = 2)
+    }),
     // the closure: every image labeled by its near-dup cluster's
     // smallest media_id — the q72 recursive-reach oracle over the q187
     // pair set (third dedup channel complete: content, fuzzy key, image)
@@ -2352,6 +2363,31 @@ object SparkEntry {
         SELECT p.id AS ia, q.id AS ib,
                SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
         FROM bits p JOIN bits q ON p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2)
+      SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
+             CAST(hm AS INT) AS hamming
+      FROM ham WHERE hm <= 2 ORDER BY a, b""",
+    // window energies from the triangle closed form (amplitude
+    // dropped — it scales every energy uniformly and cancels in the
+    // sign), 64 consecutive-window comparisons per clip, disagreement
+    // counts per pair
+    "q190_audio_ahash_pairs" -> """
+      WITH auds AS (
+        SELECT i AS id, i % 50 + 2 AS p FROM range(0, 40) t(i)
+        UNION ALL
+        SELECT i + 1000, i % 50 + 2 FROM range(0, 40) t(i) WHERE i % 4 = 0),
+      e AS (
+        SELECT id, (i // 24) AS w, SUM(abs((i % p) * 2 - p)) AS en
+        FROM auds, range(0, 1560) t(i)
+        GROUP BY 1, 2),
+      bits AS (
+        SELECT a.id, a.w, CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e b ON b.id = a.id AND b.w = a.w + 1
+        WHERE a.w < 64),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.w = q.w AND p.id < q.id
         GROUP BY 1, 2)
       SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
              CAST(hm AS INT) AS hamming

@@ -338,6 +338,102 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** 64-bit audio energy-difference hash — the PCM analog of
+    * `dHash64`: decode 16-bit samples, fold |sample| into 65 equal
+    * windows (exact longs), bit w set iff E(w) > E(w+1). Gradient
+    * SIGNS of the loudness envelope survive exactly the edits an audio
+    * near-dup channel cares about — uniform volume scaling cancels in
+    * the comparison (the brightness analog), re-encodes of the same
+    * PCM ride the decode — while unrelated clips land ~32 bits apart.
+    * None for undecodable, non-16-bit, or < 65-sample payloads. */
+  def audioAHash64(bytes: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) {
+        in.close(); None
+      } else {
+        val data = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(data).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = data.length / 2
+        if (n < 65) None
+        else {
+          val win = n / 65
+          val e = new Array[Long](65)
+          var i = 0
+          while (i < win * 65) {
+            e(i / win) += math.abs(bb.getShort.toLong); i += 1
+          }
+          var h = 0L
+          var w = 0
+          while (w < 64) { if (e(w) > e(w + 1)) h |= 1L << w; w += 1 }
+          Some(h)
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Fingerprints of the audio rows: (media_id, ahash). */
+  def audioAHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap(m => audioAHash64(m.content).map(h => (m.media_id, h)))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs — same banded Hamming machinery as the
+    * image channel (`Dedup.hammingPairs`, exact recall at the radius),
+    * over the energy-envelope fingerprints. */
+  def audioNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int,
+                        blockChoose: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      audioAHashes(ds).select(col("media_id").as("id"), col("ahash").as("h")),
+      64, maxHamming, blockChoose)
+
+  /** Deterministic triangle-wave WAV with an explicit amplitude —
+    * sample(i) = ((i mod p)·2 − p)·amp, p = seed%50+2 (amp = 500
+    * reproduces `wavBytes` exactly). Halving `amp` scales every
+    * window energy exactly ×½, so the half-volume variant is a
+    * PLANTED hamming-0 duplicate under `audioAHash64`, and the
+    * closed-form samples make the hash computable in oracle SQL with
+    * the amplitude dropped entirely. */
+  def wavToneBytes(seed: Long, amp: Int, nFrames: Int,
+                   sampleRate: Int = 16000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(amp > 0 && amp.toLong * 52 <= Short.MaxValue,
+      "amplitude must keep the wave inside 16 bits")
+    val period = (seed % 50 + 2).toInt
+    val raw = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) {
+      bb.putShort((((i % period) * 2 - period) * amp).toShort)
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ain = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ain, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** A media table of toned WAVs from (media_id, seed, amp) specs. */
+  def patternAudio(spark: org.apache.spark.sql.SparkSession,
+                   specs: Seq[(Long, Long, Int)],
+                   nFrames: Int = 1600): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.createDataset(specs).map { case (id, seed, amp) =>
+      MediaRow(id, "audio", wavToneBytes(seed, amp, nFrames),
+        MediaMeta(0, 0, nFrames.toLong * 1000 / 16000, "pcm_s16le"))
+    }
+  }
+
   /** A media table of REAL (synthesized, deterministic) WAV payloads —
     * executor-side generation, like `syntheticImages`. */
   def syntheticAudio(spark: org.apache.spark.sql.SparkSession, n: Long,

@@ -236,6 +236,44 @@ class MultimodalSpec extends SparkSpec {
     assert(comp.size == specs.size)
   }
 
+  test("audioAHash64: closed-form reference, volume invariance, hostile bytes") {
+    // the closed-form reference: 65 windows of 24 over 1560 samples of
+    // the integer triangle wave, amp dropped (it cancels in the sign)
+    def ref(seed: Long): Long = {
+      val p = (seed % 50 + 2).toInt
+      val e = new Array[Long](65)
+      for (i <- 0 until 1560) e(i / 24) += math.abs((i % p) * 2 - p).toLong
+      (0 until 64).foldLeft(0L)((h, w) =>
+        if (e(w) > e(w + 1)) h | (1L << w) else h)
+    }
+    for (seed <- 0L until 6L) {
+      val full = Multimodal.audioAHash64(
+        Multimodal.wavToneBytes(seed, 500, 1600))
+      assert(full.contains(ref(seed)), s"seed $seed")
+      // exact half-volume: every window energy scales ×1/2 exactly, so
+      // the comparison vector — and the hash — is unchanged
+      assert(Multimodal.audioAHash64(
+        Multimodal.wavToneBytes(seed, 250, 1600)) == full)
+      // wavBytes IS wavToneBytes at amp 500 — q149's payloads carry
+      // the same fingerprint
+      assert(Multimodal.audioAHash64(
+        Multimodal.wavBytes(seed, 1600)) == full)
+    }
+    assert(Multimodal.audioAHash64("hostile".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioAHash64(
+      Multimodal.wavToneBytes(1L, 500, 40)).isEmpty) // < 65 samples
+  }
+
+  test("audio near-dup pairs: planted half-volume variants recovered") {
+    val specs = (0L until 20L).map(i => (i, i, 500)) ++
+      (0L until 20L by 2L).map(i => (i + 1000L, i, 250))
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.patternAudio(spark, specs, 1600), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L by 2L).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
+  }
+
   test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
     import spark.implicits._
     // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
