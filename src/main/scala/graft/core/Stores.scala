@@ -25,17 +25,52 @@ object Stores {
     * IVF lists' `list_id`). Returns the row count after compaction. */
   def rewriteDeduped(spark: SparkSession, path: String,
                      keyCols: Seq[String],
-                     partitionCols: Seq[String] = Nil): Long = {
+                     partitionCols: Seq[String] = Nil): Long =
+    rewriteWith(spark, path, _.dropDuplicates(keyCols), partitionCols)
+
+  /** Rewrite `path` keeping, per `keyCols` combination, only the row
+    * with the greatest `verCol` — the space reclaim for append-only
+    * VERSIONED stores whose readers take the latest row anyway
+    * (IngestLinkage's golden records). Ties keep one arbitrary row,
+    * which is safe exactly when equal-version rows are bit-identical
+    * (the replay contract). Keyed window, corpus-parallel. */
+  def rewriteLatest(spark: SparkSession, path: String,
+                    keyCols: Seq[String], verCol: String,
+                    partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    rewriteWith(spark, path, df =>
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(verCol).desc)))
+        .where(col("__rn") === 1).drop("__rn"),
+      partitionCols)
+  }
+
+  // staged swap with every filesystem boolean CHECKED and the old
+  // store renamed ASIDE before the promote (the lexRebalance
+  // hardening): no crash window — or silent rename failure — leaves
+  // the path without a complete readable copy somewhere (<path>,
+  // <path>.old, or <path>.compact)
+  private def rewriteWith(spark: SparkSession, path: String,
+                          f: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame,
+                          partitionCols: Seq[String]): Long = {
     val p = new Path(path)
     val tmp = new Path(path + ".compact")
+    val old = new Path(path + ".old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.parquet(path).dropDuplicates(keyCols)
+    if (fs.exists(old)) // stale .old: path exists, prior run completed
+      require(fs.delete(old, true), s"could not clear stale $old")
+    val df = f(spark.read.parquet(path))
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed " +
+      s"(old store preserved at $old — rename back to recover)")
+    require(fs.delete(old, true), s"could not delete $old")
     n
   }
 }

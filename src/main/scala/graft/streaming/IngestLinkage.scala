@@ -383,6 +383,15 @@ object IngestLinkage {
       graft.core.Stores.rewriteDeduped(spark, s"$storePath/entities",
         Seq("entity", "ver"))
 
+  /** Deeper reclaim for entities/: keep only each entity's LATEST
+    * version (the only row `goldenLatest` ever reads) — an entity
+    * touched by thousands of batches otherwise keeps every
+    * intermediate merge. History is dropped by design; run
+    * `compactStore` instead to keep it. */
+  def compactGolden(spark: SparkSession, storePath: String): Long =
+    graft.core.Stores.rewriteLatest(spark, s"$storePath/entities",
+      Seq("entity"), "ver")
+
   // committed DATA files, not just _SUCCESS (the IngestFuzzy rule: an
   // empty append commits no part file and schema inference would die)
   private def exists(spark: SparkSession, path: String): Boolean = {

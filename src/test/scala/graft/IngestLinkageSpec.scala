@@ -174,6 +174,12 @@ class IngestLinkageSpec extends SparkSpec {
     assert(assignments(out) == a1)
     assert(goldenRows(store) == g1)
     assert(spark.read.parquet(s"$store/members").count() == feed.size)
+    // deeper reclaim: latest-version-only leaves the read view intact
+    // and exactly one row per entity on disk
+    IngestLinkage.compactGolden(spark, store)
+    assert(goldenRows(store) == g1)
+    assert(spark.read.parquet(s"$store/entities").count() ==
+      a1.values.toSet.size)
   }
 
   test("store probe plan: the batch broadcasts, members never shuffle") {
