@@ -1088,10 +1088,22 @@ object ScaleReport {
         seedN
       }
       val nBatches = 5
-      val span = math.max(1L, (feedN - seedN) / nBatches)
+      // corpus-fraction spans (the default fifths) are the round-10
+      // shape; at sf100 one such batch (360 k keys, 36 fuzzy slices)
+      // accumulated 71 GB of shuffle spill and filled the disk before
+      // finishing — the wall is LOCAL-DISK SPILL, not CPU. Override
+      // with SPARK_GRAFT_PIPE_SPAN (keys/batch) to run the disciplined
+      // micro-batch shape at extreme SF; the default stays the
+      // corpus-fraction stress shape for comparable rows at sf1/sf10.
+      val spanOverridden = sys.env.contains("SPARK_GRAFT_PIPE_SPAN")
+      val span = sys.env.get("SPARK_GRAFT_PIPE_SPAN").map(_.toLong)
+        .getOrElse(math.max(1L, (feedN - seedN) / nBatches))
       for (b <- 0 until nBatches) {
         val lo = seedN + b * span
-        val hi = if (b == nBatches - 1) Long.MaxValue else seedN + (b + 1) * span
+        // default shape: the last fifth absorbs the remainder; an
+        // overridden span keeps every batch the declared size
+        val hi = if (b == nBatches - 1 && !spanOverridden) Long.MaxValue
+                 else seedN + (b + 1) * span
         val batch = feed.where(col("doc_id") >= lo && col("doc_id") < hi)
         val m = scala.collection.mutable.Map.empty[String, Double]
         val t0 = System.nanoTime()
