@@ -1360,7 +1360,7 @@ object ScaleReport {
     if (section("ingestlinkbig") && docsOpt.nonEmpty && nDocs >= 320000) {
       import graft.streaming.IngestLinkage
       val nBlocks = math.max(64L, (nDocs * 3) / 48)
-      val feed = linkFeed(312000L, nBlocks)
+      val feed = linkFeed(315000L, nBlocks) // 5 × (60 k seed + 3 k micro)
       val dir = java.nio.file.Files.createTempDirectory("sr_linkbig").toString
       IngestLinkage.linkSave(spark, s"$dir/store", linkRules, linkW, 700,
         linkMerge)
