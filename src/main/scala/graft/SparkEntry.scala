@@ -1229,6 +1229,21 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(100)
     }),
+    // BPE TRAINING under the hash gate — the q180 unrolled-iteration
+    // discipline applied to the merge loop: each of the 8 iterations
+    // is one CTE stage (adjacent-pair counts over current states →
+    // argmax with the engine's exact (count desc, pair lexical)
+    // tie-break → replace over (sym)-delimited states), so the oracle
+    // IS the algorithm and the learned merge table hash-matches row
+    // for row. Clean alpha words only (the q189 delimiter discipline);
+    // q110's full-corpus training stays rows-only
+    "q191_bpe_train" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.bpeMerges(documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .selectExpr("w AS text"), 8)
+    }),
     // model-based quality filtering (Brown et al. 2020 App. A): LR
     // trained on gopherQuality's verdict over docs < 250 as weak
     // labels, every doc scored with a soft probability (rows-only —
@@ -1454,7 +1469,39 @@ object SparkEntry {
   private val DSUM_TOT = "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
   private val DSUM_BAL = "SUM(CAST(c_acctbal AS DECIMAL(18,2)))"
 
+  /** q191's oracle, generated by unrolling the 8 BPE training
+    * iterations into CTE stages (the q180 discipline: the oracle IS
+    * the algorithm). Validated stage shape: adjacent pairs via
+    * list-subscript unnest, argmax with the engine's exact
+    * (count desc, l, r) tie-break, merge via plain replace over
+    * (sym)-delimited states. "left"/"right" are SQL keywords, hence
+    * the quoted aliases. */
+  private def bpeTrainOracle(n: Int): String = {
+    val stages = (0 until n).map { i =>
+      s"""syms$i AS (SELECT word, c, string_split(substr(state, 2, length(state) - 2), ')(') AS syms FROM s$i),
+         |p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, SUM(c) AS pc
+         |  FROM syms$i, unnest(generate_series(1, len(syms) - 1)) AS t(j) GROUP BY 1, 2),
+         |b$i AS (SELECT $i AS rank, l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |s${i + 1} AS (SELECT word, c, replace(state, '(' || b.l || ')(' || b.r || ')', '(' || b.l || b.r || ')') AS state
+         |  FROM s$i CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until n).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, COUNT(*) AS c FROM (
+       |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |s0 AS (SELECT word, c,
+       |       regexp_replace(word, '(.)', '(\\1)', 'g') || '(</w>)' AS state
+       |       FROM w),
+       |$stages
+       |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+       |       l || r AS merged, CAST(pc AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q191_bpe_train" -> bpeTrainOracle(8),
     "q01_pricing_summary" -> s"""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
              $DSUM_QTY AS sum_qty, $DSUM_PRICE AS sum_price,
