@@ -247,6 +247,19 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.patternImages(s, specs, 36, 32), maxHamming = 2)
     }),
+    // the VIDEO face: per-frame dHash over the REAL AVI demux (DIB
+    // rows decoded bottom-up), clips near-duplicate iff EVERY aligned
+    // frame pair sits within the radius — brightness twins planted as
+    // all-frames hamming-0; the oracle recomputes each frame's 72
+    // sampled grays from the md5-nibble generator formula, exactly the
+    // q187 construction with a frame dimension
+    "q192_video_dhash_pairs" -> ((s, d) => {
+      val specs = (0L until 30L).map(i => (i, i, 0)) ++
+        (0L until 30L by 3L).map(i => (i + 1000L, i, 30))
+      Multimodal.videoNearDupPairs(
+        Multimodal.patternVideos(s, specs, nFrames = 3, w = 36, h = 32),
+        maxHamming = 2)
+    }),
     // the AUDIO sibling: energy-envelope fingerprints over REAL PCM
     // decode (javax.sound), half-volume variants planted as hamming-0
     // duplicates (uniform gain cancels in the energy comparison — the
@@ -2414,6 +2427,40 @@ object SparkEntry {
       SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
              CAST(hm AS INT) AS hamming
       FROM ham WHERE hm <= 2 ORDER BY a, b""",
+    // q187's construction with a frame dimension: per-frame difference
+    // signs from the md5-nibble closed form, clip pairs keep iff all
+    // three frames sit within the radius
+    "q192_video_dhash_pairs" -> """
+      WITH vids AS (
+        SELECT i AS id, i AS seed FROM range(0, 30) t(i)
+        UNION ALL
+        SELECT i + 1000, i FROM range(0, 30) t(i) WHERE i % 3 = 0),
+      cells AS (
+        SELECT id, f, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(f AS VARCHAR) || ':' || CAST(x*4 AS VARCHAR) || ':'
+              || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(f AS VARCHAR) || ':' || CAST(x*4 AS VARCHAR) || ':'
+              || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM vids, range(0, 3) tf(f), range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.f, c.y, c.x,
+               CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n
+          ON n.id = c.id AND n.f = c.f AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      fham AS (
+        SELECT p.id AS ia, q.id AS ib, p.f,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q
+          ON p.f = q.f AND p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2, 3),
+      clip AS (SELECT ia, ib, COUNT(*) AS matched
+               FROM fham WHERE hm <= 2 GROUP BY 1, 2)
+      SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
+             CAST(3 AS INT) AS n_frames
+      FROM clip WHERE matched = 3 ORDER BY a, b""",
     // window energies from the triangle closed form (amplitude
     // dropped — it scales every energy uniformly and cancels in the
     // sign), 64 consecutive-window comparisons per clip, disagreement

@@ -540,12 +540,138 @@ object Multimodal {
     out
   }
 
+  /** dHash of one demuxed DIB frame (bottom-up 24-bit BGR rows, the
+    * `aviDemux` payload): same 9×8 NN sample and integer luma as the
+    * image channel, with top-row y mapping to DIB row h−1−y. */
+  private[graft] def frameDHash(dib: Array[Byte], w: Int, h: Int): Long = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val o = (h - 1 - (y * h / 8)) * stride + (x * w / 9) * 3
+        g(y)(x) = (299 * (dib(o + 2) & 0xFF) + 587 * (dib(o + 1) & 0xFF) +
+          114 * (dib(o) & 0xFF)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hsh = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > g(y)(x + 1)) hsh |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
+  /** Per-frame fingerprints of the video rows: (media_id, frame_idx,
+    * dhash) — one demux per payload, one dHash per frame. */
+  def videoDHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        aviDemux(m.content).toSeq.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (f, i) =>
+            (m.media_id, i, frameDHash(f, w, h))
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Clip-level near-duplicates: two videos match iff EVERY aligned
+    * frame pair is within `maxHamming` — per-frame banded Hamming
+    * (frame index folded into the band id, so only aligned frames
+    * meet) aggregated to clips whose matching-frame count equals BOTH
+    * clips' frame counts. The frame fan-out keeps the banding exact
+    * per frame; a clip pair differing in any one frame drops. Output
+    * (a, b, n_frames), deterministic order. */
+  def videoNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int,
+                        blockChoose: Int = 3): DataFrame = {
+    val fh = videoDHashes(ds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fh.count()
+    val k = 4096L
+    val nf = fh.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val enc = fh.select((col("media_id") * k + col("frame_idx")).as("id"),
+      col("dhash").as("h"))
+    val fp = Dedup.hammingPairs(enc, 64, maxHamming, blockChoose)
+      .where(pmod(col("a"), lit(k)) === pmod(col("b"), lit(k)))
+    val res = fp.select(expr(s"a div $k").as("va"), expr(s"b div $k").as("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).as("m"))
+      .join(nf.select(col("media_id").as("va"), col("nf").as("na")), Seq("va"))
+      .join(nf.select(col("media_id").as("vb"), col("nf").as("nb")), Seq("vb"))
+      .where(col("m") === col("na") && col("na") === col("nb"))
+      .select(col("va").as("a"), col("vb").as("b"),
+        col("na").cast("int").as("n_frames"))
+      .orderBy("a", "b")
+    val out = res.collect() // clip pairs: bounded by the near-dup set
+    fh.unpersist(blocking = false)
+    val spark = ds.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1),
+      res.schema)
+  }
+
+  /** Patterned DIB frame for the video-dHash oracle: every channel
+    * carries v(x, y) = (hex(md5("seed:f:x:y")[0..2]) mod 200) + bright
+    * at TOP-row coordinates (written bottom-up as DIB requires) — the
+    * `pngPatternBytes` construction per frame, so the per-frame hash
+    * is closed-form in SQL and `bright` is a planted hamming-0 twin. */
+  private[graft] def dibPatternFrame(seed: Long, f: Int, bright: Int,
+                              w: Int, h: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // top-row coordinate of DIB row r
+      var x = 0
+      while (x < w) {
+        val hex = md.digest(s"$seed:$f:$x:$y".getBytes("UTF-8"))
+        md.reset()
+        val v = ((((hex(0) >> 4) & 0xF) * 16 + (hex(0) & 0xF)) % 200 +
+          bright).toByte
+        val o = r * stride + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** A media table of patterned AVIs from (media_id, seed, bright)
+    * specs — the standard container around `dibPatternFrame` frames. */
+  def patternVideos(spark: org.apache.spark.sql.SparkSession,
+                    specs: Seq[(Long, Long, Int)], nFrames: Int,
+                    w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.createDataset(specs).map { case (id, seed, bright) =>
+      MediaRow(id, "video", aviBytesOf(
+        (0 until nFrames).map(f => dibPatternFrame(seed, f, bright, w, h)),
+        w, h), MediaMeta(w, h, nFrames * 33L, "rawvideo"))
+    }
+  }
+
   /** Minimal standard AVI container around uncompressed DIB frames:
     * RIFF('AVI ' hdrl(avih, strl(strh,strf)) movi(00db…)). Players
     * and demuxers that accept index-less AVI read it; `aviDemux`
     * round-trips it exactly. */
   def aviBytes(seed: Long, nFrames: Int, w: Int, h: Int,
-               fps: Int = 10): Array[Byte] = {
+               fps: Int = 10): Array[Byte] =
+    aviBytesOf((0 until nFrames).map(dibFrame(seed, _, w, h)), w, h, fps)
+
+  /** Same container around CALLER-BUILT DIB frames (each stride·h
+    * bytes, bottom-up BGR) — `patternVideos` feeds it. */
+  def aviBytesOf(frames: Seq[Array[Byte]], w: Int, h: Int,
+                 fps: Int = 10): Array[Byte] = {
+    val nFrames = frames.size
     val bb = new java.io.ByteArrayOutputStream()
     def s4(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
     def i4(v: Int): Unit = {
@@ -574,10 +700,9 @@ object Multimodal {
     i4(40); i4(w); i4(h); i2(1); i2(24); i4(0)              // BITMAPINFOHEADER, BI_RGB
     i4(frameBytes); i4(0); i4(0); i4(0); i4(0)
     s4("LIST"); i4(moviSize); s4("movi")
-    var i = 0
-    while (i < nFrames) {
-      s4("00db"); i4(frameBytes); bb.write(dibFrame(seed, i, w, h))
-      i += 1
+    frames.foreach { f =>
+      require(f.length == frameBytes, "frame size must match w×h stride")
+      s4("00db"); i4(frameBytes); bb.write(f)
     }
     bb.toByteArray
   }

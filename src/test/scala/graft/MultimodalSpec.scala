@@ -274,6 +274,34 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
   }
 
+  test("video near-dup: all-frames rule, brightness twins, one tampered frame drops the clip") {
+    // base clips + a full brightness twin of clip 0 (all 3 frames
+    // hamming 0) + a twin of clip 1 whose LAST frame comes from a
+    // different seed (two frames match, one does not → not a near-dup)
+    val base = Multimodal.patternVideos(spark,
+      (0L until 6L).map(i => (i, i, 0)), nFrames = 3, w = 36, h = 32)
+    val twin = Multimodal.patternVideos(spark,
+      Seq((1000L, 0L, 30)), nFrames = 3, w = 36, h = 32)
+    import spark.implicits._
+    val tampered = Seq(MediaRow(1001L, "video", Multimodal.aviBytesOf(
+      Seq(Multimodal.dibPatternFrame(1L, 0, 30, 36, 32),
+          Multimodal.dibPatternFrame(1L, 1, 30, 36, 32),
+          Multimodal.dibPatternFrame(99L, 2, 30, 36, 32)),
+      36, 32), MediaMeta(36, 32, 99L, "rawvideo"))).toDS()
+    val ds = base.unionByName(twin).unionByName(tampered)
+    val pairs = Multimodal.videoNearDupPairs(ds, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1000L)),
+      s"pairs=${pairs.toSeq}")
+    assert(pairs.head._3 == 3)
+    // per-frame hashes themselves are brightness-invariant and
+    // frame-distinct
+    val fh = Multimodal.videoDHashes(ds)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    (0 until 3).foreach(f => assert(fh((0L, f)) == fh((1000L, f))))
+    assert(fh((1001L, 2)) != fh((1L, 2)))
+  }
+
   test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
     import spark.implicits._
     // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
