@@ -44,7 +44,8 @@ object ScaleReport {
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
     // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,
-    // pipeline,linkskew,snm,linkcc,ingestlink,ingestlinkbig) for
+    // pipeline,linkskew,snm,linkcc,ingestlink,ingestlinkbig,fuzzybackfill,
+    // linkskewbig,linkgolden) for
     // isolating one family — host-level stall noise makes whole-report
     // timings incomparable across runs (CLAUDE.md round 4)
     val sections = sys.env.get("SCALE_SECTIONS")
@@ -1381,6 +1382,148 @@ object ScaleReport {
         release()
         println(f"""{"op":"ingestlinkbig_rung","rung":$i,"store_members":$members,"micro_rows":$nb,"micro_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       }
+      release()
+    }
+
+    // One corpus-fraction fuzzy backfill with the DISK-BACKED lineage
+    // cut (round-12): the round-11 sf100 wall was 71 GB of shuffle
+    // spill accumulated inside one 360 k-key batch closure; the
+    // scratch fold releases each slice's shuffles mid-fold, so peak
+    // spill must track the SLICE, not the batch. Peak local-disk
+    // bytes sampled live; a no-scratch A/B arm runs at a bounded size
+    // (the unreleased fold is the disk killer at full size).
+    if (section("fuzzybackfill") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestFuzzy
+      def td(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+      def sparkLocalBytes(): Long =
+        Option(new java.io.File("/tmp").listFiles).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blockmgr-") ||
+            f.getName.startsWith("spark-"))
+          .map(sizeOf).sum
+      val keys = docs.selectExpr("doc_id", "substring(text, 1, 32) AS key")
+      def backfill(nKeys: Long, scratch: Boolean): Unit = {
+        val (dir, out) = (td("sr_bf_store"), td("sr_bf_out"))
+        val scr = if (scratch) Some(td("sr_bf_scratch")) else None
+        IngestFuzzy.fuzzySave(spark,
+          keys.limit(0).selectExpr("doc_id AS id", "key AS s"), dir, 3)
+        val base = sparkLocalBytes()
+        @volatile var peak = 0L
+        @volatile var done = false
+        val sampler = new Thread(() => {
+          while (!done) {
+            peak = math.max(peak, sparkLocalBytes() - base)
+            Thread.sleep(5000)
+          }
+        })
+        sampler.setDaemon(true); sampler.start()
+        val t0 = System.nanoTime()
+        val kept = IngestFuzzy.processBatch(
+          keys.where(col("doc_id") < nKeys), dir, out,
+          maxKeys = 10000, scratch = scr)
+        done = true; sampler.join()
+        peak = math.max(peak, sparkLocalBytes() - base)
+        val scrGb = scr.map(s => sizeOf(new java.io.File(s)) / 1e9)
+          .getOrElse(0.0)
+        release()
+        println(f"""{"op":"fuzzybackfill","keys":$nKeys,"scratch":$scratch,"kept":$kept,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"peak_spill_gb":${peak / 1e9}%.2f,"scratch_gb":$scrGb%.2f}""")
+      }
+      // bounded A/B: both arms at 1/3 of the round-11 wall size
+      val abKeys = math.min(nDocs, 120000L)
+      backfill(abKeys, scratch = false)
+      backfill(abKeys, scratch = true)
+      // the full round-11 wall point, scratch fold only
+      if (nDocs >= 360000L) backfill(360000L, scratch = true)
+    }
+
+    // The deferred auto-salt PAYOFF ladder (round-10 task, round-12
+    // measured): the planted hot block's pairs are (N/10)² in ONE
+    // reducer unaided — wall-clock unaided vs fieldAgreementsAuto at
+    // growing N, broadcast off (the 100 TB plan shape), unaided arm
+    // gated by its own projection from the previous rung so the
+    // ladder can't strand the campaign in a multi-hour task.
+    if (section("linkskewbig") && docsOpt.nonEmpty) {
+      import graft.operators.Linkage
+      import graft.operators.Linkage.{BandRule, ExactRule, LevRule}
+      val rules = Seq(LevRule("head", 2), ExactRule("source"),
+        BandRule("n_chars", 5))
+      val blockExpr = "CASE WHEN doc_id % 10 = 0 THEN 'hot' " +
+        "ELSE CAST(doc_id % 64 AS STRING) END"
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        var last: Option[(Double, Double)] = None // (hotPairs, sec)
+        for (nRec <- Seq(200000L, 400000L, 800000L, 2000000L)
+               .filter(_ <= nDocs)) {
+          val rec = docs.where(col("doc_id") < nRec)
+          val a = rec.selectExpr("doc_id AS id", s"$blockExpr AS block",
+            "substring(text, 1, 24) AS head", "source", "n_chars")
+          val b = rec.selectExpr("doc_id + 100000000 AS id",
+            s"$blockExpr AS block", "substring(text, 1, 23) AS head",
+            "source", "n_chars + 3 AS n_chars")
+          val hotPairs = (nRec / 10).toDouble * (nRec / 10).toDouble
+          timed(s"linkskewbig_auto_$nRec")(
+            Linkage.fieldAgreementsAuto(a, b, rules).count())
+          val projected = last.map { case (hp, s) => s * hotPairs / hp }
+          if (projected.forall(_ < 2400.0)) {
+            val t0 = System.nanoTime()
+            timed(s"linkskewbig_plain_$nRec")(
+              Linkage.fieldAgreements(a, b, rules).count())
+            last = Some((hotPairs, (System.nanoTime() - t0) / 1e9))
+          } else
+            println(f"""{"op":"linkskewbig_plain_$nRec","skipped":"projected ${projected.get}%.0f s unaided hot task","hot_pairs":${hotPairs.toLong}}""")
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      release()
+    }
+
+    // Entity-store survivorship churn (round-12): every fold touches
+    // every entity, so entities/ grows one version per entity per fold
+    // — the read cost of goldenLatest vs chain depth, the compaction
+    // payoff, and the goldenMaintain cadence gate.
+    if (section("linkgolden") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestLinkage
+      val dir = java.nio.file.Files.createTempDirectory("sr_lg").toString
+      val E = 2000L
+      val nFolds = 50
+      IngestLinkage.linkSave(spark, s"$dir/store", linkRules, linkW, 700,
+        linkMerge)
+      def fold(f: Int) = spark.range(E).selectExpr(
+        s"id * 1 + $f * $E AS doc_id", // globally increasing ids
+        "CAST(pmod(id, 97) AS STRING) AS block",
+        "substr(md5(concat('k', id)), 1, 16) AS key",
+        "substr(md5(concat('s', id)), 1, 6) AS src",
+        "pmod(xxhash64(concat('n', id)), 1000000) AS num")
+        .selectExpr("doc_id", "block", "key", "src", "num")
+      def timeRead(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = IngestLinkage.goldenLatest(spark, s"$dir/store").count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      for (f <- 0 until nFolds) {
+        val t0 = System.nanoTime()
+        IngestLinkage.processBatch(fold(f), s"$dir/store", s"$dir/out")
+        val sec = (System.nanoTime() - t0) / 1e9
+        release()
+        if ((f + 1) % 10 == 0) {
+          val versions = spark.read.parquet(s"$dir/store/entities").count()
+          val (ents, rsec) = timeRead()
+          release()
+          println(f"""{"op":"linkgolden_read","folds":${f + 1},"versions":$versions,"entities":$ents,"fold_sec":$sec%.2f,"read_sec":$rsec%.2f}""")
+        }
+      }
+      // the compaction payoff + the cadence gate
+      val before = spark.read.parquet(s"$dir/store/entities").count()
+      assert(IngestLinkage.goldenMaintain(spark, s"$dir/store", 4.0))
+      val after = spark.read.parquet(s"$dir/store/entities").count()
+      val (_, rsec) = timeRead()
+      println(f"""{"op":"linkgolden_compact","versions_before":$before,"versions_after":$after,"read_sec_after":$rsec%.2f}""")
+      // compacted store still folds correctly (one more fold, replay-safe)
+      val n = IngestLinkage.processBatch(fold(nFolds), s"$dir/store", s"$dir/out")
+      println(s"""{"op":"linkgolden_postcompact_fold","rows":$n}""")
       release()
     }
 

@@ -60,8 +60,16 @@ object Stores {
     val tmp = new Path(path + ".compact")
     val old = new Path(path + ".old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(old)) // stale .old: path exists, prior run completed
-      require(fs.delete(old, true), s"could not clear stale $old")
+    if (fs.exists(old)) {
+      // A leftover .old is only stale if the promote completed (path
+      // exists). After a crash between rename(p->old) and rename(tmp->p)
+      // the .old IS the store — heal by renaming it back instead of
+      // destroying the sole complete copy.
+      if (!fs.exists(p))
+        require(fs.rename(old, p), s"self-heal rename $old -> $p failed")
+      else
+        require(fs.delete(old, true), s"could not clear stale $old")
+    }
     val df = f(spark.read.parquet(path))
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -431,12 +431,18 @@ object Dedup {
     candidates.orderBy("a", "b")
   }
 
-  /** Band rows (id, h, band, bkey) for the pigeonhole Hamming join —
-    * shared by `hammingPairs` and the streaming image gate. Join two
-    * band-row frames on (band, bkey), verify with bit_count(xor). */
+  /** Band rows (id, h, [carry...], band, bkey) for the pigeonhole
+    * Hamming join — shared by `hammingPairs` and the streaming
+    * fingerprint gates. Join two band-row frames on (band, bkey),
+    * verify with bit_count(xor). `carry` names extra columns to keep
+    * through the explode (the multi-part gate's part index / part
+    * count); `hint=false` drops the shuffle_hash hint for callers that
+    * broadcast one side instead (store-probe joins). */
   private[graft] def hammingBandRows(hashes: DataFrame, bits: Int,
                                      maxHamming: Int,
-                                     blockChoose: Int): DataFrame = {
+                                     blockChoose: Int,
+                                     carry: Seq[String] = Nil,
+                                     hint: Boolean = true): DataFrame = {
     require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     require(maxHamming >= 0 && blockChoose >= 1, "non-negative radius")
     val numBlocks = maxHamming + blockChoose
@@ -450,12 +456,14 @@ object Dedup {
         if (widths(b) == 64) -1L else (1L << widths(b)) - 1))
     val tables = (0 until numBlocks).combinations(blockChoose).toSeq
     val withBlocks = hashes.select(col("id") +: col("h") +:
-      (0 until numBlocks).map(b => block(b).as(s"blk$b")): _*)
-    withBlocks.select(col("id"), col("h"),
-      posexplode(array(tables.map(s =>
-        xxhash64(s.map(b => col(s"blk$b")): _*): Column): _*))
-        .as(Seq("band", "bkey")))
-      .hint("shuffle_hash")
+      (carry.map(col) ++
+        (0 until numBlocks).map(b => block(b).as(s"blk$b"))): _*)
+    val rows = withBlocks.select(col("id") +: col("h") +:
+      (carry.map(col) :+
+        posexplode(array(tables.map(s =>
+          xxhash64(s.map(b => col(s"blk$b")): _*): Column): _*))
+          .as(Seq("band", "bkey"))): _*)
+    if (hint) rows.hint("shuffle_hash") else rows
   }
 
   /** Near-duplicate cluster closure: connected components over verified
@@ -1285,16 +1293,19 @@ object Dedup {
     * partner is ≥ `minSeg·(d+1)` long, so Δlen alone would exceed d
     * (such pairs go through the length band instead). */
   private[graft] def edIndexSegs(base: DataFrame, maxDist: Int,
-                                 minSeg: Int): DataFrame = {
+                                 minSeg: Int,
+                                 carryS: Boolean = false): DataFrame = {
     val d = maxDist
     val n = d + 1
     val shortCut = minSeg * n
+    val tail = if (carryS) Seq(col("s")) else Nil
     base.where(col("len") >= shortCut - d)
       .select(col("id").as("tid"), col("s"), col("len").as("lt"))
       .select(col("tid"), col("s"), col("lt"),
         explode(expr(s"sequence(1, $n)")).as("i"))
-      .select(col("tid"), col("lt"), col("i"),
-        expr(s"substring(s, ${edPiExpr(n)}, ${edLiExpr(n)})").as("seg"))
+      .select(col("tid") +: col("lt") +: col("i") +:
+        expr(s"substring(s, ${edPiExpr(n)}, ${edLiExpr(n)})").as("seg") +:
+        tail: _*)
   }
 
   /** Probe-side PassJoin rows: for each candidate target length lt,
@@ -1440,6 +1451,71 @@ object Dedup {
       .where(col("dist") >= 0)
       .select(col("tid").as("store_id"), col("pid").as("batch_id"), col("dist"))
       .orderBy("store_id", "batch_id")
+  }
+
+  /** `edStorePairsIndexed` against a PRUNED, string-carrying store —
+    * the per-batch probe shape that stays flat as the store grows:
+    *
+    *  - `segs` are the store's segment rows (lt, i, seg, tid, s),
+    *    already partition-PRUNED by the caller to the probe's bucket
+    *    set (IngestFuzzy's segs/ geometry), so the only store-sized
+    *    read is a pruned columnar scan;
+    *  - the store key string `s` rides each seg row (denormalized at
+    *    append time), so the verify join-back never reads — let alone
+    *    shuffles — a store-wide keys/ frame: the old shape shuffled
+    *    ALL store keys through the verify join every batch, an
+    *    O(store) term per batch;
+    *  - `shorts` is the store's bounded-length short-key slice
+    *    (id, s, len), read from its own keys/ partition.
+    *
+    * Semantics are bit-identical to `edStorePairsIndexed` (the
+    * candidate set is the same (pid, tid) set; `s_a` is functionally
+    * determined by tid). Output (store_id, batch_id, dist), exact. */
+  private[graft] def edStorePairsPruned(batchBase: DataFrame,
+                                        segs: DataFrame, shorts: DataFrame,
+                                        maxDist: Int, minSeg: Int)
+      : DataFrame = {
+    require(maxDist >= 0 && minSeg >= 1, "maxDist >= 0, minSeg >= 1")
+    val d = maxDist
+    val shortCut = minSeg * (d + 1)
+    val segCand = edProbeSegs(batchBase, d, minSeg, twoSided = true)
+      .join(segs.hint("shuffle_hash"), Seq("lt", "i", "seg"))
+      .select(col("pid"), col("tid"), col("s").as("s_a"))
+    val bandCand = batchBase.where(col("len") < shortCut)
+      .select(col("id").as("pid"),
+        explode(expr(s"sequence(greatest(0, len - $d), len + $d)")).as("k"))
+      .join(shorts.where(col("len") < shortCut + d)
+        .select(col("id").as("tid"), col("len").as("k"), col("s").as("s_a")),
+        Seq("k"))
+      .select(col("pid"), col("tid"), col("s_a"))
+    segCand.unionByName(bandCand).distinct()
+      .join(batchBase.select(col("id").as("pid"), col("s").as("s_b")),
+        Seq("pid"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("tid").as("store_id"), col("pid").as("batch_id"), col("dist"))
+  }
+
+  /** `fuzzyKeyKept` over the pruned, string-carrying store probe —
+    * same two drop rules, with the store side supplied as
+    * `edStorePairsPruned` frames. Package-visible for the streaming
+    * gate. */
+  private[graft] def fuzzyKeyKeptPruned(batchBase: DataFrame,
+                                        segs: DataFrame, shorts: DataFrame,
+                                        maxDist: Int, minSeg: Int)
+      : DataFrame = {
+    val storeDrops =
+      edStorePairsPruned(batchBase, segs, shorts, maxDist, minSeg)
+        .select(col("batch_id").as("id"))
+    val inBatchDrops =
+      edVerify(batchBase,
+        edSegCandidates(batchBase, maxDist, minSeg)
+          .unionByName(edShortBandPairs(batchBase, minSeg * (maxDist + 1), maxDist)),
+        maxDist)
+        .select(col("id_b").as("id"))
+    batchBase
+      .join(storeDrops.unionByName(inBatchDrops).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("s"))
   }
 
   /** The fuzzy-key ingest GATE, batch form: which batch keys survive

@@ -227,10 +227,17 @@ object Lexical {
     val p = new org.apache.hadoop.fs.Path(s"$path/postings")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/postings.rebal")
     val old = new org.apache.hadoop.fs.Path(s"$path/postings.old")
-    // a stale .old from a crashed prior run: postings/ exists, so the
-    // prior run either completed or never promoted — safe to clear
-    if (fs.exists(old))
-      require(fs.delete(old, true), s"could not clear stale $old")
+    // A leftover .old is stale only when postings/ exists (the prior
+    // run completed or never promoted). After a crash between the two
+    // renames, .old IS the store — heal by renaming it back rather
+    // than deleting the sole complete copy (the Stores.rewriteWith
+    // rule).
+    if (fs.exists(old)) {
+      if (!fs.exists(p))
+        require(fs.rename(old, p), s"self-heal rename $old -> $p failed")
+      else
+        require(fs.delete(old, true), s"could not clear stale $old")
+    }
     val before = spark.read.parquet(p.toString).count()
     spark.read.parquet(p.toString)
       .withColumn("bucket",

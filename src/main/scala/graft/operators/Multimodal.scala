@@ -598,6 +598,19 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fh.count()
     val k = 4096L
+    // Frame identity is packed as media_id*k + frame_idx and recovered
+    // with pmod/div; a clip with >= k frames or a negative media_id
+    // would silently alias into other clips (pmod is non-negative while
+    // div truncates toward zero), so both fail loudly instead.
+    val bounds = fh.agg(max(col("frame_idx")).as("mf"),
+      min(col("media_id")).as("mi")).collect()
+    if (bounds.nonEmpty && !bounds(0).isNullAt(0)) {
+      val (mf, mi) = (bounds(0).getInt(0), bounds(0).getLong(1))
+      require(mf < k, s"videoNearDupPairs: clip with ${mf + 1} frames " +
+        s"exceeds the $k-frame packing limit; raise k or split clips")
+      require(mi >= 0L, s"videoNearDupPairs: negative media_id $mi " +
+        "breaks pmod/div clip recovery; remap ids to be non-negative")
+    }
     val nf = fh.groupBy("media_id").agg(count(lit(1)).as("nf"))
     val enc = fh.select((col("media_id") * k + col("frame_idx")).as("id"),
       col("dhash").as("h"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, length, lit, when}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, length, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
 
@@ -16,66 +16,104 @@ import graft.operators.Dedup
   * title keys, where "duplicate" means d edits, not token overlap.
   *
   * State is a parquet PassJoin index, NOT Spark streaming state:
-  *   keys/  (id, s)            — every kept key, for band + verify
-  *   segs/  (lt, i, seg, tid)  — each kept key's d+1 own segments
-  *                               (`Dedup.edIndexSegs`), the equi-join
-  *                               side of every later batch's probe
-  *   meta/  (max_dist, min_seg) — the layout the segments were cut
-  *                               with; probes and appends must match
+  *   keys/  (id, s) ∂ sh     — every kept key, PARTITIONED by the
+  *                             short-slice flag (sh = 1 iff
+  *                             len < minSeg·(d+1) + d), so the band
+  *                             fallback reads only the bounded-length
+  *                             partition, never the whole key corpus
+  *   segs/  (lt, i, seg, tid, s) ∂ sb — each kept key's d+1 own
+  *                             segments (`Dedup.edIndexSegs`) WITH the
+  *                             key string denormalized onto the row,
+  *                             PARTITIONED by sb = pmod(xxhash64(lt,
+  *                             i, seg), nBuckets): a batch's probe
+  *                             reads only the partitions its own
+  *                             segment tuples hash to
+  *   meta/  (max_dist, min_seg, n_buckets) — the layout; probes and
+  *                             appends recompute every partition
+  *                             column from it, so results are
+  *                             GEOMETRY-INDEPENDENT by construction
   *
-  * Each micro-batch:
-  *   1. drops keys matching the store — one `edProbeSegs(batch)` ⋈
-  *      segs/ equi-join (+ the bounded short-band join) + thresholded
-  *      levenshtein verify (`Dedup.edStorePairsIndexed`): kept history
-  *      is never re-SEGMENTED, only re-read, and only the store's
-  *      seg rows move through the one shuffle;
-  *   2. drops keys matching a smaller id within the batch (the
-  *      `sketchDrops` first-wins policy — self-join PassJoin on the
-  *      batch alone, quadratic in SLICE size: batches above `maxKeys`
-  *      are auto-split into id-ordered ≤ `maxKeys` slices and folded
-  *      serially with bit-exact first-wins parity, so a
-  *      corpus-fraction batch can never re-arm the round-9 in-batch
-  *      quadratic);
-  *   3. appends surviving DOCS (all input columns ride along) to the
-  *      output parquet;
-  *   4. appends survivors' keys to keys/ and their segment rows to
-  *      segs/, so batch N+1 probes them.
+  * Why this geometry (round 12): the previous layout made every batch
+  * scan AND shuffle the whole segs/ store into the probe equi-join,
+  * and shuffle ALL store keys into the verify join-back — two O(store)
+  * terms per batch (measured: gate_fuzzy 90→138 s across five sf100
+  * batches as the store grew ×1.72). Now the probe collects its
+  * distinct segment-bucket set (bounded by min(probe tuples,
+  * nBuckets) — a statistics-sized driver list), prunes the segs/ read
+  * to those partitions, and the verify reads `s` off the seg row —
+  * per-batch store cost is the pruned scan, and with nBuckets grown
+  * ∝ store (`fuzzyMaintain`, the lexMaintain discipline) the rows
+  * read per probe bucket stay flat at the target. On a
+  * narrow-vocabulary corpus whose probes cover every bucket the
+  * pruned read degrades gracefully to the full scan — never worse
+  * than the old shape, and the removed O(store) SHUFFLES stay
+  * removed.
   *
-  * Segment layout is a function of (maxDist, minSeg) — both are fixed
-  * at `fuzzySave` and recorded in meta/; appends and probes validate
-  * against it (a mismatched probe would silently miss pairs, so it
-  * throws instead).
+  * Each micro-batch: (1) drop keys matching the store — pruned-probe
+  * PassJoin (`Dedup.edStorePairsPruned`) + the bounded short-band
+  * join + thresholded levenshtein verify; (2) drop keys matching a
+  * smaller id within the batch (first-wins; batches above `maxKeys`
+  * auto-split into id-ordered slices, folded serially, bit-identical
+  * at any `maxKeys`); (3) append surviving DOCS to the output; (4)
+  * append survivors' keys + segment rows, cut with the recorded
+  * layout.
   *
-  * Delivery matches `IngestDedup`: both sinks are at-least-once. A
-  * replayed batch re-finds its own keys in the store at distance 0 and
-  * drops them — the gate output is idempotent; a crash between the out
-  * write and the store append can duplicate out rows (never lose them),
-  * and `compactKept` reclaims them offline. Input columns: doc_id plus
-  * a string key column (`keyCol`, default "key"); doc_id is globally
-  * unique by contract. */
+  * Delivery matches `IngestDedup`: both sinks are at-least-once; a
+  * replayed batch re-finds its own keys at distance 0 and drops; a
+  * crash between out write and store append duplicates rows (never
+  * loses them) and `compactKept` reclaims offline. Input columns:
+  * doc_id (globally unique) + a string key column (`keyCol`). */
 object IngestFuzzy {
 
+  // partition-column layouts — pure functions of meta, recomputed on
+  // every probe/append so a rebalance never changes any answer
+  private def sbCol(nBuckets: Int): Column =
+    pmod(xxhash64(col("lt"), col("i"), col("seg")), lit(nBuckets.toLong))
+      .cast("int")
+  private def shCol(d: Int, minSeg: Int): Column =
+    when(length(col("s")) < lit(minSeg * (d + 1) + d), 1).otherwise(0)
+
   /** Create the store at `path` from an existing kept-key corpus
-    * (possibly empty): (id: long, s: string) rows. */
+    * (possibly empty): (id: long, s: string) rows. `nBuckets` fixes
+    * the initial segs/ partition geometry (`fuzzyMaintain` grows it
+    * with the store). */
   def fuzzySave(spark: SparkSession, keys: DataFrame, path: String,
-                maxDist: Int, minSeg: Int = 3): Unit = {
+                maxDist: Int, minSeg: Int = 3, nBuckets: Int = 64): Unit = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(minSeg >= 1, "minSeg must be >= 1")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
     import spark.implicits._
     val base = keys.where(col("s").isNotNull)
       .select(col("id").cast("long").as("id"), col("s"))
-    base.write.mode("overwrite").parquet(s"$path/keys")
-    Dedup.edIndexSegs(base.withColumn("len", length(col("s"))), maxDist, minSeg)
-      .write.mode("overwrite").parquet(s"$path/segs")
-    Seq((maxDist, minSeg)).toDF("max_dist", "min_seg")
+    writeKeys(base, s"$path/keys", maxDist, minSeg, "overwrite")
+    writeSegs(base.withColumn("len", length(col("s"))),
+      s"$path/segs", maxDist, minSeg, nBuckets, "overwrite")
+    Seq((maxDist, minSeg, nBuckets)).toDF("max_dist", "min_seg", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def meta(spark: SparkSession, path: String): (Int, Int) = {
+  private def writeKeys(base: DataFrame, path: String, d: Int,
+                        minSeg: Int, mode: String): Unit =
+    base.withColumn("sh", shCol(d, minSeg))
+      .repartition(col("sh")) // one file per partition, not per task
+      .write.mode(mode).partitionBy("sh").parquet(path)
+
+  private def writeSegs(baseLen: DataFrame, path: String, d: Int,
+                        minSeg: Int, nBuckets: Int, mode: String): Unit =
+    Dedup.edIndexSegs(baseLen, d, minSeg, carryS = true)
+      .withColumn("sb", sbCol(nBuckets))
+      .repartition(col("sb"))
+      .write.mode(mode).partitionBy("sb").parquet(path)
+
+  private def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
     require(exists(spark, s"$path/meta"),
       s"$path is not a fuzzySave store (missing meta/)")
-    val r = spark.read.parquet(s"$path/meta").head()
-    (r.getInt(0), r.getInt(1))
+    val df = spark.read.parquet(s"$path/meta")
+    require(df.schema.fieldNames.contains("n_buckets"),
+      s"$path uses the pre-bucketed fuzzy store layout; recreate it " +
+        "with fuzzySave (meta lacks n_buckets)")
+    val r = df.head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
   /** Run one micro-batch of the gate against the store at `storePath`,
@@ -84,8 +122,9 @@ object IngestFuzzy {
     * out of the foreachBatch closure so batch specs can drive it.
     * Batches above `maxKeys` rows are auto-split (see `gateBatch`). */
   def processBatch(batch: DataFrame, storePath: String, outPath: String,
-                   keyCol: String = "key", maxKeys: Int = 10000): Long = {
-    val (kept, release) = gateBatch(batch, storePath, keyCol, maxKeys)
+                   keyCol: String = "key", maxKeys: Int = 10000,
+                   scratch: Option[String] = None): Long = {
+    val (kept, release) = gateBatch(batch, storePath, keyCol, maxKeys, scratch)
     val nKept = kept.count()
     // round-7 refreshByPath rule: every consumer of a frame that READS
     // the store runs before anything appends to the store — out first,
@@ -99,18 +138,19 @@ object IngestFuzzy {
   }
 
   /** Append already-gated keys (id, s) to the store: one keys/ row and
-    * d+1 segs/ rows per key, cut with the store's recorded layout.
-    * Public so a composite pipeline (IngestPipeline) can gate with
-    * `gateBatch`, fan the kept frame to its sinks, and grow the store
-    * LAST — the refreshByPath ordering every state store follows. */
+    * d+1 string-carrying segs/ rows per key, cut and bucketed with the
+    * store's recorded layout. Public so a composite pipeline
+    * (IngestPipeline) can gate with `gateBatch`, fan the kept frame to
+    * its sinks, and grow the store LAST — the refreshByPath ordering
+    * every state store follows. */
   def appendKeys(spark: SparkSession, storePath: String,
                  keys: DataFrame): Unit = {
-    val (d, minSeg) = meta(spark, storePath)
+    val (d, minSeg, nB) = meta(spark, storePath)
     val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
     k.count()
-    k.write.mode("append").parquet(s"$storePath/keys")
-    Dedup.edIndexSegs(k.withColumn("len", length(col("s"))), d, minSeg)
-      .write.mode("append").parquet(s"$storePath/segs")
+    writeKeys(k, s"$storePath/keys", d, minSeg, "append")
+    writeSegs(k.withColumn("len", length(col("s"))),
+      s"$storePath/segs", d, minSeg, nB, "append")
     k.unpersist(blocking = false)
   }
 
@@ -128,45 +168,57 @@ object IngestFuzzy {
     * smaller-id key still drops its neighbors), which is exactly the
     * unsplit gate's decision for every key, so the output is
     * bit-identical at any `maxKeys` (pinned in IngestFuzzySpec). Slice
-    * assignment uses the two-level global rank (never a bare
+    * assignment uses driver-side quantile boundaries (never a bare
     * batch-wide window). Nothing is appended during the fold, so the
-    * store read stays stable (the refreshByPath rule). */
+    * store read stays stable (the refreshByPath rule).
+    *
+    * `scratch`: shuffle files accumulate for the LIFETIME of a batch
+    * closure — they release with the frames, not per join — so one
+    * corpus-fraction fold spills O(slices × slice-shuffle) local disk
+    * (round 11 measured 71 GB / 360 k keys at sf100 before filling the
+    * disk). Passing a scratch directory turns each slice's carry
+    * frames into DISK-BACKED lineage cuts: survivors and slice
+    * segments land in scratch parquet and are re-read, so nothing
+    * references the slice's shuffles once it folds (the in-memory
+    * LogicalRDD cut can never free them — its RDD graph holds the
+    * shuffle dependencies) and ContextCleaner reclaims them mid-fold;
+    * peak spill is then O(slice), not O(batch). Output is
+    * bit-identical (IngestFuzzySpec pin). Costs one parquet
+    * round-trip per slice — for bulk backfills, not steady
+    * micro-batches. The caller owns the scratch dir's lifecycle. */
   def gateBatch(batch: DataFrame, storePath: String,
                 keyCol: String = "key",
-                maxKeys: Int = 10000): (DataFrame, () => Unit) = {
-    val (kept, release, _) = gateBatchStats(batch, storePath, keyCol, maxKeys)
+                maxKeys: Int = 10000,
+                scratch: Option[String] = None): (DataFrame, () => Unit) = {
+    val (kept, release, _) =
+      gateBatchStats(batch, storePath, keyCol, maxKeys, scratch)
     (kept, release)
   }
 
   /** `gateBatch` plus per-slice (keys, seconds) timings — the
     * instrumented form ScaleReport's fuzzygate campaign drives. */
   private[graft] def gateBatchStats(batch: DataFrame, storePath: String,
-                                    keyCol: String, maxKeys: Int)
+                                    keyCol: String, maxKeys: Int,
+                                    scratch: Option[String] = None)
       : (DataFrame, () => Unit, Seq[(Long, Double)]) = {
     require(maxKeys >= 1, "maxKeys must be >= 1")
     val spark = batch.sparkSession
-    val (d, minSeg) = meta(spark, storePath)
+    val (d, minSeg, nB) = meta(spark, storePath)
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val n = b.count()
     val emptyBase = b.where(col(keyCol).isNotNull)
       .select(col("doc_id").cast("long").as("id"), col(keyCol).as("s"))
       .withColumn("len", length(col("s"))).limit(0)
-    val (storeBase, storeSegs) =
-      if (exists(spark, s"$storePath/keys")) {
-        val sb = spark.read.parquet(s"$storePath/keys")
-          .withColumn("len", length(col("s")))
-        // segs/ can hold zero data files even when keys/ has them:
-        // every kept key shorter than minSeg*(d+1)-d cuts NO segments
-        // and Spark commits no part file for the empty append — reading
-        // the bare directory dies on schema inference. Recut from the
-        // keys (empty by construction in exactly that case).
-        val segs =
-          if (exists(spark, s"$storePath/segs"))
-            spark.read.parquet(s"$storePath/segs")
-          else Dedup.edIndexSegs(sb, d, minSeg)
-        (sb, segs)
-      } else // seeded-empty store: no data files yet, appends create them
-        (emptyBase, Dedup.edIndexSegs(emptyBase, d, minSeg))
+    val haveKeys = exists(spark, s"$storePath/keys")
+    // the short-key slice: ONLY the sh=1 partition is ever read — the
+    // band fallback's store side is bounded-length by layout
+    val storeShorts =
+      if (haveKeys)
+        spark.read.parquet(s"$storePath/keys").where(col("sh") === 1)
+          .select(col("id"), col("s"), length(col("s")).as("len"))
+      else emptyBase
+    def prunedSegs(sliceBase: DataFrame): DataFrame =
+      prunedStoreSegs(spark, storePath, sliceBase, d, minSeg, nB)
     // id-ordered slice assignment from DRIVER-SIDE quantile boundaries
     // — computed once, then pure literals in a projection over the
     // persisted batch, so every slice job sees the identical
@@ -209,7 +261,7 @@ object IngestFuzzy {
     val keep = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val hold = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    var extraBase: DataFrame = null
+    var extraShorts: DataFrame = null
     var extraSegs: DataFrame = null
     for (i <- 0 until nSlices) {
       val t0 = System.nanoTime
@@ -220,36 +272,178 @@ object IngestFuzzy {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nk = sliceBase0.count()
       val sliceBase = cut(sliceBase0)
-      val (sb, ss) =
-        if (extraBase == null) (storeBase, storeSegs)
-        else (storeBase.unionByName(extraBase),
-              storeSegs.unionByName(extraSegs))
-      val keptIds = Dedup.fuzzyKeyKept(sliceBase, sb, d, minSeg, Some(ss))
+      val (sg, sh) =
+        if (extraSegs == null) (prunedSegs(sliceBase), storeShorts)
+        else (prunedSegs(sliceBase).unionByName(extraSegs),
+              storeShorts.unionByName(extraShorts))
+      val keptIds = Dedup.fuzzyKeyKeptPruned(sliceBase, sg, sh, d, minSeg)
         .select(col("id").as("doc_id"))
       val kept0 = slice.join(keptIds, Seq("doc_id"), "left_semi")
         .unionByName(slice.where(col(keyCol).isNull))
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept0.count()
-      keep += kept0
-      hold += sliceBase0
-      if (i < nSlices - 1) { // the last slice's keys probe nothing
-        val segsI0 = Dedup.edIndexSegs(sliceBase, d, minSeg)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        segsI0.count()
-        val segsI = cut(segsI0)
-        hold += segsI0
-        extraBase =
-          if (extraBase == null) sliceBase else extraBase.unionByName(sliceBase)
-        extraSegs =
-          if (extraSegs == null) segsI else extraSegs.unionByName(segsI)
+      scratch match {
+        case None =>
+          keep += kept0
+          hold += sliceBase0
+          if (i < nSlices - 1) { // the last slice's keys probe nothing
+            val segsI0 = Dedup.edIndexSegs(sliceBase, d, minSeg, carryS = true)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            segsI0.count()
+            val segsI = cut(segsI0)
+            hold += segsI0
+            val shortsI = sliceBase
+              .where(col("len") < minSeg * (d + 1) + d)
+              .select("id", "s", "len")
+            extraShorts =
+              if (extraShorts == null) shortsI
+              else extraShorts.unionByName(shortsI)
+            extraSegs =
+              if (extraSegs == null) segsI else extraSegs.unionByName(segsI)
+          }
+        case Some(dir) =>
+          // disk-backed lineage cut: every frame that outlives this
+          // slice is a scratch-parquet READ, so the slice's shuffle
+          // files lose their last reference here and ContextCleaner
+          // reclaims them mid-fold (explicit schema on the re-reads —
+          // an empty slice commits no part file)
+          kept0.write.mode("overwrite").parquet(s"$dir/kept_$i")
+          keep += spark.read.schema(kept0.schema).parquet(s"$dir/kept_$i")
+          if (i < nSlices - 1) {
+            val segsI0 = Dedup.edIndexSegs(sliceBase, d, minSeg, carryS = true)
+            segsI0.write.mode("overwrite").parquet(s"$dir/segs_$i")
+            val segsI = spark.read.schema(segsI0.schema)
+              .parquet(s"$dir/segs_$i")
+            val shortsI0 = sliceBase
+              .where(col("len") < minSeg * (d + 1) + d)
+              .select("id", "s", "len")
+            shortsI0.write.mode("overwrite").parquet(s"$dir/shorts_$i")
+            val shortsI = spark.read.schema(shortsI0.schema)
+              .parquet(s"$dir/shorts_$i")
+            extraShorts =
+              if (extraShorts == null) shortsI
+              else extraShorts.unionByName(shortsI)
+            extraSegs =
+              if (extraSegs == null) segsI else extraSegs.unionByName(segsI)
+          }
+          kept0.unpersist(blocking = false)
+          sliceBase0.unpersist(blocking = false)
+          System.gc() // prompt ContextCleaner — default periodic GC is 30 min
       }
       stats += ((nk, (System.nanoTime - t0) / 1e9))
     }
-    val kept = keep.map(cut).reduce(_.unionByName(_))
+    val kept =
+      if (scratch.isDefined) keep.reduce(_.unionByName(_))
+      else keep.map(cut).reduce(_.unionByName(_))
     (kept, () => {
       b.unpersist(blocking = false)
       (keep ++ hold).foreach(_.unpersist(blocking = false))
     }, stats.toSeq)
+  }
+
+  /** The pruned segs/ read for one probe frame (id, s, len): collect
+    * the probe's distinct segment-bucket set — bounded by min(probe
+    * tuples, nBuckets), a statistics-sized driver list — and prune the
+    * scan to those partitions. A probe covering every bucket skips the
+    * filter entirely (graceful degradation to the full scan, never
+    * worse than the pre-bucketed layout). segs/ can hold zero data
+    * files even when keys/ has them (every kept key short enough to
+    * cut no segments — the empty-append case): recut from the keys,
+    * empty by construction in exactly that case. Package-visible for
+    * the partition-prune plan pin. */
+  private[graft] def prunedStoreSegs(spark: SparkSession, storePath: String,
+                                     batchBase: DataFrame, d: Int,
+                                     minSeg: Int, nB: Int): DataFrame =
+    if (!exists(spark, s"$storePath/segs")) {
+      val keys =
+        if (exists(spark, s"$storePath/keys"))
+          spark.read.parquet(s"$storePath/keys")
+            .select(col("id"), col("s"))
+            .withColumn("len", length(col("s")))
+        else batchBase.limit(0)
+      Dedup.edIndexSegs(keys, d, minSeg, carryS = true)
+    } else {
+      val buckets = Dedup.edProbeSegs(batchBase, d, minSeg, twoSided = true)
+        .select(sbCol(nB).as("sb")).distinct()
+        .collect().map(_.getInt(0))
+      val segs = spark.read.parquet(s"$storePath/segs")
+      (if (buckets.length < nB)
+         segs.where(col("sb").isin(buckets.map(Integer.valueOf): _*))
+       else segs)
+        .select("lt", "i", "seg", "tid", "s")
+    }
+
+  /** Re-bucket segs/ to `nBuckets` — the lexRebalance discipline:
+    * probes are GEOMETRY-INDEPENDENT (every partition column is
+    * recomputed from meta/), so results are bit-equal across a
+    * rebalance; only the probe's read volume changes. Staged: full
+    * new segs land at `segs.rebal`, COUNT-VERIFIED, then the
+    * rename-aside swap with every boolean checked and the crashed-run
+    * self-heal (a leftover `.old` with segs/ missing IS the store —
+    * renamed back, never deleted). Crash between the promote and the
+    * meta write leaves segs/ bucketed by the NEW geometry while meta
+    * names the old — probes then prune by the WRONG bucket column
+    * values and can miss rows until a re-run repairs it (the same
+    * documented offline-maintenance window as lexRebalance). Run
+    * offline, never concurrently with ingest. */
+  def fuzzyRebalance(spark: SparkSession, path: String,
+                     nBuckets: Int): Long = {
+    val (d, minSeg, _) = meta(spark, path)
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/segs")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/segs.rebal")
+    val old = new org.apache.hadoop.fs.Path(s"$path/segs.old")
+    if (fs.exists(old)) {
+      if (!fs.exists(p))
+        require(fs.rename(old, p), s"self-heal rename $old -> $p failed")
+      else
+        require(fs.delete(old, true), s"could not clear stale $old")
+    }
+    import spark.implicits._
+    if (!exists(spark, p.toString)) { // zero-segment store: meta only
+      Seq((d, minSeg, nBuckets)).toDF("max_dist", "min_seg", "n_buckets")
+        .write.mode("overwrite").parquet(s"$path/meta")
+      return 0L
+    }
+    val before = spark.read.parquet(p.toString).count()
+    spark.read.parquet(p.toString)
+      .select("lt", "i", "seg", "tid", "s")
+      .withColumn("sb", sbCol(nBuckets))
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    require(n == before,
+      s"rebalanced segs lost rows ($before -> $n); aborting with the " +
+        s"store untouched — $tmp left for inspection")
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed " +
+      s"(old segs preserved at $old — rename back to recover)")
+    require(fs.delete(old, true), s"could not delete $old")
+    Seq((d, minSeg, nBuckets)).toDF("max_dist", "min_seg", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    n
+  }
+
+  /** Growth-gated geometry maintenance (the lexMaintain discipline):
+    * rebalance only when the mean bucket has grown past `growFactor` ×
+    * `targetRowsPerBucket`, to ceil(rows / target) buckets — steady
+    * appends pay nothing, a store grown 100× pays one staged rewrite.
+    * Returns the geometry in force after the call. */
+  def fuzzyMaintain(spark: SparkSession, path: String,
+                    targetRowsPerBucket: Long = 1000000L,
+                    growFactor: Int = 4): Int = {
+    val (_, _, nB) = meta(spark, path)
+    require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
+    if (!exists(spark, s"$path/segs")) return nB
+    val rows = spark.read.parquet(s"$path/segs").count()
+    if (rows / nB <= growFactor * targetRowsPerBucket) nB
+    else {
+      val want = ((rows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+      fuzzyRebalance(spark, path, want)
+      want
+    }
   }
 
   /** Start the streaming gate: `docs` is an unbounded stream carrying
@@ -275,18 +469,24 @@ object IngestFuzzy {
     graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
 
   def compactStore(spark: SparkSession, storePath: String): Long =
-    graft.core.Stores.rewriteDeduped(spark, s"$storePath/keys", Seq("id")) +
+    graft.core.Stores.rewriteDeduped(spark, s"$storePath/keys", Seq("id"),
+      partitionCols = Seq("sh")) +
       graft.core.Stores.rewriteDeduped(spark, s"$storePath/segs",
-        Seq("tid", "lt", "i", "seg"))
+        Seq("tid", "lt", "i", "seg"), partitionCols = Seq("sb"))
 
-  // strict: committed DATA files, not just _SUCCESS — a fuzzySave of an
+  // strict: committed DATA files (recursively — partitioned stores keep
+  // them under partition dirs), not just _SUCCESS: a fuzzySave of an
   // EMPTY seed frame commits the directory with no part files (Spark
   // writes no file for an empty non-zero-partition frame), and reading
   // it would die on schema inference; treat it as the empty store.
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.endsWith(".parquet"))
+    def hasData(q: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(q).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && depth > 0 && hasData(st.getPath, depth - 1))
+      }
+    fs.exists(p) && hasData(p, 1)
   }
 }

@@ -80,13 +80,28 @@ import graft.operators.Linkage._
   * later batch reads grows last). */
 object IngestLinkage {
 
+  // partition-column layouts — pure functions of meta, recomputed on
+  // every probe/append, so a rebalance never changes any answer:
+  // members/ buckets by BLOCK KEY (a batch probes only the partitions
+  // its own blocks hash to — xxhash64 maps a null block to its seed
+  // hash, so null-block rows land in a normal bucket and never match
+  // anyway), entities/ by entity id (a batch's survivorship reads only
+  // its own entities' partitions)
+  private def mbCol(nBuckets: Int) =
+    pmod(xxhash64(col("block")), lit(nBuckets.toLong)).cast("int")
+  private def ebCol(nBuckets: Int) =
+    pmod(xxhash64(col("entity")), lit(nBuckets.toLong)).cast("int")
+
   /** Fix the model at `path`: field rules + integer LLR weights +
-    * decision threshold + survivorship rules. Creates empty members/
-    * and entities/; feed records through `processBatch`. */
+    * decision threshold + survivorship rules + the store partition
+    * geometry (`nBuckets`; `linkMaintain` grows it with the store).
+    * Creates empty members/ and entities/; feed records through
+    * `processBatch`. */
   def linkSave(spark: SparkSession, path: String, rules: Seq[FieldRule],
                weights: Map[String, (Int, Int)], threshold: Int,
-               merge: Seq[MergeRule]): Unit = {
+               merge: Seq[MergeRule], nBuckets: Int = 64): Unit = {
     import spark.implicits._
+    require(nBuckets >= 1, "nBuckets must be >= 1")
     require(rules.nonEmpty, "at least one field rule")
     require(merge.nonEmpty, "at least one merge rule")
     require(rules.map(_.field).distinct.size == rules.size,
@@ -103,7 +118,7 @@ object IngestLinkage {
       s"sum of agreement weights ($allAgree) must clear the threshold " +
         s"($threshold) or a replayed record cannot re-find itself and " +
         "the gate loses idempotency")
-    Seq(threshold).toDF("threshold")
+    Seq((threshold, nBuckets)).toDF("threshold", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
     rules.zipWithIndex.map { case (r, i) =>
       val (wA, wD) = weights(r.field)
@@ -128,12 +143,19 @@ object IngestLinkage {
 
   private[graft] final case class Cfg(rules: Seq[FieldRule],
                                       weights: Map[String, (Int, Int)],
-                                      threshold: Int, merge: Seq[MergeRule])
+                                      threshold: Int, merge: Seq[MergeRule],
+                                      nBuckets: Int)
 
   private[graft] def readCfg(spark: SparkSession, path: String): Cfg = {
     require(exists(spark, s"$path/meta"),
       s"$path is not a linkSave store (missing meta/)")
-    val threshold = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val mdf = spark.read.parquet(s"$path/meta")
+    require(mdf.schema.fieldNames.contains("n_buckets"),
+      s"$path uses the pre-bucketed linkage store layout; recreate it " +
+        "with linkSave (meta lacks n_buckets)")
+    val mrow = mdf.head()
+    val threshold = mrow.getInt(0)
+    val nBuckets = mrow.getInt(1)
     val rr = spark.read.parquet(s"$path/rules").collect()
       .sortBy(_.getInt(0)).toSeq
     val rules = rr.map { r =>
@@ -153,7 +175,7 @@ object IngestLinkage {
           case "newest"   => Newest(m.getString(1), m.getString(3))
         }): MergeRule
       }
-    Cfg(rules, weights, threshold, merge)
+    Cfg(rules, weights, threshold, merge, nBuckets)
   }
 
   /** The columns a batch must carry beyond doc_id + block. */
@@ -167,7 +189,7 @@ object IngestLinkage {
     val cfg = readCfg(spark, path)
     val all =
       if (exists(spark, s"$path/entities"))
-        spark.read.parquet(s"$path/entities")
+        spark.read.parquet(s"$path/entities").drop("eb")
       else emptyGolden(spark, path, cfg)
     all.withColumn("__rn", row_number().over(
         Window.partitionBy("entity").orderBy(col("ver").desc)))
@@ -241,10 +263,22 @@ object IngestLinkage {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = b0.count()
     if (n == 0) { b0.unpersist(blocking = false); return 0L }
+    // the members/ read prunes to the batch's own BLOCK-KEY partitions:
+    // the batch's distinct bucket set is batch-bounded (collected
+    // driver-side, ≤ min(distinct blocks, nBuckets)), every possible
+    // store match shares a block with some batch record by the blocked
+    // join's construction, and a replayed record's own block is in the
+    // set — so the pruned frame is probe-complete. A batch covering
+    // every bucket skips the filter (graceful full scan, never worse).
     val members =
-      if (exists(spark, s"$storePath/members"))
-        spark.read.parquet(s"$storePath/members")
-      else emptyMembersFrom(b0, cfg)
+      if (exists(spark, s"$storePath/members")) {
+        val buckets = b0.select(mbCol(cfg.nBuckets).as("mb")).distinct()
+          .collect().map(_.getInt(0))
+        val all = spark.read.parquet(s"$storePath/members")
+        (if (buckets.length < cfg.nBuckets)
+           all.where(col("mb").isin(buckets.map(Integer.valueOf): _*))
+         else all).drop("mb")
+      } else emptyMembersFrom(b0, cfg)
     // best prior per record: store members at any id (a replay finds
     // itself at distance 0), same-batch records at smaller ids only —
     // one blocked probe each, scored with the stored integer weights
@@ -269,14 +303,20 @@ object IngestLinkage {
       .select(col("id_b").as("id"), col("id_a").as("parent"))
     // parents pointing at members resolve directly; parents pointing
     // inside the batch form a forest (every parent id is smaller), and
-    // each tree's root — the component minimum — owns the entity
-    val pm = parents.join(
-        members.select(col("id").as("parent"), col("entity")),
-        Seq("parent"), "left")
+    // each tree's root — the component minimum — owns the entity.
+    // The entity lookup joins the PRUNED members (a store parent shares
+    // its child's block, so it lives in a probed partition) with the
+    // batch-bounded parents side broadcast — an INNER join can build on
+    // the small side where the old left-outer shape could not, so
+    // members stream here too instead of shuffling
+    val parentsP = parents.persist(StorageLevel.MEMORY_AND_DISK)
+    parentsP.count()
+    val direct = members.select(col("id").as("parent"), col("entity"))
+      .join(broadcast(parentsP), Seq("parent"))
+      .select("id", "entity")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pm.count()
-    val direct = pm.where(col("entity").isNotNull).select("id", "entity")
-    val edges = pm.where(col("entity").isNull)
+    direct.count()
+    val edges = parentsP.join(direct.select("id"), Seq("id"), "left_anti")
       .select("id", "parent").collect() // batch-bounded (≤ 1 row/record)
     val comp: Map[Long, Long] =
       if (edges.isEmpty) Map.empty
@@ -308,7 +348,8 @@ object IngestLinkage {
       .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     assign.count()
-    pm.unpersist(blocking = false)
+    parentsP.unpersist(blocking = false)
+    direct.unpersist(blocking = false)
     // survivorship: existing golden (seq −1) + assigned records (seq =
     // id) fold through the incremental aggregates; ver advances to the
     // newest record merged so the latest row per entity wins
@@ -318,10 +359,19 @@ object IngestLinkage {
     val recRows = touched.select((col("entity") +: col("id").as("seq") +:
       col("id").as("vseq") +: cfg.merge.map(m => col(m.field)) ++:
       auxTs.map(_._1)): _*)
+    // entities/ prunes to the batch's own entity partitions: the
+    // survivorship fold only ever reads golden rows for entities the
+    // batch touched (batch-bounded bucket set; the semi-join below
+    // still applies the exact entity filter)
     val goldenAll =
-      if (exists(spark, s"$storePath/entities"))
-        spark.read.parquet(s"$storePath/entities")
-      else recRows.select((col("entity") +: col("vseq").as("ver") +:
+      if (exists(spark, s"$storePath/entities")) {
+        val ebuckets = assign.select(ebCol(cfg.nBuckets).as("eb")).distinct()
+          .collect().map(_.getInt(0))
+        val all = spark.read.parquet(s"$storePath/entities")
+        (if (ebuckets.length < cfg.nBuckets)
+           all.where(col("eb").isin(ebuckets.map(Integer.valueOf): _*))
+         else all).drop("eb")
+      } else recRows.select((col("entity") +: col("vseq").as("ver") +:
         cfg.merge.map(m => col(m.field)) ++: auxTs.map(t => col(t._2))): _*)
         .limit(0)
     val gRows = goldenAll.withColumn("__rn", row_number().over(
@@ -351,8 +401,12 @@ object IngestLinkage {
     }
     val (outC, goldC, memC) = (cutM(outRows), cutM(newGolden), cutM(memberRows))
     outC.write.mode("append").parquet(outPath)
-    goldC.write.mode("append").parquet(s"$storePath/entities")
-    memC.write.mode("append").parquet(s"$storePath/members")
+    goldC.withColumn("eb", ebCol(cfg.nBuckets))
+      .repartition(col("eb")) // one file per partition, not per task
+      .write.mode("append").partitionBy("eb").parquet(s"$storePath/entities")
+    memC.withColumn("mb", mbCol(cfg.nBuckets))
+      .repartition(col("mb"))
+      .write.mode("append").partitionBy("mb").parquet(s"$storePath/members")
     (holds ++ Seq(assign, b0)).foreach(_.unpersist(blocking = false))
     n
   }
@@ -379,9 +433,10 @@ object IngestLinkage {
     graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
 
   def compactStore(spark: SparkSession, storePath: String): Long =
-    graft.core.Stores.rewriteDeduped(spark, s"$storePath/members", Seq("id")) +
+    graft.core.Stores.rewriteDeduped(spark, s"$storePath/members", Seq("id"),
+      partitionCols = Seq("mb")) +
       graft.core.Stores.rewriteDeduped(spark, s"$storePath/entities",
-        Seq("entity", "ver"))
+        Seq("entity", "ver"), partitionCols = Seq("eb"))
 
   /** Deeper reclaim for entities/: keep only each entity's LATEST
     * version (the only row `goldenLatest` ever reads) — an entity
@@ -390,14 +445,109 @@ object IngestLinkage {
     * `compactStore` instead to keep it. */
   def compactGolden(spark: SparkSession, storePath: String): Long =
     graft.core.Stores.rewriteLatest(spark, s"$storePath/entities",
-      Seq("entity"), "ver")
+      Seq("entity"), "ver", partitionCols = Seq("eb"))
 
-  // committed DATA files, not just _SUCCESS (the IngestFuzzy rule: an
+  /** Growth-gated golden compaction (the ivfCompact discipline applied
+    * to entities/): `compactGolden` only when the mean version-chain
+    * depth exceeds `maxMeanVersions` — steady low-churn stores pay
+    * nothing, a hot store pays one staged rewrite amortized over the
+    * folds that grew it. Cadence law measured in SCALE.md round 12
+    * (linkgolden): `goldenLatest` read cost grows linearly with chain
+    * depth (it windows every version), so the read stays within
+    * ~`maxMeanVersions`× its compacted floor. Returns true iff it
+    * compacted. */
+  def goldenMaintain(spark: SparkSession, path: String,
+                     maxMeanVersions: Double = 4.0): Boolean = {
+    require(maxMeanVersions >= 1.0, "maxMeanVersions must be >= 1")
+    if (!exists(spark, s"$path/entities")) return false
+    val all = spark.read.parquet(s"$path/entities")
+    val rows = all.count()
+    val ents = all.select("entity").distinct().count()
+    if (ents == 0L || rows <= maxMeanVersions * ents) false
+    else { compactGolden(spark, path); true }
+  }
+
+  /** Re-bucket members/ and entities/ to `nBuckets` — the lexRebalance
+    * discipline: every partition column is recomputed from meta/ on
+    * probe and append, so results are bit-equal across a rebalance;
+    * only the probes' read volume changes. Staged per store (land at
+    * `.rebal`, COUNT-VERIFY, rename-aside swap with the crashed-run
+    * self-heal), meta last. Run offline, never concurrently with
+    * ingest. */
+  def linkRebalance(spark: SparkSession, path: String,
+                    nBuckets: Int): Long = {
+    val cfg = readCfg(spark, path)
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    import spark.implicits._
+    val n =
+      rebucket(spark, s"$path/members", "mb", mbCol(nBuckets)) +
+        rebucket(spark, s"$path/entities", "eb", ebCol(nBuckets))
+    Seq((cfg.threshold, nBuckets)).toDF("threshold", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    n
+  }
+
+  /** Growth-gated geometry maintenance (the lexMaintain discipline):
+    * rebalance only when the mean members/ bucket has grown past
+    * `growFactor` × `targetRowsPerBucket`, to ceil(rows / target)
+    * buckets. Returns the geometry in force after the call. */
+  def linkMaintain(spark: SparkSession, path: String,
+                   targetRowsPerBucket: Long = 1000000L,
+                   growFactor: Int = 4): Int = {
+    val cfg = readCfg(spark, path)
+    require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
+    if (!exists(spark, s"$path/members")) return cfg.nBuckets
+    val rows = spark.read.parquet(s"$path/members").count()
+    if (rows / cfg.nBuckets <= growFactor * targetRowsPerBucket) cfg.nBuckets
+    else {
+      val want = ((rows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+      linkRebalance(spark, path, want)
+      want
+    }
+  }
+
+  // one store's staged re-bucket swap (self-healing .old, the
+  // Stores.rewriteWith rules); absent/empty stores are a no-op
+  private def rebucket(spark: SparkSession, path: String, bCol: String,
+                       newB: org.apache.spark.sql.Column): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rebal")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) {
+      if (!fs.exists(p))
+        require(fs.rename(old, p), s"self-heal rename $old -> $p failed")
+      else
+        require(fs.delete(old, true), s"could not clear stale $old")
+    }
+    if (!exists(spark, path)) return 0L
+    val before = spark.read.parquet(path).count()
+    spark.read.parquet(path).drop(bCol)
+      .withColumn(bCol, newB)
+      .repartition(col(bCol))
+      .write.mode("overwrite").partitionBy(bCol).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    require(n == before,
+      s"rebucketed store lost rows ($before -> $n); aborting with the " +
+        s"store untouched — $tmp left for inspection")
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed " +
+      s"(old store preserved at $old — rename back to recover)")
+    require(fs.delete(old, true), s"could not delete $old")
+    n
+  }
+
+  // committed DATA files, recursively (partitioned stores keep them
+  // under partition dirs), not just _SUCCESS (the IngestFuzzy rule: an
   // empty append commits no part file and schema inference would die)
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.endsWith(".parquet"))
+    def hasData(q: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(q).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && depth > 0 && hasData(st.getPath, depth - 1))
+      }
+    fs.exists(p) && hasData(p, 1)
   }
 }

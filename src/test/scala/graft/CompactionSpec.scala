@@ -41,6 +41,26 @@ class CompactionSpec extends SparkSpec {
     assert(after == dupSearch)
   }
 
+  test("crash between the swap renames self-heals: a rerun restores .old instead of deleting it") {
+    val dir = tmp("cmp_heal") + "/store"
+    Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: rename(p -> old) done, promote not —
+    // the .old IS the only complete store copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // a rerun must rename it back (NOT delete it) and then compact
+    assert(graft.core.Stores.rewriteDeduped(spark, dir, Seq("id")) == 2L)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    // and a genuinely stale .old (path present) is still cleared
+    Seq((9L, "z")).toDF("id", "v").write.parquet(dir + ".old")
+    assert(graft.core.Stores.rewriteDeduped(spark, dir, Seq("id")) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
   test("codesCompact: replayed appends dedupe across all three code-store layouts") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val batch = all.where($"vec_id" >= 400 && $"vec_id" < 450)

@@ -75,17 +75,25 @@ class IngestFuzzySpec extends SparkSpec {
     assert(kept == Set(11L, 21L))
 
     // store state == seed + survivors, segments == direct recompute
+    // (with the key string denormalized onto every seg row)
     val keys = spark.read.parquet(s"$store/keys")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(keys == Seq(1L -> "deduplication pipeline",
       11L -> "spark native analytics", 21L -> "parquet row group stats"))
     val segs = spark.read.parquet(s"$store/segs")
+      .select("tid", "lt", "i", "seg", "s")
       .orderBy("tid", "i").collect().map(_.toSeq).toSeq
     val want = Dedup.edIndexSegs(
         keys.toDF("id", "s").selectExpr("id", "s", "length(s) AS len"),
-        maxDist = 2, minSeg = 3)
+        maxDist = 2, minSeg = 3, carryS = true)
+      .select("tid", "lt", "i", "seg", "s")
       .orderBy("tid", "i").collect().map(_.toSeq).toSeq
     assert(segs == want)
+    // the partition columns are the recorded layout's functions
+    val layout = spark.read.parquet(s"$store/segs")
+      .selectExpr("sb", "pmod(xxhash64(lt, i, seg), 64) AS want")
+      .collect()
+    assert(layout.forall(r => r.getInt(0) == r.getLong(1).toInt))
   }
 
   test("empty-seed bootstrap: first batch self-dedups, appends create files") {
@@ -161,16 +169,19 @@ class IngestFuzzySpec extends SparkSpec {
     info(s"kept ${streamed.size} of ${all.count()} across ${batches.size} batches")
   }
 
-  test("auto-split fold is bit-identical to the unsplit gate") {
+  test("auto-split fold is bit-identical to the unsplit gate; scratch fold too") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where($"doc_id" < 400)
       .selectExpr("doc_id", "substring(text, 1, 24) AS key")
-    def run(maxKeys: Int): (Set[Long], Seq[(Long, String)], Long) = {
-      val (store, out) = (tmp(s"fz_split_s$maxKeys"), tmp(s"fz_split_o$maxKeys"))
+    def run(maxKeys: Int, scratch: Boolean = false)
+        : (Set[Long], Seq[(Long, String)], Long) = {
+      val (store, out) = (tmp(s"fz_split_s$maxKeys$scratch"),
+        tmp(s"fz_split_o$maxKeys$scratch"))
       IngestFuzzy.fuzzySave(spark,
         Seq(1000000L -> "a pre seeded store key").toDF("id", "s"),
         store, maxDist = 3)
-      IngestFuzzy.processBatch(batch, store, out, maxKeys = maxKeys)
+      IngestFuzzy.processBatch(batch, store, out, maxKeys = maxKeys,
+        scratch = if (scratch) Some(tmp(s"fz_split_x$maxKeys")) else None)
       (spark.read.parquet(out).select("doc_id")
          .collect().map(_.getLong(0)).toSet,
        spark.read.parquet(s"$store/keys").orderBy("id")
@@ -180,6 +191,10 @@ class IngestFuzzySpec extends SparkSpec {
     val unsplit = run(1000000)
     val split = run(37) // ~11 id-ordered slices
     assert(split == unsplit)
+    // the disk-backed lineage cut (bulk-backfill spill release) changes
+    // nothing: slice-scratch fold == in-memory fold bit-for-bit
+    assert(run(37, scratch = true) == unsplit)
+    assert(run(1000000, scratch = true) == unsplit)
     assert(unsplit._1.nonEmpty && unsplit._1.size < 400)
   }
 
@@ -228,15 +243,76 @@ class IngestFuzzySpec extends SparkSpec {
       store, out) == 1L)
   }
 
+  test("rebalance: gate decisions bit-equal across a geometry change; maintain growth-gates") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "substring(text, 1, 24) AS key")
+    def freshStore(nB: Int): String = {
+      val s = tmp(s"fz_rebal_$nB")
+      IngestFuzzy.fuzzySave(spark,
+        all.where($"doc_id" < 200).selectExpr("doc_id AS id", "key AS s"),
+        s, maxDist = 3, nBuckets = nB)
+      s
+    }
+    val batch = all.where($"doc_id" >= 200 && $"doc_id" < 300)
+    def keptAt(store: String): Set[Long] = {
+      val (kept, rel) = IngestFuzzy.gateBatch(batch, store)
+      val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      rel(); ids
+    }
+    val store = freshStore(4)
+    val before = keptAt(store)
+    assert(before.nonEmpty && before.size < 100)
+    // co-prime re-bucket: full remap, decisions unchanged
+    val rows = spark.read.parquet(s"$store/segs").count()
+    assert(IngestFuzzy.fuzzyRebalance(spark, store, 61) == rows)
+    assert(keptAt(store) == before)
+    // and identical to a store BORN at the new geometry
+    assert(keptAt(freshStore(61)) == before)
+    // growth gate: generous target is a no-op, tiny target rebalances
+    assert(IngestFuzzy.fuzzyMaintain(spark, store, 1000000L) == 61)
+    val grown = IngestFuzzy.fuzzyMaintain(spark, store, 2L)
+    assert(grown == ((rows + 1L) / 2L).toInt && grown != 61)
+    assert(keptAt(store) == before)
+  }
+
+  test("probe plan: the segs read is partition-pruned to the probe's buckets") {
+    // wide geometry vs a one-key probe: the probe's segment tuples hash
+    // to a handful of buckets, so the isin prune must reach the scan as
+    // a PARTITION filter (the q165 lexSearch pattern) and the pruned
+    // read must return a strict subset of the store's seg rows
+    val store = tmp("fz_prune")
+    val seed = (0L until 200L)
+      .map(i => (i, s"stored key number $i with tail ${i * 37}"))
+    IngestFuzzy.fuzzySave(spark, seed.toDF("id", "s"), store,
+      maxDist = 2, nBuckets = 128)
+    val probe = Seq((9999L, "stored key number 7 with tail 259"))
+      .toDF("id", "s").selectExpr("id", "s", "length(s) AS len")
+    val pruned = IngestFuzzy.prunedStoreSegs(spark, store, probe, 2, 3, 128)
+    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "segs scan lost its partition filter")
+    val full = spark.read.parquet(s"$store/segs").count()
+    val got = pruned.count()
+    assert(got < full, s"pruned read ($got) did not prune (store $full)")
+    // and the pruned probe still finds the planted 1-edit duplicate
+    val (kept, rel) = IngestFuzzy.gateBatch(
+      Seq((9999L, "stored key number 7 with tail 259x"))
+        .toDF("doc_id", "key"), store)
+    assert(kept.count() == 0L)
+    rel()
+  }
+
   test("compactStore restores 1 row/key after a duplicated store append") {
     val (store, out) = (tmp("fz_cmp_store"), tmp("fz_cmp_out"))
     IngestFuzzy.fuzzySave(spark,
       Seq(1L -> "only key here").toDF("id", "s"), store, maxDist = 2)
-    // simulate the crash-between-writes replay artifact: duplicate rows
-    spark.read.parquet(s"$store/keys").write.mode("append")
-      .parquet(s"$store/keys")
-    spark.read.parquet(s"$store/segs").write.mode("append")
-      .parquet(s"$store/segs")
+    // simulate the crash-between-writes replay artifact: the same keys
+    // appended twice (bit-identical rows, the at-least-once contract)
+    IngestFuzzy.appendKeys(spark, store,
+      Seq(1L -> "only key here").toDF("id", "s"))
+    assert(spark.read.parquet(s"$store/keys").count() == 2L)
     IngestFuzzy.compactStore(spark, store)
     assert(spark.read.parquet(s"$store/keys").count() == 1L)
     assert(spark.read.parquet(s"$store/segs").count() ==

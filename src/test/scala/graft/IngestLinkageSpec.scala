@@ -215,6 +215,51 @@ class IngestLinkageSpec extends SparkSpec {
       "the store probe plans a shuffle join")
   }
 
+  test("probe reads prune to the batch's partitions; rebalance keeps every answer") {
+    // geometry-independence: a store born at nBuckets=3, the same store
+    // rebalanced to 97, and a store born at 97 all agree bit-for-bit
+    def runAt(nB: Int, rebalTo: Option[Int]): (Map[Long, Long], Set[Seq[Any]]) = {
+      val (store, out) = (tmp("lk_geo_store"), tmp("lk_geo_out"))
+      IngestLinkage.linkSave(spark, store, rules, weights, threshold,
+        merge, nBuckets = nB)
+      val sorted = feed.sortBy(_._1)
+      IngestLinkage.processBatch(df(sorted.take(6)), store, out)
+      rebalTo.foreach(b => IngestLinkage.linkRebalance(spark, store, b))
+      IngestLinkage.processBatch(df(sorted.drop(6)), store, out)
+      (assignments(out), goldenRows(store))
+    }
+    val born3 = runAt(3, None)
+    assert(runAt(3, Some(97)) == born3)
+    assert(runAt(97, None) == born3)
+    // the members/ partition filter reaches the scan: a one-block batch
+    // against the default 64-bucket store reads a strict partition
+    // subset (the q165 lexSearch pattern)
+    val (store, out) = runBatches(Seq(feed.sortBy(_._1)))
+    val cfg = IngestLinkage.readCfg(spark, store)
+    val b0 = df(Seq(feed.head)).selectExpr("doc_id AS id", "block", "key",
+      "src", "num")
+    val buckets = b0.selectExpr(s"cast(pmod(xxhash64(block), ${cfg.nBuckets}) AS int) AS mb")
+      .distinct().collect().map(_.getInt(0))
+    assert(buckets.length == 1)
+    val pruned = spark.read.parquet(s"$store/members")
+      .where(org.apache.spark.sql.functions.col("mb")
+        .isin(buckets.map(Integer.valueOf): _*))
+    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "members scan lost its partition filter")
+    assert(pruned.count() < spark.read.parquet(s"$store/members").count())
+    // growth gate: generous target is a no-op
+    assert(IngestLinkage.linkMaintain(spark, store) == cfg.nBuckets)
+    // maintenance compaction reproduces the partition layout
+    IngestLinkage.compactGolden(spark, store)
+    val ents = spark.read.parquet(s"$store/entities")
+    assert(ents.schema.fieldNames.contains("eb"))
+    val after = runBatches(Seq(feed.sortBy(_._1)))
+    assert(assignments(out) == assignments(after._2))
+  }
+
   test("model guards at linkSave") {
     val p = tmp("lk_bad")
     intercept[IllegalArgumentException] { // weights below threshold

@@ -81,6 +81,23 @@ class LexicalSpec extends SparkSpec {
     assert(fine < coarse)
   }
 
+  test("rebalance crash window self-heals: a rerun restores postings.old instead of deleting it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = tmp("lex_heal")
+    Lexical.lexSave(spark, docs.where($"doc_id" < 100), dir, nBuckets = 4)
+    val before = asSeq(Lexical.lexSearch(spark, dir, terms, 20))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash between rename(postings -> .old) and the
+    // promote: .old IS the only complete postings copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings.old")))
+    Lexical.lexRebalance(spark, dir, 7) // rerun must heal, then rebalance
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings.old")))
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 7)
+    assert(asSeq(Lexical.lexSearch(spark, dir, terms, 20)) == before)
+  }
+
   test("lexMaintain: growth-gated — no-op under target, rebalances past it") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmp("lex_maint")

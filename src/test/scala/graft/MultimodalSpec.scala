@@ -302,6 +302,70 @@ class MultimodalSpec extends SparkSpec {
     assert(fh((1001L, 2)) != fh((1L, 2)))
   }
 
+  test("videoNearDupPairs: frame-packing guards fail loudly (>= 4096 frames, negative media_id)") {
+    import spark.implicits._
+    // a clip past the packing limit (frame_idx >= 4096) would silently
+    // alias into other media_ids (media_id*4096 + frame_idx); throw
+    val long = Seq(MediaRow(1L, "video", Multimodal.aviBytesOf(
+      (0 until 4097).map(f => Multimodal.dibPatternFrame(1L, f, 0, 9, 8)),
+      9, 8), MediaMeta(9, 8, 0L, "rawvideo"))).toDS()
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(long, maxHamming = 2) }
+    assert(e1.getMessage.contains("4096"))
+    // negative media_id breaks pmod/div clip recovery
+    val neg = Seq(MediaRow(-5L, "video", Multimodal.aviBytesOf(
+      Seq(Multimodal.dibPatternFrame(1L, 0, 0, 36, 32)), 36, 32),
+      MediaMeta(36, 32, 0L, "rawvideo"))).toDS()
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(neg, maxHamming = 2) }
+    assert(e2.getMessage.contains("media_id"))
+  }
+
+  // a 9×8 gray PNG whose pixels ARE the dHash sample grid — every
+  // gradient comparison is controlled exactly
+  private def gridPng(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = v(x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("imageNearDupPairs: near-radius boundary sweep — planted k-bit collisions of DIFFERENT images") {
+    // base: alternating columns, every comparison decisive. variant k
+    // zeroes column 8 in rows 0..k-1, flipping EXACTLY bit y·8+7 per
+    // row — four DIFFERENT images at pairwise hamming |ka − kb|. At
+    // maxHamming = 2 the banding must report every pair within the
+    // radius (including collisions between two non-identical images —
+    // precision is the verify stage's bit_count) and nothing beyond.
+    def base(x: Int, y: Int): Int = if (x % 2 == 0) 150 else 50
+    val imgs = (0 to 3).map { k =>
+      (k.toLong, gridPng((x, y) => if (x == 8 && y < k) 0 else base(x, y)))
+    }
+    import spark.implicits._
+    val ds = imgs.map { case (id, png) =>
+      MediaRow(id, "image", png, MediaMeta(9, 8, 0L, "png")) }.toDS()
+    val hashes = imgs.map { case (id, png) =>
+      id -> Multimodal.dHash64(png).get }.toMap
+    // construction check: variant k sits exactly k bits from base
+    (0 to 3).foreach { k =>
+      assert(java.lang.Long.bitCount(hashes(0L) ^ hashes(k.toLong)) == k) }
+    val got = Multimodal.imageNearDupPairs(ds, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val want = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+      hm = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if hm <= 2
+    } yield ((a, b), hm)).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(got.contains((1L, 2L)) && got.contains((0L, 2L)) && // boundary
+      !got.contains((0L, 3L))) // just past the radius
+  }
+
   test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
     import spark.implicits._
     // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
