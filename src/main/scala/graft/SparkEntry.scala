@@ -280,6 +280,87 @@ object SparkEntry {
       Multimodal.imageDupComponents(
         Multimodal.patternImages(s, specs, 36, 32), maxHamming = 2)
     }),
+    // the streaming FINGERPRINT gate (IngestFingerprints), driver-gated
+    // end-to-end with a REAL store lifecycle inside the query (the q183
+    // discipline): fpSave seeds dHashes of 20 pattern images, one
+    // gateBatch resolves a batch carrying store twins (drop), novel
+    // patterns (keep), and an in-batch twin (first-wins drop). Both
+    // drop rules are first-order, so the oracle replays them as two
+    // EXISTS branches over the closed-form dHash bits (bright cancels
+    // — the q187 construction)
+    "q193_fp_gate_image" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q193_fp").toString
+      val store = Multimodal.patternImages(s,
+        (0L until 20L).map(i => (i, i, 0)), 36, 32)
+        .toDF().selectExpr("media_id AS doc_id", "content AS image")
+      graft.streaming.IngestFingerprints.fpSave(s,
+        graft.streaming.IngestFingerprints.imageFps(store), dir,
+        maxHamming = 2)
+      val batchSpecs = (0 until 30).map { k =>
+        if (k % 3 == 0) (100L + k, (k / 3).toLong, 40) // store twin → drop
+        else (100L + k, 100L + k, 0)                   // novel → keep
+      } :+ ((200L, 101L, 25)) // in-batch twin of kept 101 → drop
+      val batch = Multimodal.patternImages(s, batchSpecs, 36, 32)
+        .toDF().selectExpr("media_id AS doc_id", "content AS image")
+      val (kept, _, rel) = graft.streaming.IngestFingerprints.gateBatch(
+        batch, dir, graft.streaming.IngestFingerprints.imageFps(batch))
+      kept.select("doc_id").write.mode("overwrite").parquet(s"$dir/result")
+      rel()
+      s.read.parquet(s"$dir/result").orderBy("doc_id")
+    }),
+    // the MULTI-PART face of the same gate: per-frame video dHashes,
+    // drop iff SAME frame count and EVERY aligned frame within the
+    // radius — a full brightness twin drops, a one-tampered-frame clip
+    // and a 2-frame prefix (part-count mismatch) survive, an in-batch
+    // twin drops. The oracle carries the frame table explicitly and
+    // replays matched-frames == both clips' frame counts
+    "q194_fp_gate_video" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q194_fp").toString
+      import s.implicits._
+      val store = Multimodal.patternVideos(s,
+        (0L until 10L).map(i => (i, i, 0)), nFrames = 3, w = 36, h = 32)
+        .toDF().selectExpr("media_id AS doc_id", "content AS video")
+      graft.streaming.IngestFingerprints.fpSave(s,
+        graft.streaming.IngestFingerprints.videoFps(store), dir,
+        maxHamming = 2)
+      def clip(seeds: Seq[Long], bright: Int): Array[Byte] =
+        Multimodal.aviBytesOf(seeds.zipWithIndex.map { case (sd, f) =>
+          Multimodal.dibPatternFrame(sd, f, bright, 36, 32) }, 36, 32)
+      val batch = Seq(
+        (100L, clip(Seq(0L, 0L, 0L), 30)),   // full twin of clip 0 → drop
+        (101L, clip(Seq(1L, 1L, 99L), 30)),  // tampered last frame → keep
+        (102L, clip(Seq(2L, 2L), 0)),        // 2-frame prefix → keep
+        (103L, clip(Seq(50L, 50L, 50L), 0)), // novel → keep
+        (104L, clip(Seq(50L, 50L, 50L), 25)) // in-batch twin of 103 → drop
+      ).toDF("doc_id", "video")
+      val (kept, _, rel) = graft.streaming.IngestFingerprints.gateBatch(
+        batch, dir, graft.streaming.IngestFingerprints.videoFps(batch))
+      kept.select("doc_id").write.mode("overwrite").parquet(s"$dir/result")
+      rel()
+      s.read.parquet(s"$dir/result").orderBy("doc_id")
+    }),
+    // geometry-independence of the fuzzy store, driver-gated: build at
+    // one bucket geometry, append, REBALANCE to a co-prime geometry,
+    // then gate a batch — the result must equal q170's pure batch-form
+    // NOT-EXISTS oracle exactly (the rebalance is invisible, the q183
+    // lexRebalance discipline)
+    "q195_fuzzy_rebalance" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q195_fz").toString
+      val heads = documents(s, d)
+        .selectExpr("doc_id AS id", "substring(text, 1, 24) AS s")
+      graft.streaming.IngestFuzzy.fuzzySave(s, heads.where("id < 150"),
+        s"$dir/store", maxDist = 3, nBuckets = 8)
+      graft.streaming.IngestFuzzy.appendKeys(s, s"$dir/store",
+        heads.where("id >= 150 AND id < 250"))
+      graft.streaming.IngestFuzzy.fuzzyRebalance(s, s"$dir/store", 61)
+      val (kept, rel) = graft.streaming.IngestFuzzy.gateBatch(
+        heads.where("id >= 250 AND id < 2000")
+          .selectExpr("id AS doc_id", "s AS key"), s"$dir/store")
+      kept.select("doc_id", "key")
+        .write.mode("overwrite").parquet(s"$dir/result")
+      rel()
+      s.read.parquet(s"$dir/result").orderBy("doc_id")
+    }),
     // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
     // frame counts + absolute-amplitude sums over executor-synthesized
     // WAVs. Hash-green against the triangle-wave closed form.
@@ -2486,6 +2567,95 @@ object SparkEntry {
       SELECT CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
              CAST(hm AS INT) AS hamming
       FROM ham WHERE hm <= 2 ORDER BY a, b""",
+    // the fingerprint gate's two drop rules are first-order: a batch
+    // image survives iff no STORE image and no SMALLER-ID batch image
+    // sits within hamming 2 of its closed-form dHash. Store ids (0..19)
+    // are below every batch id, so one ia < ib hamming matrix serves
+    // both EXISTS branches
+    "q193_fp_gate_image" -> """
+      WITH imgs AS (
+        SELECT i AS id, i AS seed, 1 AS st FROM range(0, 20) t(i)
+        UNION ALL
+        SELECT 100 + i, CASE WHEN i % 3 = 0 THEN i // 3 ELSE 100 + i END, 0
+        FROM range(0, 30) t(i)
+        UNION ALL SELECT 200, 101, 0),
+      cells AS (
+        SELECT id, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM imgs, range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.y, c.x, CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n ON n.id = c.id AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2)
+      SELECT CAST(b.id AS BIGINT) AS doc_id
+      FROM imgs b WHERE b.st = 0
+        AND NOT EXISTS (SELECT 1 FROM ham
+                        WHERE ham.ib = b.id AND ham.hm <= 2)
+      ORDER BY doc_id""",
+    // the multi-part rule: matched aligned frames must equal BOTH
+    // clips' frame counts — the tampered clip (2 of 3) and the 2-frame
+    // prefix (part-count mismatch) survive, full twins drop
+    "q194_fp_gate_video" -> """
+      WITH frames AS (
+        SELECT i AS id, f, i AS seed, 3 AS nf
+        FROM range(0, 10) t(i), range(0, 3) tf(f)
+        UNION ALL SELECT 100, f, 0, 3 FROM range(0, 3) tf(f)
+        UNION ALL SELECT 101, 0, 1, 3 UNION ALL SELECT 101, 1, 1, 3
+        UNION ALL SELECT 101, 2, 99, 3
+        UNION ALL SELECT 102, 0, 2, 2 UNION ALL SELECT 102, 1, 2, 2
+        UNION ALL SELECT 103, f, 50, 3 FROM range(0, 3) tf(f)
+        UNION ALL SELECT 104, f, 50, 3 FROM range(0, 3) tf(f)),
+      cells AS (
+        SELECT id, f, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(f AS VARCHAR) || ':' || CAST(x*4 AS VARCHAR) || ':'
+              || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(f AS VARCHAR) || ':' || CAST(x*4 AS VARCHAR) || ':'
+              || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM frames, range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.f, c.y, c.x,
+               CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n
+          ON n.id = c.id AND n.f = c.f AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      fham AS (
+        SELECT p.id AS ia, q.id AS ib, p.f,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q
+          ON p.f = q.f AND p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2, 3),
+      meta AS (SELECT DISTINCT id, nf FROM frames),
+      clipm AS (SELECT ia, ib, COUNT(*) AS matched
+                FROM fham WHERE hm <= 2 GROUP BY 1, 2)
+      SELECT CAST(b.id AS BIGINT) AS doc_id
+      FROM meta b WHERE b.id >= 100
+        AND NOT EXISTS (
+          SELECT 1 FROM clipm m
+          JOIN meta a ON a.id = m.ia
+          WHERE m.ib = b.id AND m.matched = a.nf AND a.nf = b.nf)
+      ORDER BY doc_id""",
+    // the rebalance is invisible by construction: the gated set equals
+    // q170's pure NOT-EXISTS form over the same store/batch split
+    "q195_fuzzy_rebalance" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 24) AS s
+                 FROM documents WHERE doc_id < 2000),
+      st AS (SELECT * FROM h WHERE id < 250),
+      b AS (SELECT * FROM h WHERE id >= 250)
+      SELECT b.id AS doc_id, b.s AS key FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM st WHERE levenshtein(st.s, b.s) <= 3)
+        AND NOT EXISTS (SELECT 1 FROM b b2
+                        WHERE b2.id < b.id AND levenshtein(b2.s, b.s) <= 3)
+      ORDER BY doc_id""",
     // q72's recursive reach over the q187 pair set: component = min
     // reachable id, isolated images stay their own component
     "q188_image_dedup" -> """
