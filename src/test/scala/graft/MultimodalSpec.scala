@@ -366,6 +366,53 @@ class MultimodalSpec extends SparkSpec {
       !got.contains((0L, 3L))) // just past the radius
   }
 
+  // minimal mono 16-bit PCM WAV around caller-chosen per-window
+  // amplitudes: window w of audioAHash64 covers samples [24w, 24w+24),
+  // all set to +amp(w), so E(w) = 24·amp(w) exactly — every energy
+  // comparison is controlled
+  private def windowWav(amp: Int => Int, nSamples: Int = 1600): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    (0 until nSamples).foreach(i => bb.putShort(amp(i / 24).toShort))
+    bb.array()
+  }
+
+  test("audioNearDupPairs: near-radius boundary sweep — planted k-bit collisions of DIFFERENT clips") {
+    // base: alternating window energies (every comparison decisive).
+    // v1 zeroes the LAST window (flips exactly bit 63); v2 drops
+    // window 62 below both neighbors (flips exactly bits 61+62); v3
+    // does both. Four DIFFERENT clips with a full known hamming
+    // matrix: at maxHamming = 2 the banding must report every pair
+    // within the radius — including collisions between two
+    // non-identical clips — and nothing beyond.
+    def base(w: Int): Int = if (w % 2 == 0) 200 else 100
+    val amps: Seq[Int => Int] = Seq(
+      base,
+      w => if (w == 64) 0 else base(w),
+      w => if (w == 62) 50 else base(w),
+      w => if (w == 64) 0 else if (w == 62) 50 else base(w))
+    val clips = amps.zipWithIndex.map { case (a, i) => (i.toLong, windowWav(a)) }
+    val hashes = clips.map { case (id, wav) =>
+      id -> Multimodal.audioAHash64(wav).get }.toMap
+    val wantD = Map((0L, 1L) -> 1, (0L, 2L) -> 2, (0L, 3L) -> 3,
+      (1L, 2L) -> 3, (1L, 3L) -> 2, (2L, 3L) -> 1)
+    wantD.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == d,
+        s"construction: d($a,$b)") }
+    import spark.implicits._
+    val ds = clips.map { case (id, wav) =>
+      MediaRow(id, "audio", wav, MediaMeta(0, 0, 100L, "wav")) }.toDS()
+    val got = Multimodal.audioNearDupPairs(ds, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == wantD.filter(_._2 <= 2),
+      s"got=$got want=${wantD.filter(_._2 <= 2)}")
+  }
+
   test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
     import spark.implicits._
     // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
