@@ -114,10 +114,18 @@ object Linkage {
       fields.map(f => col(f).as(s"${f}_$tag"))): _*)
 
   /** Auto-salt trigger: a block whose a×b pair volume exceeds this
-    * gets its own salt factor ceil(pairs / target). 64 M pairs is a
-    * few seconds of codegen'd agreement projection per reducer
-    * (linkskew campaign measured ~4×10⁸ pairs ≈ 10 s). */
-  val AutoSaltTargetPairs: Long = 64L << 20
+    * gets its own salt factor ceil(pairs / target). Set FROM the
+    * measured sf100 payoff ladder (SCALE_r12_linkskewbig, 2 M records,
+    * broadcast off): salting's own price — the per-block count pass +
+    * b-side replication — makes auto SLOWER than the unaided hot task
+    * below ~2×10⁹ pairs/block (6.2 vs 3.1 s at 4×10⁸; 13.1 vs 10.5 s
+    * at 1.6×10⁹) and pays above it (27.8 vs 39.4 s at 6.4×10⁹; 40.8
+    * vs 331.6 s — 8.1× — at 4×10¹⁰, where the unaided reducer runs
+    * one ~330 s task at the measured ~1.2×10⁸ pairs/s). 2³¹ puts the
+    * trigger at the measured crossover; past it, splits land
+    * ~15–20 s/reducer, and `AutoMaxSalt` still caps the replication
+    * however explosive the block. */
+  val AutoSaltTargetPairs: Long = 1L << 31
   /** Auto-salt cap — bounds the b-side replication volume
     * (cb × nsalt rows shuffled) however explosive the block. */
   val AutoMaxSalt: Int = 64
