@@ -1438,6 +1438,39 @@ object ScaleReport {
       if (nDocs >= 360000L) backfill(360000L, scratch = true)
     }
 
+    // The bucket prune's payoff regime (round-12): partition pruning
+    // pays when the probe's distinct segment tuples are FEWER than the
+    // buckets — point lookups and micro-probes against a
+    // wide-vocabulary store (the lexSearch geometry law transplanted);
+    // ingest-sized batches cover every bucket and degrade to the full
+    // scan (their win is the removed shuffles, measured in the
+    // pipeline rerun). Wide-vocab md5 keys make every segment distinct.
+    if (section("fuzzygeo") && docsOpt.nonEmpty) {
+      import graft.streaming.IngestFuzzy
+      val dir = java.nio.file.Files.createTempDirectory("sr_fgeo").toString
+      val wide = docs.selectExpr("doc_id",
+        "substr(md5(concat('w', doc_id)), 1, 24) AS key")
+      val storeN = math.min(nDocs, 500000L)
+      val nB = 1024
+      timed("fuzzygeo_build") {
+        IngestFuzzy.fuzzySave(spark,
+          wide.where(col("doc_id") < storeN)
+            .selectExpr("doc_id AS id", "key AS s"), dir, 3, nBuckets = nB)
+        spark.read.parquet(s"$dir/segs").count()
+      }
+      val full = spark.read.parquet(s"$dir/segs").count()
+      for (bn <- Seq(1, 10, 100, 1000)) {
+        val batch = wide.where(col("doc_id") < bn)
+          .selectExpr("doc_id AS id", "key AS s",
+            "length(key) AS len")
+        val t0 = System.nanoTime()
+        val read = IngestFuzzy.prunedStoreSegs(spark, dir, batch, 3, 3, nB)
+          .count()
+        println(f"""{"op":"fuzzygeo_probe","batch_keys":$bn,"segs_read":$read,"segs_full":$full,"read_frac":${read.toDouble / full}%.4f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      release()
+    }
+
     // The deferred auto-salt PAYOFF ladder (round-10 task, round-12
     // measured): the planted hot block's pairs are (N/10)² in ONE
     // reducer unaided — wall-clock unaided vs fieldAgreementsAuto at

@@ -70,7 +70,15 @@ object Stores {
       else
         require(fs.delete(old, true), s"could not clear stale $old")
     }
-    val df = f(spark.read.parquet(path))
+    val df0 = f(spark.read.parquet(path))
+    // one balanced shuffle → one file per partition key, never
+    // tasks × cardinality slivers (the round-8 partitionBy rule;
+    // matters once stores carry bucket-partition columns)
+    val df =
+      if (partitionCols.nonEmpty)
+        df0.repartition(partitionCols.map(
+          org.apache.spark.sql.functions.col): _*)
+      else df0
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)

@@ -94,12 +94,16 @@ object IngestLinkage {
 
   /** Fix the model at `path`: field rules + integer LLR weights +
     * decision threshold + survivorship rules + the store partition
-    * geometry (`nBuckets`; `linkMaintain` grows it with the store).
-    * Creates empty members/ and entities/; feed records through
-    * `processBatch`. */
+    * geometry (`nBuckets`). Geometry starts SMALL and grows with the
+    * store (`linkMaintain` — the lexMaintain discipline): every
+    * append commits up to one file per bucket, so an oversized
+    * geometry on a young store pays pure filesystem-commit overhead
+    * (measured ~1 s per 16 extra files per append at sf0.1) while a
+    * grown store re-buckets once, amortized. Creates empty members/
+    * and entities/; feed records through `processBatch`. */
   def linkSave(spark: SparkSession, path: String, rules: Seq[FieldRule],
                weights: Map[String, (Int, Int)], threshold: Int,
-               merge: Seq[MergeRule], nBuckets: Int = 64): Unit = {
+               merge: Seq[MergeRule], nBuckets: Int = 16): Unit = {
     import spark.implicits._
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(rules.nonEmpty, "at least one field rule")
