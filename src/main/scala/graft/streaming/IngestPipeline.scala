@@ -245,7 +245,8 @@ object IngestPipeline {
             fuzzyStorePath: Option[String] = None,
             fuzzyKeyCol: String = "key",
             imageStorePath: Option[String] = None,
-            imageCol: String = "image"): StreamingQuery = {
+            imageCol: String = "image",
+            maintenance: Long => Unit = _ => ()): StreamingQuery = {
     val cols = Seq("doc_id", "text", "embedding") ++
       (if (vocabPath.isDefined) Seq("source") else Nil) ++
       (if (fuzzyStorePath.isDefined) Seq(fuzzyKeyCol) else Nil) ++
@@ -260,6 +261,16 @@ object IngestPipeline {
           neighborK, neighborProbe, neighborScanFrac, lexPath,
           fuzzyStorePath, fuzzyKeyCol,
           imageStorePath = imageStorePath, imageCol = imageCol)
+        // the supervisor.maintain() slot generalized to STORE GEOMETRY:
+        // growth-gated re-buckets (fuzzyMaintain / lexMaintain /
+        // linkMaintain / goldenMaintain) are offline-only operations,
+        // and this is the one point in the loop where no batch is in
+        // flight and no frame reads the stores — maintenance here
+        // serializes with ingest exactly like the index supervisor's
+        // generation swaps. Results are geometry-independent by
+        // construction (IngestPipelineSpec pins gate parity across a
+        // mid-stream rebalance).
+        maintenance(id)
         ()
       }
       .start()

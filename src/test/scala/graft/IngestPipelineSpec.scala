@@ -289,6 +289,59 @@ class IngestPipelineSpec extends SparkSpec {
     assert(tRows == Seq(1L, 2L))            // batch1 kept 2, batch2 kept 1
   }
 
+  test("mid-stream store-geometry maintenance changes no answer; geometry grows") {
+    // the maintenance hook runs in the serialized slot after each
+    // batch (the supervisor.maintain() discipline applied to store
+    // geometry): a fuzzyMaintain with a tiny target must re-bucket the
+    // fuzzy store mid-stream while every gate decision stays
+    // bit-identical to the unmaintained run
+    import graft.streaming.IngestFuzzy
+    val dim = 4
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(j => ((seed * 31 + j * 7) % 13).toFloat / 13f)
+    val seedVecs = (0L until 10L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    def run(maintained: Boolean): (Set[Long], Int) = {
+      val indexPath = tmp(s"pipe_m_index$maintained")
+      val idx = Similarity.ivfBuild(seedVecs, 4)
+      Similarity.ivfSave(idx, indexPath)
+      idx.release()
+      val (sigs, out, tele, ckpt, fz) = (tmp("pipe_m_sigs"), tmp("pipe_m_out"),
+        tmp("pipe_m_tele"), tmp("pipe_m_ckpt"), tmp("pipe_m_fz"))
+      IngestFuzzy.fuzzySave(spark,
+        Seq.empty[(Long, String)].toDF("id", "s"), fz, maxDist = 1,
+        nBuckets = 2)
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Seq[Float], String)]
+      val q = IngestPipeline.start(
+        input.toDF().toDF("doc_id", "text", "embedding", "key"),
+        sigs, out, indexPath, tele, 0.5, ckpt,
+        fuzzyStorePath = Some(fz),
+        maintenance = if (maintained)
+          _ => { IngestFuzzy.fuzzyMaintain(spark, fz,
+            targetRowsPerBucket = 2L, growFactor = 1); () }
+        else _ => ())
+      input.addData(
+        (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today", vec(100), "alpha data pipeline key"),
+        (101L, "a totally unrelated document discussing minhash signatures and band keys here", vec(101), "beta query engine key!!"))
+      q.processAllAvailable()
+      input.addData(
+        (200L, "fresh prose about parquet row groups and column statistics for pruning scans", vec(200), "alpha data pipeline keX"), // 1 edit of 100's key → fuzzy drop
+        (201L, "more fresh prose on broadcast joins and adaptive query execution behavior now", vec(201), "gamma wholly novel key!"))
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val nB = spark.read.parquet(s"$fz/meta").head().getInt(2)
+      (kept, nB)
+    }
+    val (plain, nb0) = run(maintained = false)
+    val (maint, nb1) = run(maintained = true)
+    assert(plain == Set(100L, 101L, 201L))
+    assert(maint == plain)      // geometry-independent decisions
+    assert(nb0 == 2 && nb1 > 2) // the hook actually re-bucketed mid-stream
+  }
+
   test("startSupervised: the supervisor swaps generations inside the stream; kept == indexed across swaps") {
     // growth-gated: seed 16 vecs in 4 lists (occupancy 4, target 4);
     // batch 1 lands 24 more (occupancy 10 > 2×target) → the supervisor
