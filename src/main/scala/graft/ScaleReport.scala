@@ -43,7 +43,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fuzzysplit,
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fpseed,fuzzysplit,
     // pipeline,linkskew,snm,linkcc,ingestlink,ingestlinkbig,fuzzybackfill,
     // linkskewbig,linkgolden) for
     // isolating one family — host-level stall noise makes whole-report
@@ -1048,6 +1048,42 @@ object ScaleReport {
         val batch = keys.where(col("doc_id") >= seedCut + b * batchN &&
           col("doc_id") < seedCut + (b + 1) * batchN)
         timed(s"fuzzyseed_batch$b")(IngestFuzzy.processBatch(batch, dir, out))
+      }
+    }
+
+    // The fingerprint gate's store term, isolated (round-12): batch
+    // size HELD CONSTANT at 10 k single-part fingerprints, the store
+    // pre-seeded at growing sizes. The gate re-derives the store's
+    // band rows (C(d+bc, bc) = 20× at d=3, bc=3) every batch, so the
+    // per-batch cost vs store size IS the law this section measures —
+    // deciding whether hashes/ needs the round-12 bucketed geometry or
+    // stays correctly unbuilt (the linkage-CC-fallback discipline).
+    // Fingerprints are synthetic (xxhash64 of the id — uniform), so
+    // candidate collisions sit at the random-corpus floor and the
+    // measured cost is the structural term: store scan + band explode
+    // + broadcast probe. No corpus tables needed.
+    if (section("fpseed")) {
+      import org.apache.spark.sql.functions.{lit, xxhash64}
+      import graft.streaming.IngestFingerprints
+      val d = 3; val bc = 3
+      val batchN = 10000L
+      def fp(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id"), lit(0).as("p"), xxhash64(col("id")).as("h"))
+      for (storeN <- Seq(1000000L, 2000000L, 5000000L)) {
+        val dir = java.nio.file.Files.createTempDirectory("scale_fpseed").toString
+        val out = java.nio.file.Files.createTempDirectory("scale_fpout").toString
+        timed(s"fpseed_build_$storeN") {
+          IngestFingerprints.fpSave(spark, fp(spark.range(storeN).toDF("id")),
+            dir, d, bc)
+          spark.read.parquet(s"$dir/hashes").count()
+        }
+        for (b <- 0 until 3) {
+          val ids = spark.range(storeN + b * batchN,
+            storeN + (b + 1) * batchN).toDF("id")
+          val batch = ids.select(col("id").as("doc_id"))
+          timed(s"fpseed_store${storeN}_batch$b")(
+            IngestFingerprints.processBatch(batch, dir, out, fp(ids)))
+        }
       }
     }
 

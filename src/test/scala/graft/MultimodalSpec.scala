@@ -413,6 +413,52 @@ class MultimodalSpec extends SparkSpec {
       s"got=$got want=${wantD.filter(_._2 <= 2)}")
   }
 
+  // a 9×8 DIB frame whose pixels ARE the dHash sample grid (the
+  // gridPng construction for the video channel): v(x, y) in TOP-row
+  // coordinates, written bottom-up, all channels equal so luma = v
+  private def gridDib(v: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((9 * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * 8)
+    for (r <- 0 until 8; x <- 0 until 9) {
+      val g = v(x, 7 - r).toByte
+      val o = r * stride + x * 3
+      out(o) = g; out(o + 1) = g; out(o + 2) = g
+    }
+    out
+  }
+
+  test("videoNearDupPairs: near-radius boundary sweep — planted per-frame k-bit collisions") {
+    // clip k = [shared base frame, variant-k frame]: the variant
+    // zeroes column 8 in rows 0..k-1, flipping EXACTLY bit y·8+7 per
+    // row, so clip pair (a, b) agrees on frame 0 and sits |a − b|
+    // bits apart on frame 1. At maxHamming = 2 the all-frames rule
+    // must report every pair whose WORST frame is within the radius —
+    // including collisions between two non-identical clips — and
+    // nothing beyond (clip 0 vs clip 3: frame 1 is 3 bits out).
+    def base(x: Int, y: Int): Int = if (x % 2 == 0) 150 else 50
+    def variant(k: Int): Array[Byte] =
+      gridDib((x, y) => if (x == 8 && y < k) 0 else base(x, y))
+    val fhash = (0 to 3).map(k => k.toLong ->
+      Multimodal.frameDHash(variant(k), 9, 8)).toMap
+    (0 to 3).foreach { k => // construction: variant k is k bits from base
+      assert(java.lang.Long.bitCount(fhash(0L) ^ fhash(k.toLong)) == k) }
+    import spark.implicits._
+    val ds = (0 to 3).map { k =>
+      MediaRow(k.toLong, "video",
+        Multimodal.aviBytesOf(Seq(gridDib(base), variant(k)), 9, 8),
+        MediaMeta(9, 8, 2L, "rawvideo"))
+    }.toDS()
+    val got = Multimodal.videoNearDupPairs(ds, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val want = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+      hm = java.lang.Long.bitCount(fhash(a) ^ fhash(b)) if hm <= 2
+    } yield ((a, b), 2)).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(got.contains((1L, 3L)) && !got.contains((0L, 3L))) // boundary
+  }
+
   test("hammingPairs: exact recall at the radius on adversarial planted bit-flips") {
     import spark.implicits._
     // base fingerprint + every 1-flip and a 3-flip: radius 2 must find
