@@ -339,6 +339,35 @@ object SparkEntry {
       rel()
       s.read.parquet(s"$dir/result").orderBy("doc_id")
     }),
+    // the AUDIO face of the q193 gate — same single-part machinery,
+    // fingerprint fn = audioAHash64, so the planted twins are VOLUME
+    // twins (amp cancels in the energy comparisons): store-tone twins
+    // at half volume drop, novel tone periods mostly keep (a few sit
+    // within the radius of a store tone — genuine near-collisions the
+    // oracle drops identically), an in-batch quarter-volume twin of a
+    // kept record drops first-wins. Tone periods alias mod 50
+    // (p = seed % 50 + 2), so novel seeds start at 20 — a p-range
+    // disjoint from the store's 0..19
+    "q196_fp_gate_audio" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q196_fp").toString
+      val store = Multimodal.patternAudio(s,
+        (0L until 20L).map(i => (i, i, 500)), 1600)
+        .toDF().selectExpr("media_id AS doc_id", "content AS audio")
+      graft.streaming.IngestFingerprints.fpSave(s,
+        graft.streaming.IngestFingerprints.audioFps(store), dir,
+        maxHamming = 2)
+      val batchSpecs = (0 until 30).map { k =>
+        if (k % 3 == 0) (100L + k, (k / 3).toLong, 250) // volume twin → drop
+        else (100L + k, 20L + k, 500)                   // novel tone → keep
+      } :+ ((200L, 21L, 125)) // in-batch volume twin of kept 101 → drop
+      val batch = Multimodal.patternAudio(s, batchSpecs, 1600)
+        .toDF().selectExpr("media_id AS doc_id", "content AS audio")
+      val (kept, _, rel) = graft.streaming.IngestFingerprints.gateBatch(
+        batch, dir, graft.streaming.IngestFingerprints.audioFps(batch))
+      kept.select("doc_id").write.mode("overwrite").parquet(s"$dir/result")
+      rel()
+      s.read.parquet(s"$dir/result").orderBy("doc_id")
+    }),
     // geometry-independence of the fuzzy store, driver-gated: build at
     // one bucket geometry, append, REBALANCE to a co-prime geometry,
     // then gate a batch — the result must equal q170's pure batch-form
@@ -2643,6 +2672,37 @@ object SparkEntry {
           SELECT 1 FROM clipm m
           JOIN meta a ON a.id = m.ia
           WHERE m.ib = b.id AND m.matched = a.nf AND a.nf = b.nf)
+      ORDER BY doc_id""",
+    // the q193 NOT-EXISTS structure over the q190 closed-form window
+    // energies: store ids (0..19) and smaller batch ids both sit below
+    // b.id, so one triangular hamming matrix serves both drop rules;
+    // amp never appears (volume cancels in the energy comparisons)
+    "q196_fp_gate_audio" -> """
+      WITH auds AS (
+        SELECT i AS id, i % 50 + 2 AS p, 1 AS st FROM range(0, 20) t(i)
+        UNION ALL
+        SELECT 100 + i,
+               CASE WHEN i % 3 = 0 THEN (i // 3) % 50 + 2
+                    ELSE (20 + i) % 50 + 2 END, 0
+        FROM range(0, 30) t(i)
+        UNION ALL SELECT 200, 21 % 50 + 2, 0),
+      e AS (
+        SELECT id, (i // 24) AS w, SUM(abs((i % p) * 2 - p)) AS en
+        FROM auds, range(0, 1560) t(i)
+        GROUP BY 1, 2),
+      bits AS (
+        SELECT a.id, a.w, CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+        FROM e a JOIN e b ON b.id = a.id AND b.w = a.w + 1
+        WHERE a.w < 64),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.w = q.w AND p.id < q.id
+        GROUP BY 1, 2)
+      SELECT CAST(b.id AS BIGINT) AS doc_id
+      FROM auds b WHERE b.st = 0
+        AND NOT EXISTS (SELECT 1 FROM ham
+                        WHERE ham.ib = b.id AND ham.hm <= 2)
       ORDER BY doc_id""",
     // the rebalance is invisible by construction: the gated set equals
     // q170's pure NOT-EXISTS form over the same store/batch split
