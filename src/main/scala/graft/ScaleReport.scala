@@ -43,7 +43,7 @@ object ScaleReport {
     }
     // optional section allowlist (minhash,simhash,cc,ann,knn,text,curation,cms,hll,
     // semdedup,ivfio,exactsubstr,dsir,lm,bloomdecon,sq8,ingest,pq,pairmine,
-    // ivfbuild,pairmaint,sqrtn,editjoin,lex,fuzzygate,fuzzyseed,fpseed,fuzzysplit,
+    // ivfbuild,pairmaint,sqrtn,editjoin,lex,lexgeo,fuzzygate,fuzzyseed,fpseed,fuzzysplit,
     // pipeline,linkskew,snm,linkcc,ingestlink,ingestlinkbig,fuzzybackfill,
     // linkskewbig,linkgolden) for
     // isolating one family — host-level stall noise makes whole-report
@@ -857,7 +857,16 @@ object ScaleReport {
       release()
       val corpus = emb.where(col("vec_id") >= 50)
       val sqrtTarget = math.max(256L, math.round(math.sqrt(nVecs.toDouble)))
-      for ((label, target) <- Seq("default" -> 256L, "sqrtN" -> sqrtTarget)) {
+      // the fixed-target arm is the disproven strawman (8× build cost,
+      // 10–26× worse fixed-nProbe recall at 2 M — SCALE.md round 8);
+      // past 5 M vectors its nList makes the assign O(N·nList) absurd
+      // (projected hours), so it is dropped LOUDLY, not silently
+      val arms =
+        if (nVecs > 5000000L) {
+          println(s"""{"op":"sqrtn_skip","arm":"default","reason":"fixed-target nList = ${nVecs / 256} at $nVecs vectors: assign cost O(N*nList) is hours; the arm lost at 2M already (round 8)"}""")
+          Seq("sqrtN" -> sqrtTarget)
+        } else Seq("default" -> 256L, "sqrtN" -> sqrtTarget)
+      for ((label, target) <- arms) {
         val nList = math.max(8L, nVecs / target).toInt
         val t0 = System.nanoTime()
         val idx = Similarity.ivfBuild(corpus, nList, sampleFit = true)
@@ -946,6 +955,10 @@ object ScaleReport {
       timed("bm25_rescan_rare")(
         graft.operators.TextAnalysis.bm25TopK(withRare, Seq("zzqx"), 20).count())
       timed("lex_compact")(Lexical.lexCompact(spark, dir))
+    }
+
+    if ((section("lex") || section("lexgeo")) && docsOpt.nonEmpty) {
+      import graft.operators.Lexical
       // corpus-scaled geometry (round-10): at a frozen save-time
       // geometry a term's probe reads its whole bucket — every
       // CO-HASHED term's postings ride along, and bucket volume grows
@@ -971,16 +984,21 @@ object ScaleReport {
         spark.read.parquet(s"$wdir/postings").count()
       }
       val rowsBefore = Lexical.lexProbeRows(spark, wdir, Seq("zzqx"))
-      timed("lexgeo_search_8")(
-        Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
+      // min-of-3 on the searches (CLAUDE.md round 4: single runs are
+      // noise; a 20-row search is overhead-bound and the overhead is
+      // what the geometry claim is about)
+      for (r <- 0 until 3)
+        timed(s"lexgeo_search_8_rep$r")(
+          Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
       val postingRows = spark.read.parquet(s"$wdir/postings").count()
       val want = math.max(16L, postingRows / 2000L).toInt
       timed(s"lexgeo_rebalance_to_$want")(
         Lexical.lexRebalance(spark, wdir, want))
       val rowsAfter = Lexical.lexProbeRows(spark, wdir, Seq("zzqx"))
       println(s"""{"op":"lexgeo_probe_rows","before":$rowsBefore,"after":$rowsAfter,"postings":$postingRows,"buckets_after":$want}""")
-      timed("lexgeo_search_rebal")(
-        Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
+      for (r <- 0 until 3)
+        timed(s"lexgeo_search_rebal_rep$r")(
+          Lexical.lexSearch(spark, wdir, Seq("zzqx"), 20).count())
     }
 
     // Fuzzy-key ingest gate (q169/q170, streaming.IngestFuzzy): the

@@ -47,6 +47,32 @@ object Stores {
       partitionCols)
   }
 
+  /** Read ONLY the named partition directories of a `colName=`-
+    * partitioned store (`basePath` keeps the partition column in the
+    * schema). A bare `read.parquet(dir)` lists ALL nBuckets partition
+    * dirs before pruning — driver-side listing + footer work that
+    * dominates a small probe once maintenance scales the geometry with
+    * the corpus (measured 3× the whole search at 7,500 buckets,
+    * SCALE.md round 12). Falls back to the full-listing read when the
+    * probe covers every bucket (equivalent, never worse) or when no
+    * named dir exists yet (nothing hashed there — the caller's bucket
+    * filter then returns the same rows either way). Callers keep their
+    * `isin` bucket filter: it is the partition filter the plan pins
+    * audit, and it guards the fallback paths. */
+  def bucketRead(spark: SparkSession, dir: String, colName: String,
+                 buckets: Seq[Int],
+                 nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = buckets.distinct
+    val dirs = want.map(b => s"$dir/$colName=$b")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty || want.size >= nBuckets)
+      spark.read.parquet(dir)
+    else
+      spark.read.option("basePath", dir).parquet(dirs: _*)
+  }
+
   // staged swap with every filesystem boolean CHECKED and the old
   // store renamed ASIDE before the promote (the lexRebalance
   // hardening): no crash window — or silent rename failure — leaves

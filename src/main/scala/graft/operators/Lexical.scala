@@ -112,8 +112,19 @@ object Lexical {
   private[graft] def lexSlice(spark: SparkSession, path: String,
                               terms: Seq[String]): DataFrame = {
     val buckets = lexBuckets(spark, path, terms)
-    spark.read.parquet(s"$path/postings")
+    lexBucketRead(spark, path, buckets)
       .where(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+  }
+
+  // Read ONLY the named bucket partition dirs — a full postings/ read
+  // lists all nBuckets dirs before pruning, which dominated the probe
+  // at corpus-scaled geometry (measured 3× the whole search at 7,500
+  // buckets, SCALE.md round 12). Shared discipline: Stores.bucketRead.
+  private def lexBucketRead(spark: SparkSession, path: String,
+                            buckets: Seq[Int]): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    graft.core.Stores.bucketRead(
+      spark, s"$path/postings", "bucket", buckets, nBuckets)
   }
 
   private def lexBuckets(spark: SparkSession, path: String,
@@ -134,7 +145,7 @@ object Lexical {
   private[graft] def lexProbeRows(spark: SparkSession, path: String,
                                   terms: Seq[String]): Long = {
     val buckets = lexBuckets(spark, path, terms)
-    spark.read.parquet(s"$path/postings")
+    lexBucketRead(spark, path, buckets)
       .where(col("bucket").isin(buckets: _*)).count()
   }
 

@@ -366,7 +366,11 @@ object IngestFuzzy {
       val buckets = Dedup.edProbeSegs(batchBase, d, minSeg, twoSided = true)
         .select(sbCol(nB).as("sb")).distinct()
         .collect().map(_.getInt(0))
-      val segs = spark.read.parquet(s"$storePath/segs")
+      // direct-path bucket read: never list the other buckets' dirs
+      // (the lexBucketRead discipline — full listing dominates small
+      // probes once maintenance scales nBuckets with the store)
+      val segs = graft.core.Stores.bucketRead(
+        spark, s"$storePath/segs", "sb", buckets.toIndexedSeq, nB)
       (if (buckets.length < nB)
          segs.where(col("sb").isin(buckets.map(Integer.valueOf): _*))
        else segs)

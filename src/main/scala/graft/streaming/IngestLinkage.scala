@@ -278,7 +278,11 @@ object IngestLinkage {
       if (exists(spark, s"$storePath/members")) {
         val buckets = b0.select(mbCol(cfg.nBuckets).as("mb")).distinct()
           .collect().map(_.getInt(0))
-        val all = spark.read.parquet(s"$storePath/members")
+        // direct-path bucket read (the lexBucketRead discipline):
+        // never list the unprobed buckets' dirs
+        val all = graft.core.Stores.bucketRead(
+          spark, s"$storePath/members", "mb", buckets.toIndexedSeq,
+          cfg.nBuckets)
         (if (buckets.length < cfg.nBuckets)
            all.where(col("mb").isin(buckets.map(Integer.valueOf): _*))
          else all).drop("mb")
@@ -371,7 +375,9 @@ object IngestLinkage {
       if (exists(spark, s"$storePath/entities")) {
         val ebuckets = assign.select(ebCol(cfg.nBuckets).as("eb")).distinct()
           .collect().map(_.getInt(0))
-        val all = spark.read.parquet(s"$storePath/entities")
+        val all = graft.core.Stores.bucketRead(
+          spark, s"$storePath/entities", "eb", ebuckets.toIndexedSeq,
+          cfg.nBuckets)
         (if (ebuckets.length < cfg.nBuckets)
            all.where(col("eb").isin(ebuckets.map(Integer.valueOf): _*))
          else all).drop("eb")
