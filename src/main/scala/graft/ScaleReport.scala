@@ -75,7 +75,12 @@ object ScaleReport {
     // difference between 1.3 M-row and ~150 k-row shuffled-hash build
     // maps (32 concurrent tasks share ONE local-mode heap; a real
     // cluster sets this via spark.sql.shuffle.partitions the same way).
-    val shufflePartitions = math.max(cpus.toInt, (nDocs / 4000).toInt)
+    // vectors-only dirs (extreme-SF ANN campaigns) must size by the
+    // VECTOR count: 128-float payloads are ~30× a doc-key row, so a
+    // nDocs-only sizing would hand a 20 M-vector corpus 32 partitions
+    // of ~320 MB build-map each
+    val shufflePartitions = math.max(cpus.toInt,
+      math.max(nDocs / 4000, nVecs / 16000).toInt)
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     println(s"""{"op":"conf","shuffle_partitions":$shufflePartitions}""")
 
@@ -872,7 +877,13 @@ object ScaleReport {
         val idx = Similarity.ivfBuild(corpus, nList, sampleFit = true)
         idx.assigned.count()
         val buildSec = (System.nanoTime() - t0) / 1e9
-        for (nProbe <- Seq(2, 8)) {
+        // fixed nProbe shows the round-6 trap (recall tracks the scan
+        // fraction nProbe/nList, so corpus-scaled nList starves it);
+        // the held-fraction arm anchors to the 2 M point's 8/1414 and
+        // is the `knnJoin scanFrac` serving dial — the recall-stable
+        // scaling claim
+        val heldProbe = math.max(1, math.round(nList * 8.0 / 1414.0).toInt)
+        for (nProbe <- Seq(2, 8, heldProbe).distinct) {
           // recall on the 50 gold queries; TIME on a 2000-query batch
           // (enough probe·clusterRows volume for the N/nList term to
           // dominate the fixed store-scan cost)
