@@ -155,4 +155,28 @@ class CompactionSpec extends SparkSpec {
     val n2 = IngestDedup.processBatch(more, sigs, out, 0.5)
     assert(spark.read.parquet(out).count() == n1 + n2)
   }
+
+  test("bucketRead: named-dir reads equal the full read + filter on every path") {
+    // the listing-wall fix (SCALE.md round 12): probes read only their
+    // named bucket=N dirs — rows must be identical to the full-listing
+    // read for probed subsets, missing dirs, full coverage, and an
+    // all-missing probe (fallback)
+    val dir = tmp("cmp_bread")
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS INT) AS b")
+    df.repartition($"b").write.mode("overwrite").partitionBy("b").parquet(dir)
+    def full(bs: Seq[Int]) = spark.read.parquet(dir)
+      .where($"b".isin(bs.map(Integer.valueOf): _*))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def pruned(bs: Seq[Int]) = graft.core.Stores.bucketRead(spark, dir, "b", bs, 7)
+      .where($"b".isin(bs.map(Integer.valueOf): _*))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pruned(Seq(2)) == full(Seq(2)) && pruned(Seq(2)).nonEmpty)
+    assert(pruned(Seq(1, 4, 4)) == full(Seq(1, 4)))        // dup bucket ids
+    assert(pruned(Seq(3, 99)) == full(Seq(3)))             // missing dir skipped
+    assert(pruned(Seq(98, 99)).isEmpty)                    // all-missing fallback
+    assert(pruned(0 until 7) == full(0 until 7))           // full coverage path
+    // the named-dir read keeps the partition column in the schema
+    assert(graft.core.Stores.bucketRead(spark, dir, "b", Seq(2), 7)
+      .columns.contains("b"))
+  }
 }
