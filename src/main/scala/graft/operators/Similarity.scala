@@ -698,12 +698,28 @@ object Similarity {
   /** Search a trained index: each query probes only the `nProbe` lists
     * whose centroids score highest (the centroid matrix rides into
     * codegen — nList rows), candidates shuffle on list id, no cross
-    * join against the corpus. */
-  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    * join against the corpus.
+    *
+    * `scanFrac` is the recall-STABLE dial (same semantics as
+    * `knnJoin`): when set, nProbe = max(1, ⌈nList·scanFrac⌉), so the
+    * scanned share of the corpus — which recall tracks on weakly-
+    * clustered data (SCALE.md round 6) — survives corpus-proportional
+    * nList growth. A raw nProbe silently decays as maintenance scales
+    * the geometry: measured 0.21 → 0.008 recall@10 across the
+    * 2 M → 20 M decade at fixed nProbe = 8, where the held fraction
+    * kept 13× that recall at identical search cost (SCALE.md round
+    * 12). Prefer scanFrac for anything long-lived; scanFrac = 1.0 is
+    * the exhaustive dial, bit-equal to brute force. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2,
+                scanFrac: Option[Double] = None): DataFrame = {
+    val probeN = scanFrac.map { f =>
+      require(f > 0.0 && f <= 1.0, "scanFrac must be in (0, 1]")
+      math.max(1, math.ceil(index.nList * f).toInt)
+    }.getOrElse(nProbe)
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     val probes = probeTopLists(q, Seq("qid", "qe", "qn"),
-      index.centroids, nProbe)
+      index.centroids, probeN)
 
     probes.join(index.assigned, Seq("list_id"))
       .select(col("qid"), col("vid"),

@@ -69,6 +69,20 @@ class SimilaritySpec extends SparkSpec {
       // each query's exact duplicate ranks first
       assert(viaIndex.contains((0L, 1, 70L)) && viaIndex.contains((1L, 1, 80L)))
       assert(index.centroids.count() == 4)
+      // the recall-stable dial: scanFrac resolves to ⌈nList·f⌉ probes —
+      // 0.5 of 4 lists == nProbe 2 row-for-row, and scanFrac = 1.0 is
+      // the exhaustive dial (equal to probing every list)
+      val viaFrac = Similarity.ivfSearch(index, all.where($"vec_id" < 2), 3,
+          scanFrac = Some(0.5))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(viaFrac == viaIndex)
+      val exhaustive = Similarity.ivfSearch(index, all.where($"vec_id" < 2), 3,
+          nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val fracFull = Similarity.ivfSearch(index, all.where($"vec_id" < 2), 3,
+          scanFrac = Some(1.0))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(fracFull == exhaustive)
     } finally index.release()
   }
 
