@@ -390,6 +390,37 @@ object SparkEntry {
       rel()
       s.read.parquet(s"$dir/result").orderBy("doc_id")
     }),
+    // the bucket prune's PAYING regime, driver-gated: a 5-key POINT
+    // probe against a store rebalanced to a fine co-prime geometry
+    // (251 buckets ≫ the probe's segment-tuple bucket set), so the
+    // pruned named-dir read path — not its full-scan degradation —
+    // is what the oracle hashes (q195 covers the covering-probe case;
+    // PlanAuditSpec pins that this shape's scan touches exactly the
+    // probe's buckets)
+    "q197_fuzzy_point_probe" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q197_fz").toString
+      val heads = documents(s, d)
+        .selectExpr("doc_id AS id", "substring(text, 1, 24) AS s")
+      graft.streaming.IngestFuzzy.fuzzySave(s, heads.where("id < 250"),
+        s"$dir/store", maxDist = 3, nBuckets = 8)
+      graft.streaming.IngestFuzzy.fuzzyRebalance(s, s"$dir/store", 251)
+      val (kept, rel) = graft.streaming.IngestFuzzy.gateBatch(
+        heads.where("id >= 250 AND id < 255")
+          .selectExpr("id AS doc_id", "s AS key"), s"$dir/store")
+      kept.select("doc_id", "key")
+        .write.mode("overwrite").parquet(s"$dir/result")
+      rel()
+      s.read.parquet(s"$dir/result").orderBy("doc_id")
+    }),
+    // the lexical point-search twin: ONE term against a 251-bucket
+    // store reads one bucket partition; still the q107 fixed-point
+    // ranking bit-for-bit
+    "q198_lex_point_search" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q198_lex").toString
+      Lexical.lexSave(s, documents(s, d), dir, nBuckets = 8)
+      Lexical.lexRebalance(s, dir, 251)
+      Lexical.lexSearch(s, dir, Seq("dup"), 20)
+    }),
     // REAL audio decode — JDK javax.sound (PCM WAV/AIFF/AU): exact
     // frame counts + absolute-amplitude sums over executor-synthesized
     // WAVs. Hash-green against the triangle-wave closed form.
@@ -1182,7 +1213,7 @@ object SparkEntry {
         Map("head" -> (200, -300), "source" -> (430, -300),
             "n_chars" -> (550, -400)), 680,
         Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
-            Linkage.Greatest("n_chars")))
+            Linkage.Greatest("n_chars")), nBuckets = linkNB)
       Seq(a, b).foreach(f => graft.streaming.IngestLinkage.processBatch(
         f.withColumnRenamed("id", "doc_id"), s"$dir/store", s"$dir/out"))
       s.read.parquet(s"$dir/out").select("doc_id", "entity")
@@ -1199,7 +1230,7 @@ object SparkEntry {
         Map("head" -> (200, -300), "source" -> (430, -300),
             "n_chars" -> (550, -400)), 680,
         Seq(Linkage.Longest("head"), Linkage.PreferA("source"),
-            Linkage.Greatest("n_chars")))
+            Linkage.Greatest("n_chars")), nBuckets = linkNB)
       Seq(a, b).foreach(f => graft.streaming.IngestLinkage.processBatch(
         f.withColumnRenamed("id", "doc_id"), s"$dir/store", s"$dir/out"))
       graft.streaming.IngestLinkage.goldenLatest(s, s"$dir/store")
@@ -1513,6 +1544,13 @@ object SparkEntry {
     * linkage family (q172/q173): bounded slice, lang-blocked; the copy
     * truncates the head one char and shifts lengths +3, so every
     * record has exactly one planted cross-feed match. */
+  // store geometry for the q185/q186 toy stores (2 k members): results
+  // are geometry-independent by construction, so this only sets the
+  // per-append file count. Overridable for TimeQ attribution runs
+  // (SCALE.md round-13 linkgeo note); the driver never sets the env.
+  private def linkNB: Int =
+    sys.env.get("SPARK_GRAFT_LINK_NB").map(_.toInt).getOrElse(4)
+
   private def linkageFeeds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = documents(s, d).where("doc_id < 1000")
     (docs.selectExpr("doc_id AS id", "lang AS block",
@@ -2716,6 +2754,40 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM b b2
                         WHERE b2.id < b.id AND levenshtein(b2.s, b.s) <= 3)
       ORDER BY doc_id""",
+    // the point-probe shape: same NOT-EXISTS policy, 5-key batch —
+    // what the pruned named-dir read must reproduce
+    "q197_fuzzy_point_probe" -> """
+      WITH h AS (SELECT doc_id AS id, substr(text, 1, 24) AS s
+                 FROM documents WHERE doc_id < 255),
+      st AS (SELECT * FROM h WHERE id < 250),
+      b AS (SELECT * FROM h WHERE id >= 250)
+      SELECT b.id AS doc_id, b.s AS key FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM st WHERE levenshtein(st.s, b.s) <= 3)
+        AND NOT EXISTS (SELECT 1 FROM b b2
+                        WHERE b2.id < b.id AND levenshtein(b2.s, b.s) <= 3)
+      ORDER BY doc_id""",
+    // single-term fixed-point BM25 — the one-bucket point search
+    "q198_lex_point_search" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, COUNT(*) AS dl,
+               COUNT(CASE WHEN w = 'dup' THEN 1 END) AS tf0
+        FROM tok GROUP BY 1),
+      c AS (
+        SELECT COUNT(*) AS nd, SUM(dl) AS ta,
+               COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0
+        FROM tf),
+      sel AS (
+        SELECT doc_id,
+               ((CAST((2*nd - 2*df0 + 1) * 22 * tf0 * ta AS HUGEINT) * 1000000)
+                  // ((2*df0 + 1) * (10*ta*tf0 + 3*ta + 9*dl*nd)))
+               AS score_ppm
+        FROM tf CROSS JOIN c)
+      SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+      FROM sel WHERE score_ppm > 0
+      ORDER BY score_ppm DESC, doc_id ASC LIMIT 20""",
     // q72's recursive reach over the q187 pair set: component = min
     // reachable id, isolated images stay their own component
     "q188_image_dedup" -> """

@@ -47,30 +47,97 @@ object Stores {
       partitionCols)
   }
 
+  /** Stamp the bucket-partition geometry INSIDE the data directory it
+    * describes (`<dir>/_GEOMETRY`, a tiny text file Spark's file index
+    * ignores like `_SUCCESS`). This is what makes a store re-bucket an
+    * ATOMIC geometry+data cutover: the rebalancers write the marker
+    * into the staged `.rebal` directory BEFORE the promote-rename, so
+    * the one rename that swaps the data in also swaps the geometry in
+    * — there is no window where probes prune new-geometry data with
+    * old-geometry bucket ids (the round-12 silent-miss window). meta/
+    * keeps an n_buckets for BOOTSTRAP only (the geometry of a store
+    * whose data dir does not exist yet); once data exists, the marker
+    * is authoritative and readers resolve marker-first. */
+  def stampGeometry(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
+    val p = new Path(s"$dir/_GEOMETRY")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The geometry stamped inside `dir`, if any (absent for stores
+    * created before their first stamp — callers fall back to meta/,
+    * which is exactly the geometry such data was written with). */
+  def readGeometry(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new Path(s"$dir/_GEOMETRY")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Heal the rename-aside crash window on the READ path: a leftover
+    * `<path>.old` with `<path>` missing means a staged swap crashed
+    * between its two renames — the `.old` IS the store; rename it back
+    * before probing. (The rebalancers heal this themselves on rerun;
+    * healing here too means an append or probe landing before the
+    * rerun sees the complete old store instead of an empty dir — and,
+    * for appends, never creates a fresh dir that a later heal would
+    * have to lose.) A stale `.old` alongside a live `<path>` is left
+    * for the next rebalance to clear — probes stay read-mostly. */
+  def healAside(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val old = new Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old) && !fs.exists(p))
+      require(fs.rename(old, p), s"self-heal rename $old -> $p failed")
+  }
+
   /** Read ONLY the named partition directories of a `colName=`-
     * partitioned store (`basePath` keeps the partition column in the
     * schema). A bare `read.parquet(dir)` lists ALL nBuckets partition
     * dirs before pruning — driver-side listing + footer work that
     * dominates a small probe once maintenance scales the geometry with
     * the corpus (measured 3× the whole search at 7,500 buckets,
-    * SCALE.md round 12). Falls back to the full-listing read when the
-    * probe covers every bucket (equivalent, never worse) or when no
-    * named dir exists yet (nothing hashed there — the caller's bucket
-    * filter then returns the same rows either way). Callers keep their
-    * `isin` bucket filter: it is the partition filter the plan pins
-    * audit, and it guards the fallback paths. */
+    * SCALE.md round 12). Falls back to the full-listing read only when
+    * the probe covers every bucket (equivalent, never worse). When NO
+    * named dir exists (nothing hashed to the probed buckets) the read
+    * stays cheap too: one top-level listStatus finds any one existing
+    * partition dir and reads just it — the caller's bucket filter then
+    * yields the empty result without paying the full listing the
+    * function exists to avoid. Callers keep their `isin` bucket
+    * filter: it is the partition filter the plan pins audit, and it
+    * guards the fallback paths. */
   def bucketRead(spark: SparkSession, dir: String, colName: String,
                  buckets: Seq[Int],
                  nBuckets: Int): org.apache.spark.sql.DataFrame = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = buckets.distinct
+    if (want.size >= nBuckets) return spark.read.parquet(dir)
     val dirs = want.map(b => s"$dir/$colName=$b")
       .filter(d => fs.exists(new Path(d)))
-    if (dirs.isEmpty || want.size >= nBuckets)
-      spark.read.parquet(dir)
-    else
+    if (dirs.nonEmpty)
       spark.read.option("basePath", dir).parquet(dirs: _*)
+    else {
+      // none of the probed buckets has a dir: one flat listing of the
+      // root (names only — no recursion, no footers) finds a stand-in
+      // partition dir whose rows the caller's isin filter drops
+      val one = fs.listStatus(new Path(dir)).collectFirst {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$colName=") => st.getPath.toString
+      }
+      one match {
+        case Some(d) => spark.read.option("basePath", dir).parquet(d)
+        case None    => spark.read.parquet(dir) // no partition dirs at all
+      }
+    }
   }
 
   // staged swap with every filesystem boolean CHECKED and the old
@@ -108,6 +175,12 @@ object Stores {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
+    // a compaction keeps the rows' existing bucket column values, so
+    // the store's stamped geometry must ride into the staged copy —
+    // losing the marker would silently revert probes to meta's
+    // bootstrap value after the swap
+    readGeometry(spark, path).foreach(g =>
+      stampGeometry(spark, tmp.toString, g))
     val n = spark.read.parquet(tmp.toString).count()
     require(fs.rename(p, old), s"rename $p -> $old failed")
     require(fs.rename(tmp, p), s"rename $tmp -> $p failed " +

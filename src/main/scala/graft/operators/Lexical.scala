@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *     generations-sized frame, never the corpus. Keyed by batch_id so
   *     an at-least-once replay dedupes EXACTLY (the CMS-store
   *     discipline) — searches on an uncompacted store stay bit-equal.
-  *   - `meta/` — (n_buckets): the partitioning geometry, require()d
-  *     consistent on append (the round-8 store-hardening rule).
+  *   - `meta/` — (n_buckets): the BOOTSTRAP partitioning geometry.
+  *     The authoritative bucket count rides INSIDE postings/
+  *     (`_GEOMETRY`, stamped by save/rebalance — atomic with the data
+  *     by the swap rename); probes and appends resolve marker-first
+  *     and fall back to meta only for a store with no marker yet.
   *
   * Scoring is `bm25TopK`'s fixed-point integer BM25 (k1 = 1.2,
   * b = 0.75, linear Robertson idf, DECIMAL(38,0)-widened ppm
@@ -75,11 +78,26 @@ object Lexical {
     postings
       .repartition(col("bucket")) // one file per bucket, not per task
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    graft.core.Stores.stampGeometry(spark, s"$path/postings", nBuckets)
     docstats.write.mode("overwrite").parquet(s"$path/docstats")
     stats.write.mode("overwrite").parquet(s"$path/stats")
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  // the geometry in force for postings/: the marker stamped inside the
+  // data dir when present (atomic with the data — a crashed rebalance
+  // can never leave data and geometry disagreeing), meta's n_buckets
+  // as the bootstrap. Heals the rename-aside crash window first so a
+  // probe landing between a crashed swap and its rerun reads the
+  // complete old store.
+  private def postGeom(spark: SparkSession, path: String): Int = {
+    require(hadoopExists(spark, s"$path/meta"),
+      s"$path is not a lexSave store (missing meta/)")
+    graft.core.Stores.healAside(spark, s"$path/postings")
+    graft.core.Stores.readGeometry(spark, s"$path/postings")
+      .getOrElse(spark.read.parquet(s"$path/meta").head().getInt(0))
   }
 
   /** Append a batch of NEW documents — O(batch), independent of the
@@ -88,13 +106,13 @@ object Lexical {
     * collapses exactly; streaming passes the micro-batch id. */
   def lexAppendSave(spark: SparkSession, path: String, batch: DataFrame,
                     batchId: Long): Unit = {
-    require(hadoopExists(spark, s"$path/meta"),
-      s"$path is not a lexSave store (missing meta/)")
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val nBuckets = postGeom(spark, path)
     val (postings, docstats, stats) = derive(batch, nBuckets, batchId)
     postings
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    if (graft.core.Stores.readGeometry(spark, s"$path/postings").isEmpty)
+      graft.core.Stores.stampGeometry(spark, s"$path/postings", nBuckets)
     docstats.write.mode("append").parquet(s"$path/docstats")
     stats.write.mode("append").parquet(s"$path/stats")
   }
@@ -122,14 +140,14 @@ object Lexical {
   // buckets, SCALE.md round 12). Shared discipline: Stores.bucketRead.
   private def lexBucketRead(spark: SparkSession, path: String,
                             buckets: Seq[Int]): DataFrame = {
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val nBuckets = postGeom(spark, path)
     graft.core.Stores.bucketRead(
       spark, s"$path/postings", "bucket", buckets, nBuckets)
   }
 
   private def lexBuckets(spark: SparkSession, path: String,
                          terms: Seq[String]): Seq[Int] = {
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val nBuckets = postGeom(spark, path)
     terms.map(t =>
       java.lang.Math.floorMod(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
@@ -223,12 +241,15 @@ object Lexical {
     * with ingest. Crash windows: before the first rename — the old
     * store is untouched and `.rebal` is garbage to collect; between
     * the two renames — postings/ is absent but postings.old holds the
-    * full old copy (rename it back, or re-run lexRebalance from it);
-    * between the promote and the meta write — postings are partitioned
-    * by the NEW geometry while meta still names the old one, and
-    * probes can miss rows until a re-run of lexRebalance repairs it
-    * (same documented offline-maintenance window as the CMS generation
-    * prune). Returns the postings row count. */
+    * full old copy (probes heal it back via `postGeom`, as does a
+    * rerun); between the promote and the meta write — harmless: the
+    * new geometry rides INSIDE the promoted postings/ (`_GEOMETRY`,
+    * stamped into the staged dir before the swap), probes resolve
+    * marker-first, and the trailing meta write only refreshes the
+    * bootstrap copy. The promote rename is the ATOMIC geometry+data
+    * cutover (the round-12 silent-miss window, closed —
+    * crash-injection pinned in GeometryCutoverSpec). Returns the
+    * postings row count. */
   def lexRebalance(spark: SparkSession, path: String, nBuckets: Int): Long = {
     require(hadoopExists(spark, s"$path/meta"),
       s"$path is not a lexSave store (missing meta/)")
@@ -255,6 +276,9 @@ object Lexical {
         pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
       .repartition(col("bucket")) // one file per bucket, not per task
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    // geometry rides INSIDE the staged dir: the promote rename below
+    // swaps data and geometry in one atomic step
+    graft.core.Stores.stampGeometry(spark, tmp.toString, nBuckets)
     val n = spark.read.parquet(tmp.toString).count()
     require(n == before,
       s"rebalanced postings lost rows ($before -> $n); aborting with " +
@@ -274,14 +298,16 @@ object Lexical {
     * `growFactor` × `targetRowsPerBucket`, to ceil(rows / target)
     * buckets — so steady appends pay nothing and a store that has
     * grown 100× pays one staged rewrite, amortized. Returns the
-    * geometry in force after the call. */
+    * geometry in force after the call. The CHECK itself costs a full
+    * postings/ count (an O(store) scan plus the all-buckets listing) —
+    * wired into a per-batch maintenance hook it reinstates the
+    * O(store) term the probe pruning removed, so gate its cadence by
+    * the hook's batch id (e.g. `if (id % 16 == 0)`), not per batch. */
   def lexMaintain(spark: SparkSession, path: String,
                   targetRowsPerBucket: Long = 1000000L,
                   growFactor: Int = 4): Int = {
-    require(hadoopExists(spark, s"$path/meta"),
-      s"$path is not a lexSave store (missing meta/)")
     require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val nBuckets = postGeom(spark, path)
     val rows = spark.read.parquet(s"$path/postings").count()
     if (rows / nBuckets <= growFactor * targetRowsPerBucket) nBuckets
     else {

@@ -31,7 +31,13 @@ import graft.operators.Dedup
   *   meta/  (max_dist, min_seg, n_buckets) — the layout; probes and
   *                             appends recompute every partition
   *                             column from it, so results are
-  *                             GEOMETRY-INDEPENDENT by construction
+  *                             GEOMETRY-INDEPENDENT by construction.
+  *                             The AUTHORITATIVE bucket count lives
+  *                             INSIDE segs/ (`_GEOMETRY`, stamped by
+  *                             save/rebalance — atomic with the data
+  *                             by the swap rename); meta's n_buckets
+  *                             is the bootstrap for a store whose
+  *                             segs/ carries no marker yet
   *
   * Why this geometry (round 12): the previous layout made every batch
   * scan AND shuffle the whole segs/ store into the probe equi-join,
@@ -88,8 +94,20 @@ object IngestFuzzy {
     writeKeys(base, s"$path/keys", maxDist, minSeg, "overwrite")
     writeSegs(base.withColumn("len", length(col("s"))),
       s"$path/segs", maxDist, minSeg, nBuckets, "overwrite")
+    graft.core.Stores.stampGeometry(spark, s"$path/segs", nBuckets)
     Seq((maxDist, minSeg, nBuckets)).toDF("max_dist", "min_seg", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  // the geometry in force for segs/: the marker stamped inside the
+  // data dir when present (atomic with the data — a crashed rebalance
+  // can never leave data and geometry disagreeing), meta's n_buckets
+  // as the bootstrap. Heals the rename-aside window first so a probe
+  // or append landing between a crashed swap and its rerun sees the
+  // complete old store, not an absent dir.
+  private def segGeom(spark: SparkSession, path: String, metaNB: Int): Int = {
+    graft.core.Stores.healAside(spark, s"$path/segs")
+    graft.core.Stores.readGeometry(spark, s"$path/segs").getOrElse(metaNB)
   }
 
   private def writeKeys(base: DataFrame, path: String, d: Int,
@@ -145,12 +163,17 @@ object IngestFuzzy {
     * every state store follows. */
   def appendKeys(spark: SparkSession, storePath: String,
                  keys: DataFrame): Unit = {
-    val (d, minSeg, nB) = meta(spark, storePath)
+    val (d, minSeg, metaNB) = meta(spark, storePath)
+    val nB = segGeom(spark, storePath, metaNB)
     val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
     k.count()
     writeKeys(k, s"$storePath/keys", d, minSeg, "append")
     writeSegs(k.withColumn("len", length(col("s"))),
       s"$storePath/segs", d, minSeg, nB, "append")
+    // a first append creates segs/ — stamp the geometry it was cut
+    // with so later resolution never depends on meta staying in step
+    if (graft.core.Stores.readGeometry(spark, s"$storePath/segs").isEmpty)
+      graft.core.Stores.stampGeometry(spark, s"$storePath/segs", nB)
     k.unpersist(blocking = false)
   }
 
@@ -203,7 +226,8 @@ object IngestFuzzy {
       : (DataFrame, () => Unit, Seq[(Long, Double)]) = {
     require(maxKeys >= 1, "maxKeys must be >= 1")
     val spark = batch.sparkSession
-    val (d, minSeg, nB) = meta(spark, storePath)
+    val (d, minSeg, metaNB) = meta(spark, storePath)
+    val nB = segGeom(spark, storePath, metaNB)
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val n = b.count()
     val emptyBase = b.where(col(keyCol).isNotNull)
@@ -381,14 +405,17 @@ object IngestFuzzy {
     * probes are GEOMETRY-INDEPENDENT (every partition column is
     * recomputed from meta/), so results are bit-equal across a
     * rebalance; only the probe's read volume changes. Staged: full
-    * new segs land at `segs.rebal`, COUNT-VERIFIED, then the
-    * rename-aside swap with every boolean checked and the crashed-run
-    * self-heal (a leftover `.old` with segs/ missing IS the store —
-    * renamed back, never deleted). Crash between the promote and the
-    * meta write leaves segs/ bucketed by the NEW geometry while meta
-    * names the old — probes then prune by the WRONG bucket column
-    * values and can miss rows until a re-run repairs it (the same
-    * documented offline-maintenance window as lexRebalance). Run
+    * new segs land at `segs.rebal` WITH the new geometry stamped
+    * inside (`_GEOMETRY`), COUNT-VERIFIED, then the rename-aside swap
+    * with every boolean checked and the crashed-run self-heal (a
+    * leftover `.old` with segs/ missing IS the store — renamed back,
+    * never deleted; probes/appends heal this window too). The promote
+    * rename is the ATOMIC geometry+data cutover: probes resolve
+    * n_buckets from the marker riding inside whichever segs/ they
+    * open, so no crash point leaves data partitioned by one geometry
+    * while probes prune by another (the round-12 silent-miss window,
+    * closed — crash-injection pinned in GeometryCutoverSpec). The
+    * trailing meta write only refreshes the bootstrap copy. Run
     * offline, never concurrently with ingest. */
   def fuzzyRebalance(spark: SparkSession, path: String,
                      nBuckets: Int): Long = {
@@ -417,6 +444,9 @@ object IngestFuzzy {
       .withColumn("sb", sbCol(nBuckets))
       .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
+    // geometry rides INSIDE the staged dir: the promote rename below
+    // swaps data and geometry in one atomic step
+    graft.core.Stores.stampGeometry(spark, tmp.toString, nBuckets)
     val n = spark.read.parquet(tmp.toString).count()
     require(n == before,
       s"rebalanced segs lost rows ($before -> $n); aborting with the " +
@@ -434,13 +464,18 @@ object IngestFuzzy {
     * rebalance only when the mean bucket has grown past `growFactor` ×
     * `targetRowsPerBucket`, to ceil(rows / target) buckets — steady
     * appends pay nothing, a store grown 100× pays one staged rewrite.
-    * Returns the geometry in force after the call. */
+    * Returns the geometry in force after the call. The CHECK itself
+    * costs a full segs/ count (an O(store) scan plus the all-buckets
+    * listing) — wired into a per-batch maintenance hook it reinstates
+    * the O(store) term the probe pruning removed, so gate its cadence
+    * by the hook's batch id (e.g. `if (id % 16 == 0)`), not per batch. */
   def fuzzyMaintain(spark: SparkSession, path: String,
                     targetRowsPerBucket: Long = 1000000L,
                     growFactor: Int = 4): Int = {
-    val (_, _, nB) = meta(spark, path)
+    val (_, _, metaNB) = meta(spark, path)
     require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
-    if (!exists(spark, s"$path/segs")) return nB
+    if (!exists(spark, s"$path/segs")) return metaNB
+    val nB = segGeom(spark, path, metaNB)
     val rows = spark.read.parquet(s"$path/segs").count()
     if (rows / nB <= growFactor * targetRowsPerBucket) nB
     else {

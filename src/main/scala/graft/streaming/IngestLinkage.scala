@@ -80,8 +80,8 @@ import graft.operators.Linkage._
   * later batch reads grows last). */
 object IngestLinkage {
 
-  // partition-column layouts — pure functions of meta, recomputed on
-  // every probe/append, so a rebalance never changes any answer:
+  // partition-column layouts — recomputed on every probe/append from
+  // the geometry in force, so a rebalance never changes any answer:
   // members/ buckets by BLOCK KEY (a batch probes only the partitions
   // its own blocks hash to — xxhash64 maps a null block to its seed
   // hash, so null-block rows land in a normal bucket and never match
@@ -91,6 +91,21 @@ object IngestLinkage {
     pmod(xxhash64(col("block")), lit(nBuckets.toLong)).cast("int")
   private def ebCol(nBuckets: Int) =
     pmod(xxhash64(col("entity")), lit(nBuckets.toLong)).cast("int")
+
+  // the geometry in force for ONE bucketed store dir: the marker
+  // stamped inside it when present (atomic with the data — stamped
+  // into the staged .rebal dir before the promote rename, so no crash
+  // point of linkRebalance leaves data partitioned by one geometry
+  // while probes prune by another; members/ and entities/ each carry
+  // their own marker, so even a crash BETWEEN the two rebuckets
+  // leaves both individually consistent), meta's n_buckets as the
+  // bootstrap for a dir with no marker yet. Heals the rename-aside
+  // window first so a probe landing between a crashed swap and its
+  // rerun reads the complete old store.
+  private def dirGeom(spark: SparkSession, dir: String, cfgNB: Int): Int = {
+    graft.core.Stores.healAside(spark, dir)
+    graft.core.Stores.readGeometry(spark, dir).getOrElse(cfgNB)
+  }
 
   /** Fix the model at `path`: field rules + integer LLR weights +
     * decision threshold + survivorship rules + the store partition
@@ -191,6 +206,7 @@ object IngestLinkage {
     * fields>[, <f>__ts aux]); empty-store safe. */
   def goldenLatest(spark: SparkSession, path: String): DataFrame = {
     val cfg = readCfg(spark, path)
+    graft.core.Stores.healAside(spark, s"$path/entities")
     val all =
       if (exists(spark, s"$path/entities"))
         spark.read.parquet(s"$path/entities").drop("eb")
@@ -274,16 +290,20 @@ object IngestLinkage {
     // join's construction, and a replayed record's own block is in the
     // set — so the pruned frame is probe-complete. A batch covering
     // every bucket skips the filter (graceful full scan, never worse).
+    // per-dir geometry (marker-first): probe bucket ids and append
+    // bucket columns MUST both come from the geometry the dir's data
+    // is actually partitioned by, whatever meta says
+    val mbN = dirGeom(spark, s"$storePath/members", cfg.nBuckets)
+    val ebN = dirGeom(spark, s"$storePath/entities", cfg.nBuckets)
     val members =
       if (exists(spark, s"$storePath/members")) {
-        val buckets = b0.select(mbCol(cfg.nBuckets).as("mb")).distinct()
+        val buckets = b0.select(mbCol(mbN).as("mb")).distinct()
           .collect().map(_.getInt(0))
         // direct-path bucket read (the lexBucketRead discipline):
         // never list the unprobed buckets' dirs
         val all = graft.core.Stores.bucketRead(
-          spark, s"$storePath/members", "mb", buckets.toIndexedSeq,
-          cfg.nBuckets)
-        (if (buckets.length < cfg.nBuckets)
+          spark, s"$storePath/members", "mb", buckets.toIndexedSeq, mbN)
+        (if (buckets.length < mbN)
            all.where(col("mb").isin(buckets.map(Integer.valueOf): _*))
          else all).drop("mb")
       } else emptyMembersFrom(b0, cfg)
@@ -373,12 +393,11 @@ object IngestLinkage {
     // still applies the exact entity filter)
     val goldenAll =
       if (exists(spark, s"$storePath/entities")) {
-        val ebuckets = assign.select(ebCol(cfg.nBuckets).as("eb")).distinct()
+        val ebuckets = assign.select(ebCol(ebN).as("eb")).distinct()
           .collect().map(_.getInt(0))
         val all = graft.core.Stores.bucketRead(
-          spark, s"$storePath/entities", "eb", ebuckets.toIndexedSeq,
-          cfg.nBuckets)
-        (if (ebuckets.length < cfg.nBuckets)
+          spark, s"$storePath/entities", "eb", ebuckets.toIndexedSeq, ebN)
+        (if (ebuckets.length < ebN)
            all.where(col("eb").isin(ebuckets.map(Integer.valueOf): _*))
          else all).drop("eb")
       } else recRows.select((col("entity") +: col("vseq").as("ver") +:
@@ -411,12 +430,19 @@ object IngestLinkage {
     }
     val (outC, goldC, memC) = (cutM(outRows), cutM(newGolden), cutM(memberRows))
     outC.write.mode("append").parquet(outPath)
-    goldC.withColumn("eb", ebCol(cfg.nBuckets))
+    goldC.withColumn("eb", ebCol(ebN))
       .repartition(col("eb")) // one file per partition, not per task
       .write.mode("append").partitionBy("eb").parquet(s"$storePath/entities")
-    memC.withColumn("mb", mbCol(cfg.nBuckets))
+    memC.withColumn("mb", mbCol(mbN))
       .repartition(col("mb"))
       .write.mode("append").partitionBy("mb").parquet(s"$storePath/members")
+    // a first append creates the dirs — stamp the geometry they were
+    // cut with so later resolution never depends on meta staying in
+    // step
+    if (graft.core.Stores.readGeometry(spark, s"$storePath/entities").isEmpty)
+      graft.core.Stores.stampGeometry(spark, s"$storePath/entities", ebN)
+    if (graft.core.Stores.readGeometry(spark, s"$storePath/members").isEmpty)
+      graft.core.Stores.stampGeometry(spark, s"$storePath/members", mbN)
     (holds ++ Seq(assign, b0)).foreach(_.unpersist(blocking = false))
     n
   }
@@ -465,10 +491,15 @@ object IngestLinkage {
     * (linkgolden): `goldenLatest` read cost grows linearly with chain
     * depth (it windows every version), so the read stays within
     * ~`maxMeanVersions`× its compacted floor. Returns true iff it
-    * compacted. */
+    * compacted. The CHECK itself costs a full entities/ scan plus a
+    * distinct-entity count — wired into a per-batch maintenance hook
+    * it reinstates an O(store) term per micro-batch, so gate its
+    * cadence by the hook's batch id (e.g. `if (id % 16 == 0)`), not
+    * per batch. */
   def goldenMaintain(spark: SparkSession, path: String,
                      maxMeanVersions: Double = 4.0): Boolean = {
     require(maxMeanVersions >= 1.0, "maxMeanVersions must be >= 1")
+    graft.core.Stores.healAside(spark, s"$path/entities")
     if (!exists(spark, s"$path/entities")) return false
     val all = spark.read.parquet(s"$path/entities")
     val rows = all.count()
@@ -478,20 +509,28 @@ object IngestLinkage {
   }
 
   /** Re-bucket members/ and entities/ to `nBuckets` — the lexRebalance
-    * discipline: every partition column is recomputed from meta/ on
-    * probe and append, so results are bit-equal across a rebalance;
-    * only the probes' read volume changes. Staged per store (land at
-    * `.rebal`, COUNT-VERIFY, rename-aside swap with the crashed-run
-    * self-heal), meta last. Run offline, never concurrently with
-    * ingest. */
+    * discipline: every partition column is recomputed on probe and
+    * append from the geometry in force, so results are bit-equal
+    * across a rebalance; only the probes' read volume changes. Staged
+    * per store (land at `.rebal` WITH the new geometry stamped inside,
+    * COUNT-VERIFY, rename-aside swap with the crashed-run self-heal),
+    * meta last. Each dir's promote rename is its own ATOMIC
+    * geometry+data cutover: probes resolve each dir's n_buckets from
+    * the marker riding inside it, so no crash point — including a
+    * crash BETWEEN the members and entities rebuckets — leaves any
+    * dir's data partitioned by one geometry while probes prune it by
+    * another (the round-12 silent-miss window, closed —
+    * crash-injection pinned in GeometryCutoverSpec); the trailing meta
+    * write only refreshes the bootstrap copy. Run offline, never
+    * concurrently with ingest. */
   def linkRebalance(spark: SparkSession, path: String,
                     nBuckets: Int): Long = {
     val cfg = readCfg(spark, path)
     require(nBuckets >= 1, "nBuckets must be >= 1")
     import spark.implicits._
     val n =
-      rebucket(spark, s"$path/members", "mb", mbCol(nBuckets)) +
-        rebucket(spark, s"$path/entities", "eb", ebCol(nBuckets))
+      rebucket(spark, s"$path/members", "mb", mbCol(nBuckets), nBuckets) +
+        rebucket(spark, s"$path/entities", "eb", ebCol(nBuckets), nBuckets)
     Seq((cfg.threshold, nBuckets)).toDF("threshold", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
     n
@@ -500,15 +539,21 @@ object IngestLinkage {
   /** Growth-gated geometry maintenance (the lexMaintain discipline):
     * rebalance only when the mean members/ bucket has grown past
     * `growFactor` × `targetRowsPerBucket`, to ceil(rows / target)
-    * buckets. Returns the geometry in force after the call. */
+    * buckets. Returns the geometry in force after the call. The CHECK
+    * itself costs a full members/ count (an O(store) scan plus the
+    * all-buckets listing) — wired into a per-batch maintenance hook it
+    * reinstates the O(store) term the probe pruning removed, so gate
+    * its cadence by the hook's batch id (e.g. `if (id % 16 == 0)`),
+    * not per batch. */
   def linkMaintain(spark: SparkSession, path: String,
                    targetRowsPerBucket: Long = 1000000L,
                    growFactor: Int = 4): Int = {
     val cfg = readCfg(spark, path)
     require(targetRowsPerBucket > 0 && growFactor >= 1, "positive sizing")
     if (!exists(spark, s"$path/members")) return cfg.nBuckets
+    val nB = dirGeom(spark, s"$path/members", cfg.nBuckets)
     val rows = spark.read.parquet(s"$path/members").count()
-    if (rows / cfg.nBuckets <= growFactor * targetRowsPerBucket) cfg.nBuckets
+    if (rows / nB <= growFactor * targetRowsPerBucket) nB
     else {
       val want = ((rows + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
       linkRebalance(spark, path, want)
@@ -517,9 +562,12 @@ object IngestLinkage {
   }
 
   // one store's staged re-bucket swap (self-healing .old, the
-  // Stores.rewriteWith rules); absent/empty stores are a no-op
+  // Stores.rewriteWith rules; geometry stamped into the staged dir so
+  // the promote rename is the atomic cutover); absent/empty stores are
+  // a no-op
   private def rebucket(spark: SparkSession, path: String, bCol: String,
-                       newB: org.apache.spark.sql.Column): Long = {
+                       newB: org.apache.spark.sql.Column,
+                       nBuckets: Int): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".rebal")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
@@ -536,6 +584,7 @@ object IngestLinkage {
       .withColumn(bCol, newB)
       .repartition(col(bCol))
       .write.mode("overwrite").partitionBy(bCol).parquet(tmp.toString)
+    graft.core.Stores.stampGeometry(spark, tmp.toString, nBuckets)
     val n = spark.read.parquet(tmp.toString).count()
     require(n == before,
       s"rebucketed store lost rows ($before -> $n); aborting with the " +

@@ -486,6 +486,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(ss2.head.metadata.get("PushedFilters").exists(_.contains("In(w")))
   }
 
+  test("q197/q198 point probes: the pruned read touches exactly the probe's buckets") {
+    import org.apache.spark.sql.functions.{col, length, lit, pmod, xxhash64}
+    import spark.implicits._
+    // fuzzy: a 3-key point probe against a fine 251-bucket store must
+    // scan exactly (probe buckets ∩ existing dirs) partitions — the
+    // named-dir read path, not its full-scan degradation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("audit_fzpt").toString
+    graft.streaming.IngestFuzzy.fuzzySave(spark,
+      docs.selectExpr("doc_id AS id", "substring(text, 1, 24) AS s")
+        .where("id < 250"), store, maxDist = 3, nBuckets = 251)
+    val probe = Seq((9001L, "planted unique probe key a"),
+        (9002L, "another planted probe key b"),
+        (9003L, "third planted point probe c")).toDF("id", "s")
+      .withColumn("len", length(col("s")))
+    val want = graft.operators.Dedup.edProbeSegs(probe, 3, 3, twoSided = true)
+      .select(pmod(xxhash64(col("lt"), col("i"), col("seg")), lit(251L))
+        .cast("int").as("sb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/segs"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("sb="))
+      .map(_.getPath.getName.stripPrefix("sb=").toInt).toSet
+    val segs = graft.streaming.IngestFuzzy.prunedStoreSegs(spark, store,
+      probe, 3, 3, 251)
+    val ss = scans(segs.queryExecution.sparkPlan)
+    assert(ss.length == 1)
+    val scanned = ss.head.selectedPartitions.partitionCount
+    assert(scanned == (want & existing).size,
+      s"scanned $scanned partitions; probe covers ${(want & existing).size}")
+    assert(scanned < existing.size,
+      "point probe failed to prune (scanned every existing bucket)")
+    // lexical: one term → one bucket partition on a 251-bucket store
+    val lstore = java.nio.file.Files.createTempDirectory("audit_lexpt").toString
+    graft.operators.Lexical.lexSave(spark, docs, lstore, nBuckets = 8)
+    graft.operators.Lexical.lexRebalance(spark, lstore, 251)
+    val slice = graft.operators.Lexical.lexSlice(spark, lstore, Seq("dup"))
+    val ls = scans(slice.queryExecution.sparkPlan)
+    assert(ls.length == 1 && ls.head.selectedPartitions.partitionCount == 1,
+      "a one-term point search must read exactly one bucket partition")
+  }
+
   test("q175 SNM: the only single-partition window is the nParts-row offset frame") {
     // globalRank's contract: ranks come from a per-PARTITION window
     // (pid-keyed, corpus-parallel) plus an offset prefix sum whose
