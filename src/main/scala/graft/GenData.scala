@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * `graft.GenData /root/repo/testdata-gen/sf1 1.0`, or
   * `graft.GenData /root/repo/testdata-gen/sf100 100 embeddings,documents`
   * to generate only the vector/dedup tables at extreme SF without
-  * paying for 600 M lineitem rows.
+  * paying for 600 M lineitem rows. `SPARK_GRAFT_VOCAB=zipf:<V>:<s>`
+  * swaps the document vocabulary for a V-word Zipf(s) one (realistic
+  * key/term entropy for the blocking and serving campaigns).
   */
 object GenData {
 
@@ -174,9 +176,42 @@ object GenData {
       docId - (pmod(h("back", docId), lit(9)) + 1)).otherwise(docId)
     val len = (pmod(h("len", baseId), lit(91)) + 10).cast("int")
     val vocabLit = typedLit(Vocab)
+    // round-13 realistic-entropy dial: SPARK_GRAFT_VOCAB=zipf:<V>:<s>
+    // swaps the adversarial 40-word vocabulary for a V-word Zipf(s)
+    // vocabulary ("w<rank>", rank 1 most frequent) — the middle regime
+    // between the worst case every blocking law is measured on (tiny
+    // vocab, all terms corpus-frequent) and the planted best case (md5
+    // keys / hand-planted selective terms). Words come from the
+    // deterministic inverse CDF of the continuous power law on
+    // [1, V+1]: rank = floor((1 + u·((V+1)^(1−s) − 1))^(1/(1−s)))
+    // (s = 1 uses the log form), so generation stays a pure
+    // hash-of-row-id column expression like every other column.
+    val zipfCfg: Option[(Long, Double)] =
+      sys.env.get("SPARK_GRAFT_VOCAB").map { v =>
+        val p = v.split(":")
+        require(p.length == 3 && p(0) == "zipf",
+          s"SPARK_GRAFT_VOCAB must be zipf:<size>:<exponent>, got $v")
+        (p(1).toLong, p(2).toDouble)
+      }
     def word(seedTag: String, seed: Column, i: Column): Column =
-      element_at(vocabLit,
-        (pmod(xxhash64(lit(seedTag), seed, i), lit(Vocab.length)) + 1).cast("int"))
+      zipfCfg match {
+        case None =>
+          element_at(vocabLit,
+            (pmod(xxhash64(lit(seedTag), seed, i), lit(Vocab.length)) + 1)
+              .cast("int"))
+        case Some((v, s)) =>
+          val u = pmod(xxhash64(lit(seedTag), seed, i), lit(1000000000L))
+            .cast("double") / 1e9
+          val rank =
+            if (math.abs(s - 1.0) < 1e-9)
+              floor(exp(u * log(lit(v.toDouble + 1))))
+            else
+              floor(pow(lit(1.0) +
+                u * (pow(lit(v.toDouble + 1), lit(1.0 - s)) - 1.0),
+                lit(1.0 / (1.0 - s))))
+          concat(lit("w"),
+            greatest(lit(1L), least(rank.cast("long"), lit(v))))
+      }
     val text = concat_ws(" ", transform(sequence(lit(1), len), i =>
       when(isNear && pmod(xxhash64(lit("sel"), docId, i), lit(25)) === 0,
         word("mut", docId, i)).otherwise(word("tok", baseId, i))))
@@ -214,7 +249,8 @@ object GenData {
       label.as("label")), "embeddings")
 
     println(s"[gendata] done: sf=$sf at $outDir " +
-      s"(lineitem=$nLine docs=$nDocs vecs=$nVecs)")
+      s"(lineitem=$nLine docs=$nDocs vecs=$nVecs vocab=" +
+      zipfCfg.map { case (v, s) => s"zipf:$v:$s" }.getOrElse("default") + ")")
     spark.stop()
   }
 }

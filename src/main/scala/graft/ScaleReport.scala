@@ -1092,13 +1092,18 @@ object ScaleReport {
     // measured cost is the structural term: store scan + band explode
     // + broadcast probe. No corpus tables needed.
     if (section("fpseed")) {
-      import org.apache.spark.sql.functions.{lit, xxhash64}
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
       import graft.streaming.IngestFingerprints
       val d = 3; val bc = 3
       val batchN = 10000L
       def fp(ids: org.apache.spark.sql.DataFrame) =
         ids.select(col("id"), lit(0).as("p"), xxhash64(col("id")).as("h"))
-      for (storeN <- Seq(1000000L, 2000000L, 5000000L)) {
+      // round-13: SPARK_GRAFT_FPSEED_STORES extends the store ladder a
+      // decade (20 M, 50 M) without making the default run pay for it
+      val stores = sys.env.get("SPARK_GRAFT_FPSEED_STORES")
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(1000000L, 2000000L, 5000000L))
+      for (storeN <- stores) {
         val dir = java.nio.file.Files.createTempDirectory("scale_fpseed").toString
         val out = java.nio.file.Files.createTempDirectory("scale_fpout").toString
         timed(s"fpseed_build_$storeN") {
@@ -1113,6 +1118,23 @@ object ScaleReport {
           timed(s"fpseed_store${storeN}_batch$b")(
             IngestFingerprints.processBatch(batch, dir, out, fp(ids)))
         }
+        // the SERVING question (round-13): a POINT probe (5 records,
+        // ~100 band keys) against the scan-derived path vs the bands/
+        // index's pruned named-dir read. Planted twin: probe id 0
+        // re-uses the store's own hash so the probe does real matching
+        // work on both paths; results are asserted bit-equal.
+        val probeIds = spark.range(0, 5).toDF("id")
+        val probeFp = probeIds.select(col("id"), lit(0).as("p"),
+          xxhash64(pmod(col("id"), lit(storeN))).as("h"))
+        val scanHits = timed(s"fpserve_scan_$storeN")(
+          IngestFingerprints.fpProbe(spark, dir, probeFp).count())
+        timed(s"fpserve_bands_build_$storeN")(
+          IngestFingerprints.bandsSave(spark, dir))
+        val bandHits = timed(s"fpserve_point_$storeN")(
+          IngestFingerprints.fpProbe(spark, dir, probeFp).count())
+        require(scanHits == bandHits,
+          s"point-probe paths disagree: scan=$scanHits bands=$bandHits")
+        println(s"""{"op":"fpserve_hits","store":$storeN,"hits":$bandHits}""")
       }
     }
 
@@ -1124,20 +1146,32 @@ object ScaleReport {
     // the total per-batch latency — because cross-store interactions
     // (the two-store refreshByPath class of bug) only surface here.
     if (section("pipeline") && docsOpt.nonEmpty) {
-      import graft.streaming.{IngestFuzzy, IngestPipeline}
+      import graft.streaming.{IngestFuzzy, IngestImages, IngestPipeline}
       import graft.operators.Lexical
       def td(p: String) = java.nio.file.Files.createTempDirectory(p).toString
-      val (sigsP, outP, teleP, idxP, lexP, fzP) = (td("pl_sigs"), td("pl_out"),
-        td("pl_tele"), td("pl_idx"), td("pl_lex"), td("pl_fz"))
+      val (sigsP, outP, teleP, idxP, lexP, fzP, imgP) = (td("pl_sigs"),
+        td("pl_out"), td("pl_tele"), td("pl_idx"), td("pl_lex"), td("pl_fz"),
+        td("pl_img"))
       // the feed is docs ⋈ embeddings — its extent is the SMALLER
       // table (GenData ships fewer vectors than docs), so batch spans
       // must cover feedN, not nDocs (found empirically: nDocs-based
       // spans left batches 2-4 EMPTY at sf1 and read as a kept cliff)
       val feedN = math.min(nDocs, nVecs)
       val seedN = math.max(256L, feedN / 10)
+      // round-13: the FOURTH gate armed — every record carries a real
+      // executor-synthesized PNG payload; ~10 % of records are the
+      // brightness twin of a single earlier record (seed id−5 for
+      // ids ≡ 0 mod 10 — pair groups, never a hot hash), so the image
+      // gate does real dropping work at every scale
+      val mkPng = org.apache.spark.sql.functions.udf((id: Long) => {
+        val seed = if (id % 10 == 0) id - 5 else id
+        graft.operators.Multimodal.pngPatternBytes(
+          seed, (id % 5).toInt * 3, 32, 24)
+      })
       val feed = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .selectExpr("doc_id", "text", "embedding",
           "substring(text, 1, 32) AS key")
+        .withColumn("image", mkPng(col("doc_id")))
       // index/lex/fuzzy seeded from the first tenth (the pairmine
       // convention); sig store starts empty — seed docs are exempt
       // from the content gate but present in both serving stores
@@ -1151,6 +1185,17 @@ object ScaleReport {
         Lexical.lexSave(spark, seed.selectExpr("doc_id", "text"), lexP)
         IngestFuzzy.fuzzySave(spark,
           seed.selectExpr("doc_id AS id", "key AS s"), fzP, 3)
+        // fingerprint store starts empty (seed docs are exempt from
+        // every gate); the banding layout is fixed here
+        IngestImages.dhashSave(spark,
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.LongType)))),
+          imgP, maxHamming = 2)
         seedN
       }
       val nBatches = 5
@@ -1175,7 +1220,7 @@ object ScaleReport {
         val t0 = System.nanoTime()
         val kept = IngestPipeline.processBatch(batch, b.toLong, sigsP, outP,
           idxP, teleP, 0.5, lexPath = Some(lexP), fuzzyStorePath = Some(fzP),
-          timings = Some(m))
+          imageStorePath = Some(imgP), timings = Some(m))
         val sec = (System.nanoTime() - t0) / 1e9
         release()
         val stages = m.toSeq.sortBy(_._1)
@@ -1185,7 +1230,12 @@ object ScaleReport {
       val (nOut, nLex, nFz) = (spark.read.parquet(outP).count(),
         spark.read.parquet(s"$lexP/docstats").count(),
         spark.read.parquet(s"$fzP/keys").count())
-      println(s"""{"op":"pipeline_total","out":$nOut,"lex_docs":$nLex,"fuzzy_keys":$nFz,"feed":$feedN}""")
+      // cross-store consistency incl. the fingerprint store: every
+      // kept record past the seed carries exactly one decodable PNG →
+      // kept == fingerprints must hold (the kept == indexed law
+      // extended to the fourth store)
+      val nImg = spark.read.parquet(s"$imgP/hashes").count()
+      println(s"""{"op":"pipeline_total","out":$nOut,"lex_docs":$nLex,"fuzzy_keys":$nFz,"img_fps":$nImg,"feed":$feedN}""")
     }
 
     // The auto-split defense for the in-batch quadratic (round-10):

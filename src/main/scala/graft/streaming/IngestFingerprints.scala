@@ -29,8 +29,12 @@ import graft.operators.{Dedup, Multimodal}
   * is the corpus and must STREAM from parquet with no shuffle at any
   * size, so the batch-side band rows are broadcast EXPLICITLY — static
   * size estimates on persisted batch frames can't be trusted with that
-  * decision, and micro-batch sizing (~10⁴ records) keeps the broadcast
-  * a few MB. Per-batch cost is O(store scan + batch × matching band
+  * decision. Broadcast volume is bounded in PARTS, not records
+  * (`gateBatch(maxBandRows)`): batches whose fps rows × C(d+bc, bc)
+  * band rows exceed the bound auto-split into id-ordered slices with
+  * bit-identical output, so even a long-clip video batch never
+  * broadcasts more than a few tens of MB. Per-batch cost is O(store
+  * scan + batch × matching band
   * keys); nothing store-sized is ever shuffled or exploded into a
   * shuffle. Banding is the SimHash pigeonhole (exact recall at the
   * radius, per aligned part).
@@ -120,8 +124,8 @@ object IngestFingerprints {
   /** Run one micro-batch of the gate: survivors append to `outPath`,
     * their fingerprints to the store. Returns kept rows. */
   def processBatch(batch: DataFrame, storePath: String, outPath: String,
-                   fps: DataFrame): Long = {
-    val (kept, keptFps, release) = gateBatch(batch, storePath, fps)
+                   fps: DataFrame, maxBandRows: Long = 1L << 21): Long = {
+    val (kept, keptFps, release) = gateBatch(batch, storePath, fps, maxBandRows)
     val nKept = kept.count()
     // refreshByPath order: the out write consumes the store-reading
     // frame first, the store grows last
@@ -134,36 +138,200 @@ object IngestFingerprints {
   /** Append already-gated fingerprints (id, p, h) to the store — each
     * id's parts complete in the frame. Public so a composed pipeline
     * can gate, fan out its sinks, and grow this store in the
-    * refreshByPath-safe slot. */
+    * refreshByPath-safe slot. If the optional bands/ serving index
+    * exists (`bandsSave`), the batch's band rows append there too —
+    * O(batch × C(d+bc, bc)) rows — so point probes never serve stale
+    * results; replay duplicates collapse in `fpProbe`'s distinct. */
   def appendFps(spark: SparkSession, storePath: String,
                 fps: DataFrame): Unit = {
-    meta(spark, storePath) // layout must exist; validates the store
-    withNp(fps).write.mode("append").parquet(s"$storePath/hashes")
+    val (d, bc) = meta(spark, storePath)
+    val np = withNp(fps).persist(StorageLevel.MEMORY_AND_DISK)
+    np.count()
+    np.write.mode("append").parquet(s"$storePath/hashes")
+    if (exists(spark, s"$storePath/bands")) {
+      val nB = graft.core.Stores.readGeometry(spark, s"$storePath/bands")
+        .getOrElse(throw new IllegalStateException(
+          s"$storePath/bands has no stamped geometry"))
+      Dedup.hammingBandRows(np, 64, d, bc, carry = Seq("p", "np"),
+          hint = false)
+        .withColumn("bb", bbCol(nB))
+        .repartition(col("bb"))
+        .write.mode("append").partitionBy("bb").parquet(s"$storePath/bands")
+    }
+    np.unpersist(blocking = false)
   }
+
+  // bands/ partition column: the band-key bucket a point probe prunes
+  // by — a pure function of (band, bkey) and the stamped geometry
+  private def bbCol(nBuckets: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(col("band"), col("bkey")),
+      org.apache.spark.sql.functions.lit(nBuckets.toLong)).cast("int")
+
+  /** Materialize the OPTIONAL bands/ serving index: every store
+    * fingerprint's C(d+bc, bc) band rows, partitioned by the band-key
+    * bucket, geometry stamped inside the dir (the atomic-cutover
+    * rule). This is the round-12 "derive-don't-materialize" verdict's
+    * OTHER regime: for INGEST-sized batches (10⁴ records) the batch's
+    * band keys cover every bucket and the 20× row blowup buys nothing
+    * over the columnar hashes/ scan — the gate never reads bands/.
+    * A POINT probe (a handful of records = tens of band keys) is the
+    * opposite case: it reads only its own band buckets via named-dir
+    * `Stores.bucketRead`, turning an O(store) scan + explode into an
+    * O(store/nBuckets × keys) pruned read (SCALE.md round-13 fpserve:
+    * 11–18× at 5–20 M fingerprints, flat vs store size at fixed
+    * geometry density). Rebuildable at any time from hashes/; appends
+    * keep it consistent (`appendFps`). Sized like every bucketed
+    * store: corpus-proportional (`targetRowsPerBucket` of band rows).
+    * Crash safety is by DERIVATION, not swap discipline: a crash
+    * between the clear and the promote leaves bands/ absent and
+    * `fpProbe` falls back to the hashes/-derived scan — bit-equal
+    * results, never a wrong answer; rerun to restore the fast path.
+    * Run offline, never concurrently with ingest. */
+  def bandsSave(spark: SparkSession, storePath: String,
+                targetRowsPerBucket: Long = 1000000L): Long = {
+    val (d, bc) = meta(spark, storePath)
+    require(targetRowsPerBucket > 0, "positive sizing")
+    val hashes = spark.read.parquet(s"$storePath/hashes")
+    val bandFactor = (0 until (d + bc)).combinations(bc).size.toLong
+    val totalBands = hashes.count() * bandFactor
+    val nB = math.max(1L,
+      (totalBands + targetRowsPerBucket - 1) / targetRowsPerBucket).toInt
+    val tmp = s"$storePath/bands.rebal"
+    Dedup.hammingBandRows(hashes, 64, d, bc, carry = Seq("p", "np"),
+        hint = false)
+      .withColumn("bb", bbCol(nB))
+      .repartition(col("bb"))
+      .write.mode("overwrite").partitionBy("bb").parquet(tmp)
+    graft.core.Stores.stampGeometry(spark, tmp, nB)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/bands")
+    if (fs.exists(p)) require(fs.delete(p, true), s"could not clear $p")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"rename $tmp -> $p failed")
+    totalBands
+  }
+
+  /** SERVING point lookup: the store records matching each probe
+    * record under the gate's predicate (same part count, every aligned
+    * part within the radius) — (id, oid) pairs, id = probe, oid =
+    * store. Uses the bands/ index when present (pruned named-dir read
+    * of only the probe's band buckets — the paying shape for a
+    * handful of records); falls back to deriving band rows from the
+    * full hashes/ scan (bit-equal results, IngestFingerprintsSpec
+    * pin). `fps` is the caller-computed probe fingerprint frame
+    * (id, p, h), parts complete per id. */
+  def fpProbe(spark: SparkSession, storePath: String,
+              fps: DataFrame): DataFrame = {
+    val (d, bc) = meta(spark, storePath)
+    val bh = withNp(fps)
+    val bandB = Dedup.hammingBandRows(bh, 64, d, bc,
+      carry = Seq("p", "np"), hint = false)
+    val bandS =
+      if (exists(spark, s"$storePath/bands")) {
+        val nB = graft.core.Stores.readGeometry(spark, s"$storePath/bands")
+          .getOrElse(throw new IllegalStateException(
+            s"$storePath/bands has no stamped geometry"))
+        val buckets = bandB.select(bbCol(nB).as("bb")).distinct()
+          .collect().map(_.getInt(0))
+        val all = graft.core.Stores.bucketRead(
+          spark, s"$storePath/bands", "bb", buckets.toIndexedSeq, nB)
+        (if (buckets.length < nB)
+           all.where(col("bb").isin(buckets.map(Integer.valueOf): _*))
+         else all).drop("bb")
+      } else if (exists(spark, s"$storePath/hashes"))
+        Dedup.hammingBandRows(spark.read.parquet(s"$storePath/hashes"),
+          64, d, bc, carry = Seq("p", "np"), hint = false)
+      else bandB.limit(0)
+    matchPairs(broadcast(bandB).as("x").join(bandS.as("y"), alignOn,
+      "inner"), d)
+  }
+
+  // matched (x, y, p) triples → (id, oid) pairs where EVERY aligned
+  // part of x matched y (the gate predicate, keeping the partner)
+  private def matchPairs(joined: DataFrame, d: Int): DataFrame =
+    joined.where(bit_count(col("x.h").bitwiseXOR(col("y.h"))) <= d)
+      .select(col("x.id").as("id"), col("y.id").as("oid"),
+        col("x.p").as("p"), col("x.np").as("np"))
+      .groupBy("id", "oid", "np")
+      .agg(countDistinct(col("p")).as("m"))
+      .where(col("m") === col("np"))
+      .select("id", "oid").distinct()
 
   /** The gate half: (kept rows with ALL input columns, survivors'
     * fingerprint rows (id, p, h), release hook). Nothing is written.
     * `fps` is the caller-computed fingerprint frame for THIS batch
-    * ((id, p, h), ids = doc_id values, parts complete per id). */
-  def gateBatch(batch: DataFrame, storePath: String, fps: DataFrame)
+    * ((id, p, h), ids = doc_id values, parts complete per id).
+    *
+    * Micro-batch sizing is in PARTS, not records: the broadcast probe
+    * side is fps rows × C(d+bc, bc) band rows, so a 10⁴-clip video
+    * batch of long clips (100+ frames × 20 bands) would broadcast
+    * tens of millions of rows and blow the explicit-broadcast limits
+    * with record-based sizing. Batches whose band-row volume exceeds
+    * `maxBandRows` are AUTO-SPLIT into id-ordered slices (ids never
+    * split — the all-parts predicate needs a record whole) and folded
+    * serially: each slice probes the store PLUS every earlier slice's
+    * fingerprint rows (ALL of them — the conservative first-wins
+    * cascade, the IngestFuzzy slice rule), which is exactly the
+    * unsplit gate's decision for every id, so the output is
+    * bit-identical at any `maxBandRows` (IngestFingerprintsSpec
+    * parity pin) and every broadcast stays bounded. */
+  def gateBatch(batch: DataFrame, storePath: String, fps: DataFrame,
+                maxBandRows: Long = 1L << 21)
       : (DataFrame, DataFrame, () => Unit) = {
+    require(maxBandRows >= 1, "maxBandRows must be >= 1")
     val spark = batch.sparkSession
     val (d, bc) = meta(spark, storePath)
+    // C(d+bc, bc): band rows per fingerprint row
+    val bandFactor = (0 until (d + bc)).combinations(bc).size.toLong
     val bh = withNp(fps).persist(StorageLevel.MEMORY_AND_DISK)
-    bh.count()
+    val nParts = bh.count()
     val store =
       if (exists(spark, s"$storePath/hashes"))
         spark.read.parquet(s"$storePath/hashes")
       else bh.limit(0)
-    val dropsStore = storeProbe(bh, store, d, bc)
-    // vs smaller-id batch rows: the conservative first-wins cascade
-    // (a dropped smaller-id record still drops its neighbors — the
-    // IngestFuzzy batch rule, which is what makes slice folds exact)
-    val bandB = Dedup.hammingBandRows(bh, 64, d, bc,
-      carry = Seq("p", "np"), hint = false)
-    val dropsBatch = dropIds(bandB.as("x")
-      .join(bandB.as("y"), alignOn && col("y.id") < col("x.id"), "inner"), d)
-    val drops = dropsStore.unionByName(dropsBatch).distinct()
+    // id-ordered part-bounded slices (one slice in the common case)
+    val sliceFrames: Seq[DataFrame] =
+      if (nParts * bandFactor <= maxBandRows) Seq(bh)
+      else {
+        val maxParts = (maxBandRows / bandFactor) max 1L
+        // per-id part counts are batch-bounded — greedy driver-side
+        // packing into contiguous id ranges
+        val idParts = bh.select("id", "np").distinct()
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+        val startIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var acc = 0L
+        for ((id, np) <- idParts) {
+          if (startIds.isEmpty || acc + np > maxParts) {
+            startIds += id; acc = 0L
+          }
+          acc += np
+        }
+        val bounds = startIds.toSeq :+ Long.MaxValue
+        bounds.sliding(2).map { case Seq(lo, hi) =>
+          bh.where(col("id") >= lit(lo) &&
+            (if (hi == Long.MaxValue) lit(true) else col("id") < lit(hi)))
+        }.toSeq
+      }
+    // fold: slice i probes store + all earlier slices' rows (smaller
+    // ids by construction), then its own smaller-id rows in-slice —
+    // the union of the two is the unsplit gate's predicate exactly
+    var prior: DataFrame = null
+    val dropFrames = sliceFrames.map { bhI =>
+      val storeSide = if (prior == null) store else store.unionByName(prior)
+      val dropsStore = storeProbe(bhI, storeSide, d, bc)
+      // vs smaller-id batch rows: the conservative first-wins cascade
+      // (a dropped smaller-id record still drops its neighbors — the
+      // IngestFuzzy batch rule, which is what makes slice folds exact)
+      val bandB = Dedup.hammingBandRows(bhI, 64, d, bc,
+        carry = Seq("p", "np"), hint = false)
+      val dropsBatch = dropIds(bandB.as("x")
+        .join(bandB.as("y"), alignOn && col("y.id") < col("x.id"), "inner"), d)
+      prior = if (prior == null) bhI else prior.unionByName(bhI)
+      dropsStore.unionByName(dropsBatch)
+    }
+    val drops = dropFrames.reduce(_.unionByName(_)).distinct()
       .withColumnRenamed("id", "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     drops.count()
@@ -204,13 +372,7 @@ object IngestFingerprints {
   // matched-part count against some single y reaches x's part count;
   // the aggregate runs on CANDIDATES only, never anything store-sized
   private def dropIds(joined: DataFrame, d: Int): DataFrame =
-    joined.where(bit_count(col("x.h").bitwiseXOR(col("y.h"))) <= d)
-      .select(col("x.id").as("id"), col("y.id").as("oid"),
-        col("x.p").as("p"), col("x.np").as("np"))
-      .groupBy("id", "oid", "np")
-      .agg(countDistinct(col("p")).as("m"))
-      .where(col("m") === col("np"))
-      .select("id").distinct()
+    matchPairs(joined, d).select("id").distinct()
 
   /** Start the streaming gate: `docs` carries doc_id + the payload
     * column(s) `fpFn` reads; pre-seed the store with `fpSave` (possibly
@@ -231,15 +393,24 @@ object IngestFingerprints {
   def compactKept(spark: SparkSession, outPath: String): Long =
     graft.core.Stores.rewriteDeduped(spark, outPath, Seq("doc_id"))
 
-  def compactStore(spark: SparkSession, storePath: String): Long =
+  def compactStore(spark: SparkSession, storePath: String): Long = {
+    if (exists(spark, s"$storePath/bands"))
+      graft.core.Stores.rewriteDeduped(spark, s"$storePath/bands",
+        Seq("id", "p", "band"), partitionCols = Seq("bb"))
     graft.core.Stores.rewriteDeduped(spark, s"$storePath/hashes",
       Seq("id", "p"))
+  }
 
-  // committed DATA files, not just _SUCCESS (the IngestFuzzy rule)
+  // committed DATA files, recursing one level (the round-12 rule:
+  // partitioned stores like bands/ keep them under partition dirs)
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.endsWith(".parquet"))
+    def hasData(q: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(q).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && depth > 0 && hasData(st.getPath, depth - 1))
+      }
+    fs.exists(p) && hasData(p, 1)
   }
 }

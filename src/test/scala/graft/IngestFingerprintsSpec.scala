@@ -106,6 +106,72 @@ class IngestFingerprintsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/hashes").count() == 4L)
   }
 
+  test("parts-bounded auto-split: a tiny maxBandRows folds slices with bit-identical gate decisions") {
+    val (store, out) = (tmp("fp_split_store"), tmp("fp_split_out"))
+    IngestFingerprints.fpSave(spark,
+      Seq.empty[(Long, Int, Long)].toDF("id", "p", "h"), store, maxHamming = 2)
+    val seedB = videoRows((1L, Seq(0L, 1L, 2L), 0))
+    IngestFingerprints.processBatch(seedB, store, out,
+      IngestFingerprints.videoFps(seedB))
+    val batch = videoRows(
+      (10L, Seq(0L, 1L, 2L), 25), // brightness twin of stored 1 → drop
+      (11L, Seq(3L, 4L), 0),      // novel → keep
+      (12L, Seq(3L, 4L), 30),     // twin of 11, later slice → drop
+      (13L, Seq(5L), 0),          // novel single-frame → keep
+      (14L, Seq(3L, 4L, 9L), 0),  // part-count mismatch with 11 → keep
+      (15L, Seq(5L), 10))         // twin of 13 → drop
+    val fps = IngestFingerprints.videoFps(batch)
+    def run(maxBandRows: Long): (Set[Long], Set[(Long, Int, Long)]) = {
+      val (k, f, rel) =
+        IngestFingerprints.gateBatch(batch, store, fps, maxBandRows)
+      val kept = k.select("doc_id").collect().map(_.getLong(0)).toSet
+      val fpRows = f.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      rel()
+      (kept, fpRows)
+    }
+    val (kept1, fps1) = run(1L << 21) // single slice (the default)
+    // maxBandRows = 1 → every id folds as its own slice (ids are
+    // never split across slices; the all-parts predicate needs a
+    // record whole)
+    val (kept2, fps2) = run(1L)
+    assert(kept1 == Set(11L, 13L, 14L))
+    assert(kept2 == kept1 && fps2 == fps1)
+  }
+
+  test("fpProbe serving: bands/ index equals the scan-derived probe, appends keep it fresh, point probes prune") {
+    val store = tmp("fp_serve_store")
+    IngestFingerprints.fpSave(spark,
+      (0L until 200L).map(i => (i, 0, i * 0x9e3779b97f4a7c15L))
+        .toDF("id", "p", "h"), store, maxHamming = 2)
+    val probe = Seq((1000L, 0, 7L * 0x9e3779b97f4a7c15L), // twin of id 7
+      (1001L, 0, 0x123456789abcdefL)).toDF("id", "p", "h")
+    def pairs() = IngestFingerprints.fpProbe(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scanP = pairs() // no bands/ yet: the hashes/-derived fallback
+    assert(scanP.contains((1000L, 7L)))
+    IngestFingerprints.bandsSave(spark, store, targetRowsPerBucket = 100)
+    assert(pairs() == scanP, "bands/ path diverged from the scan path")
+    // appends ride into bands/: a new fingerprint serves immediately
+    IngestFingerprints.appendFps(spark, store,
+      Seq((500L, 0, 0x123456789abcdefL)).toDF("id", "p", "h"))
+    val after = pairs()
+    assert(after.contains((1001L, 500L)) &&
+      (after -- scanP) == Set((1001L, 500L)))
+    // the point probe reads named bucket dirs, never the whole tree:
+    // one record = ≤ 20 band keys → ≤ 20 of the 40 bucket partitions
+    val one = Seq((2000L, 0, 11L * 0x9e3779b97f4a7c15L)).toDF("id", "p", "h")
+    val plan = IngestFingerprints.fpProbe(spark, store, one)
+      .queryExecution.sparkPlan
+    val scans = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("bands")) => s
+    }
+    assert(scans.nonEmpty, "point probe lost the bands/ read")
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 20),
+      "point probe read more bucket partitions than its band keys")
+  }
+
   test("store probe plan: the batch side broadcasts, store band rows never shuffle") {
     // the corpus-scale side of the probe is hashes/; it must stream
     // straight from parquet into the join — the batch band rows carry
