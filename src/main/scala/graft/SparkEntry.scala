@@ -308,6 +308,31 @@ object SparkEntry {
       rel()
       s.read.parquet(s"$dir/result").orderBy("doc_id")
     }),
+    // the SERVING face of the fingerprint store, end-to-end (round
+    // 13): fpSave 20 pattern images, materialize the bands/ point
+    // index (bandsSave), then fpProbe a 5-image probe — three
+    // brightness twins of store images and two novel patterns. The
+    // result is the (probe, store) match pairs under the gate
+    // predicate, which the oracle replays as the q187 closed-form
+    // dHash pairs at hamming ≤ 2 (bright cancels)
+    "q199_fp_point_probe" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q199_fp").toString
+      val store = Multimodal.patternImages(s,
+        (0L until 20L).map(i => (i, i, 0)), 36, 32)
+        .toDF().selectExpr("media_id AS doc_id", "content AS image")
+      graft.streaming.IngestFingerprints.fpSave(s,
+        graft.streaming.IngestFingerprints.imageFps(store), dir,
+        maxHamming = 2)
+      graft.streaming.IngestFingerprints.bandsSave(s, dir,
+        targetRowsPerBucket = 50)
+      val probe = Multimodal.patternImages(s,
+        Seq((100L, 3L, 40), (101L, 7L, 25), (102L, 500L, 0),
+          (103L, 11L, 10), (104L, 501L, 0)), 36, 32)
+        .toDF().selectExpr("media_id AS doc_id", "content AS image")
+      graft.streaming.IngestFingerprints.fpProbe(s, dir,
+        graft.streaming.IngestFingerprints.imageFps(probe))
+        .orderBy("id", "oid")
+    }),
     // the MULTI-PART face of the same gate: per-frame video dHashes,
     // drop iff SAME frame count and EVERY aligned frame within the
     // radius — a full brightness twin drops, a one-tampered-frame clip
@@ -2667,6 +2692,33 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM ham
                         WHERE ham.ib = b.id AND ham.hm <= 2)
       ORDER BY doc_id""",
+    // the serving probe: (probe, store) pairs at closed-form dHash
+    // hamming ≤ 2 — probe ids are all > store ids so ia/ib orient
+    "q199_fp_point_probe" -> """
+      WITH pr AS (SELECT * FROM (VALUES (100, 3), (101, 7), (102, 500),
+                                        (103, 11), (104, 501)) v(id, seed)),
+      imgs AS (
+        SELECT i AS id, i AS seed FROM range(0, 20) t(i)
+        UNION ALL SELECT id, seed FROM pr),
+      cells AS (
+        SELECT id, x, y,
+          ((instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(CAST(seed AS VARCHAR) || ':'
+              || CAST(x*4 AS VARCHAR) || ':' || CAST(y*4 AS VARCHAR)), 2, 1)) - 1)) % 200 AS v
+        FROM imgs, range(0, 9) tx(x), range(0, 8) ty(y)),
+      bits AS (
+        SELECT c.id, c.y, c.x, CASE WHEN c.v > n.v THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN cells n ON n.id = c.id AND n.y = c.y AND n.x = c.x + 1
+        WHERE c.x < 8),
+      ham AS (
+        SELECT p.id AS ia, q.id AS ib,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hm
+        FROM bits p JOIN bits q ON p.x = q.x AND p.y = q.y AND p.id < q.id
+        GROUP BY 1, 2)
+      SELECT CAST(ib AS BIGINT) AS id, CAST(ia AS BIGINT) AS oid
+      FROM ham WHERE hm <= 2 AND ia < 20 AND ib >= 100
+      ORDER BY id, oid""",
     // the multi-part rule: matched aligned frames must equal BOTH
     // clips' frame counts — the tampered clip (2 of 3) and the 2-frame
     // prefix (part-count mismatch) survive, full twins drop
