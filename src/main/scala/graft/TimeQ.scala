@@ -21,6 +21,36 @@ object TimeQ {
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // TIMEQ_JOBS=1: per-job attribution — prints every Spark job's wall
+    // time with its call site, so a slow query's seconds map to the
+    // exact action (count/collect/write at file:line) that spent them.
+    // Measurement-only; Bench never sets it.
+    if (sys.env.get("TIMEQ_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val sorted = js.stageInfos.sortBy(_.stageId)
+          val last = sorted.lastOption.map(_.name).getOrElse("?")
+          def graftFrame(si: org.apache.spark.scheduler.StageInfo): Option[String] =
+            si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("TimeQ"))
+              .map(_.trim.stripPrefix("at ").replaceAll("^graft\\.", ""))
+          val site =
+            if (!last.contains("withThreadLocalCaptured"))
+              last + " [" + js.stageInfos.size + " stages]"
+            else sorted.flatMap(graftFrame).distinct
+              .mkString("AQE{", " | ", "} [" + js.stageInfos.size + " stages]")
+          starts.put(js.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (sec >= 0.02)
+              println(f"[job] ${je.jobId}%4d $sec%7.3f s  $site")
+          }
+        }
+      })
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()

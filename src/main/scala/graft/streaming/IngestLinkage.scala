@@ -339,45 +339,63 @@ object IngestLinkage {
     // members stream here too instead of shuffling
     val parentsP = parents.persist(StorageLevel.MEMORY_AND_DISK)
     parentsP.count()
-    val direct = members.select(col("id").as("parent"), col("entity"))
+    // Everything from here to the entity assignment is batch-bounded
+    // (≤ 1 parent row per batch record), so the whole forest resolves
+    // DRIVER-SIDE: the only distributed step that touches store-scale
+    // data is the members⋈parents probe above. The previous shape ran
+    // GraphX CC + a 4-join entity lookup over these same driver-collected
+    // rows — ~2–3 s of Pregel job launches per batch for a graph that
+    // fits in a HashMap (round-13 job profile; same lesson as the
+    // driver-side coarse Lloyd fits).
+    val directRows = members.select(col("id").as("parent"), col("entity"))
       .join(broadcast(parentsP), Seq("parent"))
-      .select("id", "entity")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    direct.count()
-    val edges = parentsP.join(direct.select("id"), Seq("id"), "left_anti")
-      .select("id", "parent").collect() // batch-bounded (≤ 1 row/record)
-    val comp: Map[Long, Long] =
-      if (edges.isEmpty) Map.empty
-      else {
-        val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
-          spark.sparkContext.parallelize(
-            edges.toSeq.map(r => (r.getLong(0), r.getLong(1)))), 1)
-        val cc = g.connectedComponents()
-        val out = cc.vertices.collect().map { case (i, c) => (i: Long, c: Long) }
-        cc.unpersist(blocking = false); g.unpersist(blocking = false)
-        out.toMap
+      .select("id", "entity").collect() // batch-bounded (≤ 1 row/record)
+    // min-merge duplicates exactly like the old groupBy(id).min(entity)
+    // (store members are unique per id outside crash-duplicate windows,
+    // where min is the documented repair-invariant choice)
+    val directMap: Map[Long, Long] = directRows.groupBy(_.getLong(0))
+      .map { case (i, rs) => i -> rs.map(_.getLong(1)).min }
+    val parentArr = parentsP.select("id", "parent").collect()
+    parentsP.unpersist(blocking = false)
+    // in-batch forest: id → parent with parent < id (best-match row per
+    // id_b), ids whose parent resolved via the store excluded — each
+    // chain terminates at its component MINIMUM, which is what GraphX
+    // CC returned here (every edge points strictly downward)
+    val edgeMap: Map[Long, Long] = parentArr.iterator
+      .filterNot(r => directMap.contains(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    (edgeMap.keysIterator ++ edgeMap.valuesIterator).foreach { v =>
+      var path = List.empty[Long]; var cur = v
+      while (!comp.contains(cur) && edgeMap.contains(cur)) {
+        path = cur :: path; cur = edgeMap(cur)
       }
-    val compDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(comp.toSeq.map {
-        case (i, r) => Row(i, r) }, 1),
+      val r = comp.getOrElse(cur, cur)
+      (cur :: path).foreach(u => comp.update(u, r))
+    }
+    // entity per resolved id: direct store hits, then forest vertices
+    // through their root's entity (root in the store keeps its stored
+    // entity, a fresh root founds entity = its own id); ids present in
+    // both min-merge, matching the old union+groupBy(min)
+    val resolved = scala.collection.mutable.HashMap.empty[Long, Long]
+    directMap.foreach { case (i, e) => resolved.update(i, e) }
+    comp.foreach { case (v, r) =>
+      val e = directMap.getOrElse(r, r)
+      resolved.update(v, math.min(resolved.getOrElse(v, Long.MaxValue), e))
+    }
+    val resolvedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(resolved.toSeq.map {
+        case (i, e) => Row(i, e) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("root",
+        org.apache.spark.sql.types.StructField("entity",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val rootEnt = compDf.select(col("root")).distinct()
-      .join(direct.withColumnRenamed("id", "root"), Seq("root"), "left")
-      .select(col("root"), coalesce(col("entity"), col("root")).as("entity"))
-    val viaForest = compDf.join(broadcast(rootEnt), Seq("root"))
-      .select("id", "entity")
     val assign = b0.select(col("id"))
-      .join(direct.unionByName(viaForest)
-        .groupBy("id").agg(min("entity").as("entity")), Seq("id"), "left")
+      .join(broadcast(resolvedDf), Seq("id"), "left")
       .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     assign.count()
-    parentsP.unpersist(blocking = false)
-    direct.unpersist(blocking = false)
     // survivorship: existing golden (seq −1) + assigned records (seq =
     // id) fold through the incremental aggregates; ver advances to the
     // newest record merged so the latest row per entity wins
