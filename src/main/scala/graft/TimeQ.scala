@@ -25,6 +25,23 @@ object TimeQ {
     // time with its call site, so a slow query's seconds map to the
     // exact action (count/collect/write at file:line) that spent them.
     // Measurement-only; Bench never sets it.
+    // TIMEQ_STAGES=1: per-stage attribution with RDD scope (operator)
+    // names — what the opaque AQE stage-materialization jobs actually
+    // run. Measurement-only; Bench never sets it.
+    if (sys.env.get("TIMEQ_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (for (s <- si.submissionTime; c <- si.completionTime)
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          if (dur >= 0.02) {
+            val scopes = si.rddInfos.sortBy(_.id).flatMap(_.scope)
+              .map(_.name).distinct.mkString(" > ")
+            println(f"[stage] ${si.stageId}%4d $dur%7.3f s  n=${si.numTasks}%-4d $scopes")
+          }
+        }
+      })
+    }
     if (sys.env.get("TIMEQ_JOBS").contains("1")) {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

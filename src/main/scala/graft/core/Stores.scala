@@ -47,6 +47,25 @@ object Stores {
       partitionCols)
   }
 
+  /** Keyed repartition for `partitionBy` store writes, with the
+    * partition count PINNED to the session's shuffle width: a bare
+    * `repartition(col)` is fair game for AQE partition coalescing,
+    * which on a small batch merges the shuffle down to ONE task that
+    * then creates every partition dir/file SERIALLY (measured 2.5 s of
+    * a 6.5 s store rebalance at 251 buckets, round 13 — the write was
+    * single-threaded, not the shuffle slow). An explicit count is
+    * user-specified partitioning, exempt from coalescing, and equals
+    * the pre-AQE width this code always assumed; hash partitioning
+    * still lands each key in exactly one task — one file per key,
+    * never tasks × cardinality slivers (the round-8 rule). */
+  def writeLayout(df: org.apache.spark.sql.DataFrame,
+                  cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+    df.repartition(n, cols: _*)
+  }
+
   /** Stamp the bucket-partition geometry INSIDE the data directory it
     * describes (`<dir>/_GEOMETRY`, a tiny text file Spark's file index
     * ignores like `_SUCCESS`). This is what makes a store re-bucket an
@@ -169,7 +188,7 @@ object Stores {
     // matters once stores carry bucket-partition columns)
     val df =
       if (partitionCols.nonEmpty)
-        df0.repartition(partitionCols.map(
+        writeLayout(df0, partitionCols.map(
           org.apache.spark.sql.functions.col): _*)
       else df0
     val w = df.write.mode("overwrite")

@@ -76,7 +76,8 @@ object Lexical {
     require(nBuckets > 0, "nBuckets must be positive")
     val (postings, docstats, stats) = derive(docs, nBuckets, 0L)
     postings
-      .repartition(col("bucket")) // one file per bucket, not per task
+      // one file per bucket, not per task (pinned width — see writeLayout)
+      .transform(graft.core.Stores.writeLayout(_, col("bucket")))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     graft.core.Stores.stampGeometry(spark, s"$path/postings", nBuckets)
     docstats.write.mode("overwrite").parquet(s"$path/docstats")
@@ -109,7 +110,7 @@ object Lexical {
     val nBuckets = postGeom(spark, path)
     val (postings, docstats, stats) = derive(batch, nBuckets, batchId)
     postings
-      .repartition(col("bucket"))
+      .transform(graft.core.Stores.writeLayout(_, col("bucket")))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     if (graft.core.Stores.readGeometry(spark, s"$path/postings").isEmpty)
       graft.core.Stores.stampGeometry(spark, s"$path/postings", nBuckets)
@@ -274,7 +275,8 @@ object Lexical {
     spark.read.parquet(p.toString)
       .withColumn("bucket",
         pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
-      .repartition(col("bucket")) // one file per bucket, not per task
+      // one file per bucket, not per task (pinned width — see writeLayout)
+      .transform(graft.core.Stores.writeLayout(_, col("bucket")))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
     // geometry rides INSIDE the staged dir: the promote rename below
     // swaps data and geometry in one atomic step

@@ -392,7 +392,8 @@ object Similarity {
     // scaling nList to the store, save + first-list cost turned
     // superlinear (the 336 s rebalance measured in the round-8 sf10
     // campaign was mostly this). One balanced shuffle → nList files.
-    index.assigned.repartition(col("list_id")).write.mode("overwrite")
+    graft.core.Stores.writeLayout(index.assigned, col("list_id"))
+      .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/assigned")
   }
 
@@ -452,7 +453,8 @@ object Similarity {
     val fields = spark.read.parquet(s"$path/assigned").schema.fieldNames
     assignToLists(cents, newVecs, sq8 = fields.contains("qc"),
         bin = fields.contains("bc"))
-      .repartition(col("list_id")) // one file per touched list, not per task
+      // one file per touched list, not per task (pinned width)
+      .transform(graft.core.Stores.writeLayout(_, col("list_id")))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
@@ -2301,7 +2303,8 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/books")
     // whole lists per task before the partitioned write (the ivfSave
     // small-files rule: partitions×nList slivers otherwise)
-    index.coded.repartition(col("list_id")).write.mode("overwrite")
+    graft.core.Stores.writeLayout(index.coded, col("list_id"))
+      .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/codes")
   }
 
@@ -2359,7 +2362,8 @@ object Similarity {
         graft.functions.Pq.encode(col("e"), flat, ks, sub).as("codes"),
         explode(graft.functions.NearestLists(
           concat(col("e"), array(lit(1.0d))), aug, ids, dim + 1, 1)).as("list_id"))
-      .repartition(col("list_id")) // one file per touched list
+      // one file per touched list (pinned width)
+      .transform(graft.core.Stores.writeLayout(_, col("list_id")))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
   }
 

@@ -155,7 +155,7 @@ object IngestFingerprints {
       Dedup.hammingBandRows(np, 64, d, bc, carry = Seq("p", "np"),
           hint = false)
         .withColumn("bb", bbCol(nB))
-        .repartition(col("bb"))
+        .transform(graft.core.Stores.writeLayout(_, col("bb")))
         .write.mode("append").partitionBy("bb").parquet(s"$storePath/bands")
     }
     np.unpersist(blocking = false)
@@ -201,7 +201,7 @@ object IngestFingerprints {
     Dedup.hammingBandRows(hashes, 64, d, bc, carry = Seq("p", "np"),
         hint = false)
       .withColumn("bb", bbCol(nB))
-      .repartition(col("bb"))
+      .transform(graft.core.Stores.writeLayout(_, col("bb")))
       .write.mode("overwrite").partitionBy("bb").parquet(tmp)
     graft.core.Stores.stampGeometry(spark, tmp, nB)
     val fs = new org.apache.hadoop.fs.Path(storePath)

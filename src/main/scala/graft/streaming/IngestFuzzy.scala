@@ -113,14 +113,15 @@ object IngestFuzzy {
   private def writeKeys(base: DataFrame, path: String, d: Int,
                         minSeg: Int, mode: String): Unit =
     base.withColumn("sh", shCol(d, minSeg))
-      .repartition(col("sh")) // one file per partition, not per task
+      // one file per partition, not per task (pinned width — see writeLayout)
+      .transform(graft.core.Stores.writeLayout(_, col("sh")))
       .write.mode(mode).partitionBy("sh").parquet(path)
 
   private def writeSegs(baseLen: DataFrame, path: String, d: Int,
                         minSeg: Int, nBuckets: Int, mode: String): Unit =
     Dedup.edIndexSegs(baseLen, d, minSeg, carryS = true)
       .withColumn("sb", sbCol(nBuckets))
-      .repartition(col("sb"))
+      .transform(graft.core.Stores.writeLayout(_, col("sb")))
       .write.mode(mode).partitionBy("sb").parquet(path)
 
   private def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -442,7 +443,7 @@ object IngestFuzzy {
     spark.read.parquet(p.toString)
       .select("lt", "i", "seg", "tid", "s")
       .withColumn("sb", sbCol(nBuckets))
-      .repartition(col("sb"))
+      .transform(graft.core.Stores.writeLayout(_, col("sb")))
       .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
     // geometry rides INSIDE the staged dir: the promote rename below
     // swaps data and geometry in one atomic step

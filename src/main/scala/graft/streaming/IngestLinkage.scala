@@ -449,10 +449,11 @@ object IngestLinkage {
     val (outC, goldC, memC) = (cutM(outRows), cutM(newGolden), cutM(memberRows))
     outC.write.mode("append").parquet(outPath)
     goldC.withColumn("eb", ebCol(ebN))
-      .repartition(col("eb")) // one file per partition, not per task
+      // one file per partition, not per task (pinned width — see writeLayout)
+      .transform(graft.core.Stores.writeLayout(_, col("eb")))
       .write.mode("append").partitionBy("eb").parquet(s"$storePath/entities")
     memC.withColumn("mb", mbCol(mbN))
-      .repartition(col("mb"))
+      .transform(graft.core.Stores.writeLayout(_, col("mb")))
       .write.mode("append").partitionBy("mb").parquet(s"$storePath/members")
     // a first append creates the dirs — stamp the geometry they were
     // cut with so later resolution never depends on meta staying in
@@ -600,7 +601,7 @@ object IngestLinkage {
     val before = spark.read.parquet(path).count()
     spark.read.parquet(path).drop(bCol)
       .withColumn(bCol, newB)
-      .repartition(col(bCol))
+      .transform(graft.core.Stores.writeLayout(_, col(bCol)))
       .write.mode("overwrite").partitionBy(bCol).parquet(tmp.toString)
     graft.core.Stores.stampGeometry(spark, tmp.toString, nBuckets)
     val n = spark.read.parquet(tmp.toString).count()
