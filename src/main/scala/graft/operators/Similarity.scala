@@ -783,6 +783,45 @@ object Similarity {
     * the recall/cost dial: at 20 k semi-structured vectors (78 lists),
     * nProbe 2 = 0.41 recall@10 in 10.5 s, nProbe 8 = 0.88 in 27.7 s
     * (SCALE.md round 6) — size it to the corpus's cluster structure. */
+  /** The corpus-side candidate fan-out join every kNN-join rung runs
+    * (probes ⋈ inverted lists on list_id), parallelism-pinned. Two
+    * ways that join loses its width, both measured: (1) the list
+    * frame dips under the broadcast threshold and the post-join
+    * dot/ADC work strands on the probe side's scan partitions (the
+    * round-7 shuffle_hash pin); (2) the join's OUTPUT is
+    * N·nProbe·clusterRows rows — orders of magnitude above its INPUT
+    * bytes — so AQE, which coalesces on input size and is blind to
+    * fan-out (the skew-split blindness of round 10, in the coalescing
+    * direction), merges the tiny-input shuffle down to a handful of
+    * tasks (n=3–7 task stages carrying ~2 s of the q155/q160
+    * exhaustive dials at sf0.1); parallelism is additionally capped by
+    * list-key cardinality once nList < the shuffle width. When
+    * nList < width, salt: probes key by pmod(xxhash64(qid), S), the
+    * list frame replicates S ways (S = ⌈width/nList⌉ — 1 at scale,
+    * where nList ∝ √N already exceeds any core count, so the at-scale
+    * plan is byte-identical to before), both sides repartition by
+    * (list_id, salt) at the pinned width (user-specified ⇒ exempt
+    * from AQE coalescing), and the join emits the identical pair set
+    * at full parallelism. */
+  private def candJoin(probes: DataFrame, lists: DataFrame,
+                       nList: Int): DataFrame = {
+    val width = probes.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+    val s = math.max(1, (width + nList - 1) / nList)
+    if (s <= 1) probes.join(lists.hint("shuffle_hash"), Seq("list_id"))
+    else {
+      val ps = probes
+        .withColumn("__sl",
+          pmod(xxhash64(col("qid")), lit(s.toLong)).cast("int"))
+        .repartition(width, col("list_id"), col("__sl"))
+      val ls = lists
+        .withColumn("__sl", explode(array((0 until s).map(lit): _*)))
+        .repartition(width, col("list_id"), col("__sl"))
+      ps.join(ls.hint("shuffle_hash"), Seq("list_id", "__sl")).drop("__sl")
+    }
+  }
+
   def knnJoin(emb: DataFrame, k: Int, nProbe: Int = 2,
               targetClusterRows: Long = 256,
               scanFrac: Option[Double] = None,
@@ -839,7 +878,7 @@ object Similarity {
     // parallelism even when the list frame dips under the broadcast
     // threshold (below ~19 k vectors for float lists — measured 2.5×
     // on the packed-PQ rung, same shape)
-    val res = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
+    val res = candJoin(probes, index.assigned, nList)
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
@@ -916,7 +955,7 @@ object Similarity {
     // same corpus-side fan-out shape as knnJoinScoped: int8 lists dip
     // under the broadcast threshold below ~110 k vectors — keep the
     // ADC work at shuffle parallelism
-    val pool = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
+    val pool = candJoin(probes, index.assigned, nList)
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         (Sq8.dot(col("qq"), col("qc")) / (col("qn8") * col("cn"))).as("adc"))
@@ -1028,7 +1067,7 @@ object Similarity {
         index.centroids, probes0)
     // binary lists dip under the broadcast threshold earlier than any
     // other rung (d/8 B/vector) — the shuffle_hash pin matters most here
-    val pool = probes.join(index.assigned.hint("shuffle_hash"), Seq("list_id"))
+    val pool = candJoin(probes, index.assigned, nList)
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         graft.functions.Bin.hamming(col("qb"), col("bc")).as("ham"))
@@ -1139,7 +1178,7 @@ object Similarity {
     val cand = packed
       .withColumn("cd", Pq.decodeBytes(col("pc"), flat, ks, index.sub))
       .withColumn("cnd", sqrt(dot(col("cd"), col("cd"))))
-    val pool = probes.join(cand.hint("shuffle_hash"), Seq("list_id"))
+    val pool = candJoin(probes, cand, nList)
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("qe"), col("qn"), col("vid"),
         (dot(col("qe"), col("cd")) / (col("qn") * col("cnd"))).as("adc"))
@@ -1981,17 +2020,30 @@ object Similarity {
     // its intermediate ProductQuantizers with reduced niter the same
     // way); measured 8.7 s → ~4 s per 16 k-sample fit at equal recall
     val innerIter = math.max(4, maxIter / 3)
+    // per-point work (rotation apply, nearest-centroid reconstruction)
+    // parallelizes across the sample with one array slot per index —
+    // no reduction, so results are BIT-IDENTICAL to the sequential
+    // loop; the B accumulation below stays sequential because its
+    // floating-point sum order is part of the deterministic contract
+    def parTab(n: Int)(f: Int => Array[Double]): Array[Array[Double]] = {
+      val out = new Array[Array[Double]](n)
+      java.util.stream.IntStream.range(0, n).parallel()
+        .forEach(i => out(i) = f(i))
+      out
+    }
     var it = 0
     while (it < iters) {
-      val rot = pts.map(applyA)
+      val rot = parTab(pts.length)(i => applyA(pts(i)))
       books = pqFitBooksLocal(rot, m, kSub, sub,
         if (it < iters - 1) innerIter else maxIter)
       if (it < iters - 1) {
+        val bks = books
+        val xhs = parTab(pts.length)(i => recon(bks, rot(i)))
         val b = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
         var n = 0
         while (n < pts.length) {
           val x = pts(n)
-          val xh = recon(books, rot(n))
+          val xh = xhs(n)
           var i = 0
           while (i < dim) {
             val xi = x(i)
