@@ -129,6 +129,25 @@ object TimeQ {
           exactCanon.unpersist(blocking = false)
           nd.unpersist(blocking = false)
           n
+        case "q161stages" =>
+          // candidate generation vs verify attribution for the
+          // prefix-filter edit join (round-13 single-task stage hunt)
+          import org.apache.spark.sql.functions._
+          val strs = graft.core.Tables.documents(spark, sfDir)
+            .where("doc_id < 2000")
+            .selectExpr("doc_id AS id", "substring(text, 1, 32) AS s")
+          def stage[A](tag: String)(f: => A): A = {
+            val s0 = System.nanoTime(); val r = f
+            println(f"[stage-t] $tag ${(System.nanoTime() - s0) / 1e9}%.2f s"); r
+          }
+          val base = graft.operators.Dedup.edBase(strs)
+          stage("base")(base.count())
+          val cand = graft.operators.Dedup.edPrefixCandidates(base, 4, 3)
+          stage("cand_count")(cand.count())
+          val n = stage("full")(
+            graft.operators.Dedup.editDistancePairs(strs, 4).count())
+          base.unpersist(blocking = false)
+          n
         case _ => SparkEntry.queries(name)(spark, sfDir).count()
       }
       println(f"[time] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

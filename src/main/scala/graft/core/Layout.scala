@@ -27,6 +27,23 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Repartition by `cols` at the session's FULL shuffle width,
+    * pinned: AQE coalesces shuffles on their INPUT bytes and is blind
+    * to downstream fan-out (a blocked candidate join whose output is
+    * orders of magnitude above its input, a fused verify whose per-row
+    * CPU dwarfs its bytes) — measured n=1-task stages carrying 2–3 s
+    * of edit-join verify at sf0.1. An explicit partition count is
+    * user-specified partitioning, exempt from coalescing, and any
+    * downstream operator keyed on a prefix of `cols` reuses the one
+    * exchange. Use where a byte-light frame feeds compute-dense work;
+    * leave byte-proportional stages to AQE. */
+  def pinWidth(df: DataFrame,
+               cols: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+    df.repartition(n, cols: _*)
+  }
+
   /** True when the executed plan contains a shuffle exchange — the
     * assertion hook for co-location tests. Forces execution first so
     * AQE's final plan (where exchanges become ShuffleQueryStage leaves)

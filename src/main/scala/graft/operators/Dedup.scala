@@ -1214,7 +1214,13 @@ object Dedup {
       .select(col("id"), col("len"), expr(s"substring(s, p, $q)").as("g"))
       .groupBy("id", "len", "g").agg(count(lit(1)).as("c"))
     val dfreq = gramCounts.groupBy("g").agg(count(lit(1)).as("df"))
-    val prefix = gramCounts.join(dfreq, Seq("g"))
+    // pin the id-window's exchange at full width: this shuffle's bytes
+    // are tiny (one row per (id, gram)), but the stage FUSED after the
+    // window carries the whole gram self-join fan-out and (in the
+    // calling join) the levenshtein verify — AQE coalesced it to ONE
+    // task at sf0.1 (2.6 s of a 3.9 s query single-threaded)
+    val prefix = graft.core.Layout.pinWidth(
+        gramCounts.join(dfreq, Seq("g")), col("id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df").asc, col("g").asc)))
       .where(col("rn") <= maxDist * q + 1)
