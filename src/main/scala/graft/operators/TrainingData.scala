@@ -207,7 +207,10 @@ object TrainingData {
     * `top_frac` = share of the single most repeated bigram; `keep` is
     * the filter verdict at the given threshold. */
   def repetitionFilter(docs: DataFrame, dupThreshold: Double): DataFrame = {
-    val tok = docs
+    // doc_id exchange taken on the RAW docs (fewer bytes than token
+    // rows) at pinned width; the lead-window reuses it — see docBigrams
+    val tok = graft.core.Layout.pinWidth(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val bi = tok
@@ -637,8 +640,14 @@ object TrainingData {
   def lmQualityScoreScoped(docs: DataFrame,
                            train: DataFrame): (DataFrame, () => Unit) = {
     def docBigrams(df: DataFrame): DataFrame = {
-      val tok = df.select(col("doc_id"),
-        posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      // the lead-window needs a doc_id exchange anyway — take it on the
+      // RAW docs (fewer bytes than the exploded token rows, §2.3
+      // project-early) at pinned width, so tokenization runs post-
+      // shuffle at full parallelism instead of fused into the scan's
+      // split count, and the window reuses the one exchange
+      val tok = graft.core.Layout.pinWidth(
+          df.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
       tok.withColumn("w2",
           lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
         .where(col("w2").isNotNull)
@@ -783,8 +792,11 @@ object TrainingData {
     * on `sh`, so universal boilerplate grams are the skew keys and AQE
     * splits them; nothing is ever pairwise in docs. */
   def sourceOverlap(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("source"),
-      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    // raw-docs doc_id exchange at pinned width (see docBigrams)
+    val tok = graft.core.Layout.pinWidth(
+        docs.select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = (1 until k).foldLeft(tok) { (d, i) =>
       d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
@@ -825,8 +837,11 @@ object TrainingData {
     * `TrainingDataSpec` pins equality with the exact q111 matrix on
     * the driver corpus, plus determinism. */
   def sourceOverlapSketch(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("source"),
-      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    // raw-docs doc_id exchange at pinned width (see docBigrams)
+    val tok = graft.core.Layout.pinWidth(
+        docs.select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(toks(col("text"))).as(Seq("pos", "w")))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = (1 until k).foldLeft(tok) { (d, i) =>
       d.withColumn(s"w$i", lead(col("w"), i).over(wDoc))
@@ -1111,8 +1126,11 @@ object TrainingData {
   def dsirSelectScoped(docs: DataFrame, target: DataFrame, n: Int,
                        hashBuckets: Int = 0): (DataFrame, () => Unit) = {
     def feats(df: DataFrame): DataFrame = {
-      val tok = df.select(col("doc_id"),
-        posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      // raw-docs doc_id exchange at pinned width (see docBigrams)
+      val tok = graft.core.Layout.pinWidth(
+          df.select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "w")))
       tok.withColumn("w2",
           lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
         .where(col("w2").isNotNull)
