@@ -602,7 +602,12 @@ object SparkEntry {
       val e = embeddings(s, d)
       val vdir = java.nio.file.Files.createTempDirectory("q167_vec").toString
       val ldir = java.nio.file.Files.createTempDirectory("q167_lex").toString
-      val idx = Similarity.ivfBuild(e.where("vec_id >= 5"), 16)
+      // sample-fit coarse quantizer (round-8 driver-Lloyd): the fusion
+      // searches with nProbe = nList (every list probed), so the result
+      // is fit-INVARIANT — same hash-green rows, none of the MLlib
+      // KMeans job-launch overhead (round-13 job profile: takeSample/
+      // collectAsMap job storm inside a store-lifecycle query)
+      val idx = Similarity.ivfBuild(e.where("vec_id >= 5"), 16, sampleFit = true)
       Similarity.ivfSave(idx, vdir)
       idx.release()
       Lexical.lexSave(s, documents(s, d).where("doc_id >= 5"), ldir)

@@ -338,7 +338,7 @@ object IngestLinkage {
     // the small side where the old left-outer shape could not, so
     // members stream here too instead of shuffling
     val parentsP = parents.persist(StorageLevel.MEMORY_AND_DISK)
-    parentsP.count()
+    // (materialized by the directRows collect below — no separate count)
     // Everything from here to the entity assignment is batch-bounded
     // (≤ 1 parent row per batch record), so the whole forest resolves
     // DRIVER-SIDE: the only distributed step that touches store-scale
@@ -437,22 +437,26 @@ object IngestLinkage {
       assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
     val memberRows = touched.select((col("id") +: col("block") +:
       fields.map(col) :+ col("entity")): _*)
-    // materialize + lineage-cut every append frame BEFORE the first
-    // write (refreshByPath: an append would silently re-execute any
-    // later frame whose lineage reads the grown path), then append with
-    // the store every later batch probes (members/) last
+    // refreshByPath ordering: only newGolden's lineage still READS a
+    // store being appended (entities/, via goldenAll) — it alone needs
+    // the materialize + lineage-cut before the first write. outRows and
+    // memberRows derive from batch ⋈ assign, and assign's lineage is
+    // b0 ⋈ a driver-local frame since the driver-side forest resolve
+    // (round 13) — no store read anywhere, so they write directly.
+    // Appends still run out → entities → members (the store every later
+    // batch probes grows last).
     val holds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cutM(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); holds += p
       spark.createDataFrame(p.rdd, p.schema)
     }
-    val (outC, goldC, memC) = (cutM(outRows), cutM(newGolden), cutM(memberRows))
-    outC.write.mode("append").parquet(outPath)
+    val goldC = cutM(newGolden)
+    outRows.write.mode("append").parquet(outPath)
     goldC.withColumn("eb", ebCol(ebN))
       // one file per partition, not per task (pinned width — see writeLayout)
       .transform(graft.core.Stores.writeLayout(_, col("eb")))
       .write.mode("append").partitionBy("eb").parquet(s"$storePath/entities")
-    memC.withColumn("mb", mbCol(mbN))
+    memberRows.withColumn("mb", mbCol(mbN))
       .transform(graft.core.Stores.writeLayout(_, col("mb")))
       .write.mode("append").partitionBy("mb").parquet(s"$storePath/members")
     // a first append creates the dirs — stamp the geometry they were
