@@ -320,8 +320,18 @@ object IngestLinkage {
     val storePairs = Linkage.fieldAgreements(members, broadcast(b0), cfg.rules)
       .withColumn("score", score.cast("int"))
       .where(col("score") >= cfg.threshold)
-    val batchPairs = Linkage.fieldAgreementsAuto(b0, b0, cfg.rules,
+    // auto-salt's per-block count pass only matters once SOME block
+    // could cross the target; when the whole batch bounds every block
+    // (n² ≤ target) hotBlocks is empty by construction and the plain
+    // blocked join is output-identical — skip the two count aggregates
+    // (micro-batches at the ~10⁴ sizing discipline always take this
+    // path; corpus-fraction backfills keep the auto dial)
+    val batchSelf =
+      if (n <= math.sqrt(inBatchTargetPairs.toDouble).toLong)
+        Linkage.fieldAgreements(b0, b0, cfg.rules)
+      else Linkage.fieldAgreementsAuto(b0, b0, cfg.rules,
         inBatchTargetPairs, inBatchMaxSalt)
+    val batchPairs = batchSelf
       .withColumn("score", score.cast("int"))
       .where(col("score") >= cfg.threshold && col("id_a") < col("id_b"))
     val parents = storePairs.unionByName(batchPairs)
