@@ -1378,7 +1378,10 @@ object Dedup {
     * the threshold, so the kept distances are exact. */
   private def edVerify(base: DataFrame, cand: DataFrame,
                        maxDist: Int): DataFrame =
-    cand.distinct()
+    // width-pinned distinct: the dedup agg and the fused base-join +
+    // levenshtein stage after it are byte-light but compute-dense —
+    // the AQE coalescing trap (round 13)
+    graft.core.Layout.pinWidth(cand, col("id_a"), col("id_b")).distinct()
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
@@ -1449,7 +1452,8 @@ object Dedup {
       .join(storeBase.where(col("len") < shortCut + d)
         .select(col("id").as("tid"), col("len").as("k")), Seq("k"))
       .select(col("pid"), col("tid"))
-    segCand.unionByName(bandCand).distinct()
+    graft.core.Layout.pinWidth(
+        segCand.unionByName(bandCand), col("pid"), col("tid")).distinct()
       .join(batchBase.select(col("id").as("pid"), col("s").as("s_b")), Seq("pid"))
       .join(storeBase.select(col("id").as("tid"), col("s").as("s_a"))
         .hint("shuffle_hash"), Seq("tid"))
@@ -1494,7 +1498,8 @@ object Dedup {
         .select(col("id").as("tid"), col("len").as("k"), col("s").as("s_a")),
         Seq("k"))
       .select(col("pid"), col("tid"), col("s_a"))
-    segCand.unionByName(bandCand).distinct()
+    graft.core.Layout.pinWidth(
+        segCand.unionByName(bandCand), col("pid"), col("tid")).distinct()
       .join(batchBase.select(col("id").as("pid"), col("s").as("s_b")),
         Seq("pid"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
