@@ -93,8 +93,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // "cpus"/"reps" are ADDITIVE keys (the driver parses by key): the
+    // round-13 scaling probe flagged suspect_cpus_ignored against a
+    // bench that honors the dial (master + shuffle width both derive
+    // from SPARK_GRAFT_CPUS above) because the JSON never said what it
+    // ran with — emit it so "honored but overhead-bound at sf0.1" is
+    // distinguishable from "ignored".
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver tail-captures ~2 KB of stdout; the full 115-query map
     // overflows it and truncates the line head, so the parse fails
@@ -108,7 +114,7 @@ object Bench {
     val worst = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"cpus":$cpus,"reps":$reps,"worst":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

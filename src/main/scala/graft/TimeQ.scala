@@ -144,8 +144,14 @@ object TimeQ {
           stage("base")(base.count())
           val cand = graft.operators.Dedup.edPrefixCandidates(base, 4, 3)
           stage("cand_count")(cand.count())
-          val n = stage("full")(
-            graft.operators.Dedup.editDistancePairs(strs, 4).count())
+          // scoped + released: the non-scoped form leaks its internal
+          // edBase persist, and CacheManager then substitutes an
+          // InMemoryTableScan into reps 2-3's "full" plan — the stage
+          // timing would stop measuring the plan it attributes
+          val (fullDf, rel) =
+            graft.operators.Dedup.editDistancePairsScoped(strs, 4)
+          val n = stage("full")(fullDf.count())
+          rel()
           base.unpersist(blocking = false)
           n
         case _ => SparkEntry.queries(name)(spark, sfDir).count()
