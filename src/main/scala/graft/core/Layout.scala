@@ -37,12 +37,15 @@ object Layout {
     * downstream operator keyed on a prefix of `cols` reuses the one
     * exchange. Use where a byte-light frame feeds compute-dense work;
     * leave byte-proportional stages to AQE. */
-  def pinWidth(df: DataFrame,
-               cols: org.apache.spark.sql.Column*): DataFrame = {
-    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+  /** The session's shuffle width — the ONE home for its resolution
+    * (Stores.writeLayout and every pin derive from here). */
+  def sessionWidth(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
-    df.repartition(n, cols: _*)
-  }
+
+  def pinWidth(df: DataFrame,
+               cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(sessionWidth(df), cols: _*)
 
   /** True when the executed plan contains a shuffle exchange — the
     * assertion hook for co-location tests. Forces execution first so

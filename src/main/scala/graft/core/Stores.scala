@@ -60,10 +60,57 @@ object Stores {
     * never tasks × cardinality slivers (the round-8 rule). */
   def writeLayout(df: org.apache.spark.sql.DataFrame,
                   cols: org.apache.spark.sql.Column*)
-      : org.apache.spark.sql.DataFrame = {
-    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
-    df.repartition(n, cols: _*)
+      : org.apache.spark.sql.DataFrame =
+    Layout.pinWidth(df, cols: _*) // one home for session-width resolution
+
+  /** `writeLayout` with the partition count capped by the KNOWN key
+    * cardinality (`maxParts` = nBuckets / nList — every bucketed store
+    * knows its geometry driver-side). Hash partitioning puts each key
+    * in exactly one partition, so at most `maxParts` reducers are ever
+    * non-empty: capping to it keeps the identical one-file-per-key
+    * layout and identical active parallelism while dropping the
+    * (width − K) EMPTY task launches a full-width pin pays on every
+    * micro-batch append (round-13 verdict: ~0.2-0.4 s drift on the
+    * tiny-write queries). Full-width `writeLayout` stays the right
+    * call where cardinality is unknown or corpus-scale. */
+  def writeLayout(df: org.apache.spark.sql.DataFrame, maxParts: Int,
+                  cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(
+      math.max(1, math.min(Layout.sessionWidth(df), maxParts)), cols: _*)
+
+  // (dir → (listing stamp, schema, rows)) — see memoRows
+  private val rowMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType,
+             Array[org.apache.spark.sql.Row])]()
+
+  private def listingStamp(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  /** Collect a TINY parquet dir (model meta / rules tables) with a
+    * driver-side memo keyed on the dir's file listing (name:len:mtime —
+    * parquet part names carry a fresh UUID per write, so ANY rewrite
+    * invalidates). Per-micro-batch re-reads of an unchanged meta dir
+    * then cost three filesystem calls instead of 2-3 Spark jobs each
+    * (the round-14 job profile: meta bookkeeping was ~a third of the
+    * per-batch actions in every store gate). Statistics-sized dirs
+    * only — the rows live on the driver for the JVM's lifetime. */
+  def memoRows(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
+    val stamp = listingStamp(spark, dir)
+    val hit = rowMemo.get(dir)
+    if (hit != null && hit._1 == stamp) return (hit._2, hit._3)
+    val df = spark.read.parquet(dir)
+    val rows = df.collect()
+    rowMemo.put(dir, (stamp, df.schema, rows))
+    (df.schema, rows)
   }
 
   /** Stamp the bucket-partition geometry INSIDE the data directory it

@@ -98,7 +98,8 @@ object Lexical {
       s"$path is not a lexSave store (missing meta/)")
     graft.core.Stores.healAside(spark, s"$path/postings")
     graft.core.Stores.readGeometry(spark, s"$path/postings")
-      .getOrElse(spark.read.parquet(s"$path/meta").head().getInt(0))
+      .getOrElse(
+        graft.core.Stores.memoRows(spark, s"$path/meta")._2.head.getInt(0))
   }
 
   /** Append a batch of NEW documents — O(batch), independent of the
@@ -110,7 +111,8 @@ object Lexical {
     val nBuckets = postGeom(spark, path)
     val (postings, docstats, stats) = derive(batch, nBuckets, batchId)
     postings
-      .transform(graft.core.Stores.writeLayout(_, col("bucket")))
+      // append path: partition count capped by the known geometry
+      .transform(graft.core.Stores.writeLayout(_, nBuckets, col("bucket")))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     if (graft.core.Stores.readGeometry(spark, s"$path/postings").isEmpty)
       graft.core.Stores.stampGeometry(spark, s"$path/postings", nBuckets)

@@ -117,7 +117,9 @@ object IngestFingerprints {
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     require(exists(spark, s"$path/meta"),
       s"$path is not an fpSave store (missing meta/)")
-    val r = spark.read.parquet(s"$path/meta").head()
+    // listing-keyed driver memo: a repeat read of an unchanged meta
+    // dir costs no Spark job (the per-batch bookkeeping rule)
+    val r = graft.core.Stores.memoRows(spark, s"$path/meta")._2.head
     (r.getInt(0), r.getInt(1))
   }
 
@@ -155,7 +157,8 @@ object IngestFingerprints {
       Dedup.hammingBandRows(np, 64, d, bc, carry = Seq("p", "np"),
           hint = false)
         .withColumn("bb", bbCol(nB))
-        .transform(graft.core.Stores.writeLayout(_, col("bb")))
+        // append path: partition count capped by the known geometry
+        .transform(graft.core.Stores.writeLayout(_, nB, col("bb")))
         .write.mode("append").partitionBy("bb").parquet(s"$storePath/bands")
     }
     np.unpersist(blocking = false)

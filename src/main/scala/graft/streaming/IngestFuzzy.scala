@@ -113,25 +113,30 @@ object IngestFuzzy {
   private def writeKeys(base: DataFrame, path: String, d: Int,
                         minSeg: Int, mode: String): Unit =
     base.withColumn("sh", shCol(d, minSeg))
-      // one file per partition, not per task (pinned width — see writeLayout)
-      .transform(graft.core.Stores.writeLayout(_, col("sh")))
+      // one file per partition, not per task; sh is a 0/1 flag so at
+      // most 2 reducers are ever non-empty — cap the pin there
+      .transform(graft.core.Stores.writeLayout(_, 2, col("sh")))
       .write.mode(mode).partitionBy("sh").parquet(path)
 
   private def writeSegs(baseLen: DataFrame, path: String, d: Int,
                         minSeg: Int, nBuckets: Int, mode: String): Unit =
     Dedup.edIndexSegs(baseLen, d, minSeg, carryS = true)
       .withColumn("sb", sbCol(nBuckets))
-      .transform(graft.core.Stores.writeLayout(_, col("sb")))
+      // partition count capped by the known geometry (≤ nBuckets
+      // reducers are ever non-empty)
+      .transform(graft.core.Stores.writeLayout(_, nBuckets, col("sb")))
       .write.mode(mode).partitionBy("sb").parquet(path)
 
   private def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
     require(exists(spark, s"$path/meta"),
       s"$path is not a fuzzySave store (missing meta/)")
-    val df = spark.read.parquet(s"$path/meta")
-    require(df.schema.fieldNames.contains("n_buckets"),
+    // listing-keyed driver memo: a repeat read of an unchanged meta
+    // dir costs no Spark job (the per-batch bookkeeping rule)
+    val (schema, rows) = graft.core.Stores.memoRows(spark, s"$path/meta")
+    require(schema.fieldNames.contains("n_buckets"),
       s"$path uses the pre-bucketed fuzzy store layout; recreate it " +
         "with fuzzySave (meta lacks n_buckets)")
-    val r = df.head()
+    val r = rows.head
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 

@@ -165,17 +165,23 @@ object IngestLinkage {
                                       threshold: Int, merge: Seq[MergeRule],
                                       nBuckets: Int)
 
+  // meta/rules/mrules read through the listing-keyed driver memo
+  // (`Stores.memoRows`): rules/mrules are immutable after linkSave and
+  // meta is rewritten only by linkSave/linkRebalance (offline by
+  // contract) — readCfg ran once per micro-batch at ~6 Spark jobs of
+  // 1-row parquet reads each time (round-14 job profile); a repeat
+  // read is now three filesystem listings, no job.
   private[graft] def readCfg(spark: SparkSession, path: String): Cfg = {
     require(exists(spark, s"$path/meta"),
       s"$path is not a linkSave store (missing meta/)")
-    val mdf = spark.read.parquet(s"$path/meta")
-    require(mdf.schema.fieldNames.contains("n_buckets"),
+    val (mschema, mrows) = graft.core.Stores.memoRows(spark, s"$path/meta")
+    require(mschema.fieldNames.contains("n_buckets"),
       s"$path uses the pre-bucketed linkage store layout; recreate it " +
         "with linkSave (meta lacks n_buckets)")
-    val mrow = mdf.head()
+    val mrow = mrows.head
     val threshold = mrow.getInt(0)
     val nBuckets = mrow.getInt(1)
-    val rr = spark.read.parquet(s"$path/rules").collect()
+    val rr = graft.core.Stores.memoRows(spark, s"$path/rules")._2
       .sortBy(_.getInt(0)).toSeq
     val rules = rr.map { r =>
       (r.getString(2) match {
@@ -185,7 +191,7 @@ object IngestLinkage {
       }): FieldRule
     }
     val weights = rr.map(r => r.getString(1) -> (r.getInt(4), r.getInt(5))).toMap
-    val merge = spark.read.parquet(s"$path/mrules").collect()
+    val merge = graft.core.Stores.memoRows(spark, s"$path/mrules")._2
       .sortBy(_.getInt(0)).toSeq.map { m =>
         (m.getString(2) match {
           case "prefa"    => PreferA(m.getString(1))
@@ -278,11 +284,27 @@ object IngestLinkage {
     val spark = batch.sparkSession
     val cfg = readCfg(spark, storePath)
     val fields = cfg.rules.map(_.field)
-    val b0 = batch.select((col("doc_id").cast("long").as("id") +:
+    // ONE persist of the raw batch: the out-append needs the batch's
+    // full row anyway, and persisting the source (instead of only the
+    // b0 projection) keeps the feed's derivation subplan from
+    // re-executing at the outRows write (round-14 job profile: the
+    // feed scan ran twice per micro-batch). b0 stays a projection over
+    // the cache — every later consumer reads cached rows.
+    val batchP = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val b0 = batchP.select((col("doc_id").cast("long").as("id") +:
         col("block") +: dataCols(cfg).map(col)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = b0.count()
-    if (n == 0) { b0.unpersist(blocking = false); return 0L }
+    // per-dir geometry (marker-first): probe bucket ids and append
+    // bucket columns MUST both come from the geometry the dir's data
+    // is actually partitioned by, whatever meta says
+    val mbN = dirGeom(spark, s"$storePath/members", cfg.nBuckets)
+    val ebN = dirGeom(spark, s"$storePath/entities", cfg.nBuckets)
+    // one action where there were two (batch count + bucket collect):
+    // the per-bucket count frame carries both the batch size and the
+    // batch's distinct member-bucket set (statistics-sized, ≤ mbN rows)
+    val mbAgg = b0.groupBy(mbCol(mbN).as("mb"))
+      .agg(count(lit(1)).as("c")).collect()
+    val n = mbAgg.map(_.getLong(1)).sum
+    if (n == 0) { batchP.unpersist(blocking = false); return 0L }
     // the members/ read prunes to the batch's own BLOCK-KEY partitions:
     // the batch's distinct bucket set is batch-bounded (collected
     // driver-side, ≤ min(distinct blocks, nBuckets)), every possible
@@ -290,15 +312,9 @@ object IngestLinkage {
     // join's construction, and a replayed record's own block is in the
     // set — so the pruned frame is probe-complete. A batch covering
     // every bucket skips the filter (graceful full scan, never worse).
-    // per-dir geometry (marker-first): probe bucket ids and append
-    // bucket columns MUST both come from the geometry the dir's data
-    // is actually partitioned by, whatever meta says
-    val mbN = dirGeom(spark, s"$storePath/members", cfg.nBuckets)
-    val ebN = dirGeom(spark, s"$storePath/entities", cfg.nBuckets)
     val members =
       if (exists(spark, s"$storePath/members")) {
-        val buckets = b0.select(mbCol(mbN).as("mb")).distinct()
-          .collect().map(_.getInt(0))
+        val buckets = mbAgg.map(_.getInt(0))
         // direct-path bucket read (the lexBucketRead discipline):
         // never list the unprobed buckets' dirs
         val all = graft.core.Stores.bucketRead(
@@ -348,7 +364,6 @@ object IngestLinkage {
     // the small side where the old left-outer shape could not, so
     // members stream here too instead of shuffling
     val parentsP = parents.persist(StorageLevel.MEMORY_AND_DISK)
-    // (materialized by the directRows collect below — no separate count)
     // Everything from here to the entity assignment is batch-bounded
     // (≤ 1 parent row per batch record), so the whole forest resolves
     // DRIVER-SIDE: the only distributed step that touches store-scale
@@ -357,6 +372,9 @@ object IngestLinkage {
     // rows — ~2–3 s of Pregel job launches per batch for a graph that
     // fits in a HashMap (round-13 job profile; same lesson as the
     // driver-side coarse Lloyd fits).
+    // (a round-14 attempt fused these two collects into one tagged
+    // union — measured MORE jobs, not fewer: AQE jobs track stages,
+    // not executions, and the union added a stage. Two collects stay.)
     val directRows = members.select(col("id").as("parent"), col("entity"))
       .join(broadcast(parentsP), Seq("parent"))
       .select("id", "entity").collect() // batch-bounded (≤ 1 row/record)
@@ -405,7 +423,9 @@ object IngestLinkage {
       .join(broadcast(resolvedDf), Seq("id"), "left")
       .select(col("id"), coalesce(col("entity"), col("id")).as("entity"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    assign.count()
+    // no eager count: assign's lineage is cached-batch ⋈ driver-local
+    // frame (no store read), so the first consumer — the ebuckets
+    // collect or the golden fold — materializes the persist for free
     // survivorship: existing golden (seq −1) + assigned records (seq =
     // id) fold through the incremental aggregates; ver advances to the
     // newest record merged so the latest row per entity wins
@@ -443,8 +463,8 @@ object IngestLinkage {
       .agg(max(col("vseq")).as("ver"), cfg.merge.flatMap(mergeAggs): _*)
       .select((col("entity") +: col("ver") +:
         cfg.merge.map(m => col(m.field)) ++: auxTs.map(t => col(t._2))): _*)
-    val outRows = batch.join(
-      assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    val outRows = batchP.join(
+      broadcast(assign.withColumnRenamed("id", "doc_id")), Seq("doc_id"))
     val memberRows = touched.select((col("id") +: col("block") +:
       fields.map(col) :+ col("entity")): _*)
     // refreshByPath ordering: only newGolden's lineage still READS a
@@ -461,13 +481,22 @@ object IngestLinkage {
       spark.createDataFrame(p.rdd, p.schema)
     }
     val goldC = cutM(newGolden)
+    // refreshByPath guard, made LOUD (the round-7/9 failure mode is a
+    // silently empty append): frames written after the first store
+    // append must not read any store dir in their lineage. assign is
+    // cached-batch ⋈ driver-local today; this require keeps a future
+    // edit from reintroducing the silent re-execution.
+    require(!readsUnder(outRows, storePath) && !readsUnder(memberRows, storePath),
+      "post-append frames must not read the store (refreshByPath would " +
+        "re-execute them against the grown store with no error anywhere)")
     outRows.write.mode("append").parquet(outPath)
     goldC.withColumn("eb", ebCol(ebN))
-      // one file per partition, not per task (pinned width — see writeLayout)
-      .transform(graft.core.Stores.writeLayout(_, col("eb")))
+      // one file per partition, not per task; partition count capped by
+      // the known geometry (≤ ebN reducers are ever non-empty)
+      .transform(graft.core.Stores.writeLayout(_, ebN, col("eb")))
       .write.mode("append").partitionBy("eb").parquet(s"$storePath/entities")
     memberRows.withColumn("mb", mbCol(mbN))
-      .transform(graft.core.Stores.writeLayout(_, col("mb")))
+      .transform(graft.core.Stores.writeLayout(_, mbN, col("mb")))
       .write.mode("append").partitionBy("mb").parquet(s"$storePath/members")
     // a first append creates the dirs — stamp the geometry they were
     // cut with so later resolution never depends on meta staying in
@@ -476,8 +505,23 @@ object IngestLinkage {
       graft.core.Stores.stampGeometry(spark, s"$storePath/entities", ebN)
     if (graft.core.Stores.readGeometry(spark, s"$storePath/members").isEmpty)
       graft.core.Stores.stampGeometry(spark, s"$storePath/members", mbN)
-    (holds ++ Seq(assign, b0)).foreach(_.unpersist(blocking = false))
+    (holds ++ Seq(assign, batchP)).foreach(_.unpersist(blocking = false))
     n
+  }
+
+  // every parquet root the frame's analyzed plan reads, tested against
+  // a directory prefix — the loud form of the refreshByPath lineage
+  // rule (no Spark job; a driver-side plan walk)
+  private def readsUnder(df: DataFrame, dir: String): Boolean = {
+    val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.exists(p => p == want || p.startsWith(want + "/"))
   }
 
   /** Start the streaming loop: `records` is an unbounded stream
