@@ -858,7 +858,10 @@ object SparkEntry {
     "q97_dedup_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val all = documents(s, d)
-      val store = Dedup.minhashSignatures(all.where(col("doc_id") < 250))
+      // pinned: 250 raw docs behind a byte-light shuffle otherwise
+      // tokenize as ONE AQE-coalesced task (round-14 stage profile)
+      val store = Dedup.minhashSignatures(all.where(col("doc_id") < 250),
+        pinned = true)
       Dedup.dedupIncremental(all.where(col("doc_id") >= 250), store, 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -984,8 +987,12 @@ object SparkEntry {
     // fifth ANN family)
     "q153_knn_pq_exhaustive" -> ((s, d) => {
       val e = embeddings(s, d)
+      // sampleFit: the exhaustive dial probes every list, so the coarse
+      // fit is output-invariant (the q167/q156 argument) — the MLlib
+      // job storm measured ~0.8 s of pure scheduling here (q138 vs q156)
       Similarity.knnJoinPq(e, 5, m = 8,
-        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0),
+        sampleFit = true)
     }),
     // the OPQ rung of the corpus-side ladder (FAISS OPQ,IVF,PQ as a
     // join): rotation-decorrelated subspaces before the codebook fit.
@@ -999,8 +1006,10 @@ object SparkEntry {
     // (every rung of the corpus-side ladder now carries a green dial)
     "q155_knn_opq_exhaustive" -> ((s, d) => {
       val e = embeddings(s, d)
+      // sampleFit: fit-invariant at the exhaustive dial (see q153)
       Similarity.knnJoinOpq(e, 5, m = 8,
-        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0),
+        sampleFit = true)
     }),
     // q138's brute-force contract through the SAMPLE-FIT coarse
     // quantizer (round-8): centroids train on a bounded driver slice
@@ -1036,8 +1045,10 @@ object SparkEntry {
     // side ladder's fifth green dial)
     "q160_knn_bin_exhaustive" -> ((s, d) => {
       val e = embeddings(s, d)
+      // sampleFit: fit-invariant at the exhaustive dial (see q153)
       Similarity.knnJoinBin(e, 5,
-        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0))
+        refine = (e.count() / 5L + 1L).toInt, scanFrac = Some(1.0),
+        sampleFit = true)
     }),
     // fuzzy-key similarity join: ALL head-32 pairs within Levenshtein
     // distance 4, blocked by the rarest-first q-gram prefix filter —
@@ -1294,14 +1305,19 @@ object SparkEntry {
     // inverted list, so build → assign → probe → score runs end-to-end
     // and the result IS the q39 brute-force ranking (hash-green)
     "q141_ivf_exhaustive" -> ((s, d) =>
-      Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 16)),
+      // sampleFit: nProbe = nList probes every list, so the coarse fit
+      // is output-invariant (the q167/q156 argument) — skip the MLlib
+      // job storm
+      Similarity.ivfTopK(embeddings(s, d), 5, 10, 16, 16, sampleFit = true)),
     // the q101 IVF,SQ8+RefineFlat tier at ITS exhaustive dial: every
     // list probed AND the float refine pool spans the corpus, so the
     // int8 store round-trips to the exact brute ranking (hash-green
     // through encode → store → ADC → refine)
     "q142_sq8_refine_exhaustive" -> ((s, d) => {
       val e = embeddings(s, d)
-      Similarity.sq8RefineTopK(e, 5, 10, 16, 16, (e.count() / 10L + 1L).toInt)
+      // sampleFit: fit-invariant at the exhaustive dial (see q141)
+      Similarity.sq8RefineTopK(e, 5, 10, 16, 16, (e.count() / 10L + 1L).toInt,
+        sampleFit = true)
     }),
     // the q40 sign-LSH family's exhaustive dial: 0 hash bits = one
     // bucket = every pair a candidate, so the bucket-join machinery

@@ -243,8 +243,22 @@ object Dedup {
     * because the sketch outlives any single query: `signatureSave`
     * persists it to parquet and `dedupIncremental` dedups an arriving
     * batch against it without touching the original corpus text. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = hashedShingleRows(docs)
+  def minhashSignatures(docs: DataFrame, pinned: Boolean = false): DataFrame = {
+    // pinned: take the lead-window's doc_id exchange on the RAW
+    // (doc_id, text) projection at pinned width (round-13 rule, §2.3):
+    // fewer shuffled bytes than the exploded token rows, tokenize runs
+    // at full width instead of the scan's split count (a 250-doc store
+    // side measured as ONE 0.48 s task behind an AQE-coalesced
+    // byte-light shuffle, q97 round-14 stage profile), and the window
+    // + distinct + signature aggregate all reuse the one exchange.
+    // Callers whose input is ALREADY doc_id-partitioned (the candidate
+    // re-shingle join) keep the default — pinning there would ADD an
+    // exchange.
+    val base =
+      if (pinned) graft.core.Layout.pinWidth(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      else docs
+    val exploded = hashedShingleRows(base)
     val sigCols = (0 until NumPerms).map(p => min(permHash(p, col("s"))).as(s"h$p"))
     exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
@@ -480,14 +494,26 @@ object Dedup {
   def nearDupComponents(docs: DataFrame, edges: DataFrame, maxId: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist the edge RDD: `isEmpty` and the graph build are two
+    // executions of the whole verify pipeline otherwise (the pairs
+    // frame arrives unpersisted). Pregel runs eagerly inside
+    // connectedComponents (per-superstep actions), so the release
+    // after `.vertices` is safe — the result is already computed and
+    // cached by GraphX when we get it back.
     val raw = edges.select(col("a").cast("long"), col("b").cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp =
-      if (raw.isEmpty()) Seq.empty[(Long, Long)].toDF("doc_id", "component")
-      else org.apache.spark.graphx.Graph.fromEdgeTuples(raw, 1)
-        .connectedComponents().vertices
-        .map { case (id, c) => (id: Long, c: Long) }
-        .toDF("doc_id", "component")
+      if (raw.isEmpty()) {
+        raw.unpersist(blocking = false)
+        Seq.empty[(Long, Long)].toDF("doc_id", "component")
+      } else {
+        val v = org.apache.spark.graphx.Graph.fromEdgeTuples(raw, 1)
+          .connectedComponents().vertices
+        raw.unpersist(blocking = false)
+        v.map { case (id, c) => (id: Long, c: Long) }
+          .toDF("doc_id", "component")
+      }
     docs.where(col("doc_id") < maxId).select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -513,7 +539,7 @@ object Dedup {
     * batch's kept signatures to an existing store. 66 longs per doc:
     * the store is ~0.5 KB/doc regardless of document size. */
   def signatureSave(docs: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    minhashSignatures(docs).write.mode(mode).parquet(path)
+    minhashSignatures(docs, pinned = true).write.mode(mode).parquet(path)
 
   def signatureLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -542,7 +568,7 @@ object Dedup {
     * unique across store and batch. */
   def dedupIncremental(newDocs: DataFrame, storeSigs: DataFrame,
                        threshold: Double): DataFrame = {
-    val newSigs = minhashSignatures(newDocs)
+    val newSigs = minhashSignatures(newDocs, pinned = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
     val drops = sketchDrops(newSigs, storeSigs, threshold)
@@ -616,9 +642,9 @@ object Dedup {
     * once the result is materialized. */
   def crossNearDupsScoped(a: DataFrame, b: DataFrame,
                           threshold: Double): (DataFrame, () => Unit) = {
-    val sa = minhashSignatures(a)
+    val sa = minhashSignatures(a, pinned = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sb = minhashSignatures(b)
+    val sb = minhashSignatures(b, pinned = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows(sa).as("x").join(bandRows(sb).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -681,7 +707,12 @@ object Dedup {
     * keeping genuinely overlapping docs (who share most shingles) at
     * tiny hamming distance. */
   def simhash(docs: DataFrame, maxId: Long): DataFrame = {
-    val sh = hashedShingleRows(docs.where(col("doc_id") < maxId))
+    // raw-corpus input at every caller: take the shingle window's
+    // doc_id exchange on the (doc_id, text) projection at pinned width
+    // (round-13 rule — fewer shuffled bytes, tokenize at full width)
+    val sh = hashedShingleRows(graft.core.Layout.pinWidth(
+      docs.where(col("doc_id") < maxId).select(col("doc_id"), col("text")),
+      col("doc_id")))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("s"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }

@@ -744,8 +744,9 @@ object Similarity {
     * repeatedly instead of paying the fit (and the materialize) per
     * call. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nList: Int = 8, nProbe: Int = 2): DataFrame = {
-    val index = ivfBuild(emb.where(col("vec_id") >= nQueries), nList)
+              nList: Int = 8, nProbe: Int = 2,
+              sampleFit: Boolean = false): DataFrame = {
+    val index = ivfBuild(emb.where(col("vec_id") >= nQueries), nList, sampleFit)
     try {
       val res = ivfSearch(index, emb.where(col("vec_id") < nQueries), k, nProbe)
       val rows = res.collect().toIndexedSeq
@@ -1545,9 +1546,9 @@ object Similarity {
     * end-to-end (encode → store → probe → ADC → refine). */
   def sq8RefineTopK(emb: DataFrame, nQueries: Int, k: Int,
                     nList: Int = 8, nProbe: Int = 2,
-                    refine: Int = 4): DataFrame = {
+                    refine: Int = 4, sampleFit: Boolean = false): DataFrame = {
     val corpus = emb.where(col("vec_id") >= nQueries)
-    val index = ivfBuildSq8(corpus, nList)
+    val index = ivfBuildSq8(corpus, nList, sampleFit)
     try {
       val res = ivfSearchSq8Refine(index, corpus,
         emb.where(col("vec_id") < nQueries), k, nProbe, refine)

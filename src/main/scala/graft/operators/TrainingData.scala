@@ -706,7 +706,18 @@ object TrainingData {
     val canonical = survivors
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exactCanon = docs.join(canonical, Seq("doc_id"))
+    val exactCanon0 = docs.join(canonical, Seq("doc_id"))
+    // dedupCorpus consumes its input 4× (signatures, candidate
+    // re-shingle, component id-filter, final join-back) and Spark never
+    // reuses the subplan across those branches — unpersisted, the
+    // gopher gate + md5 agg pipeline ran 4× (round-14 job profile on
+    // q118). Persist the exact-dedup corpus while the near-dup stage
+    // reads it; the exact-only path stays unpersisted (one cheap
+    // consumer chain).
+    val exactCanon =
+      if (!nearDup) exactCanon0
+      else exactCanon0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // `canon` has two consumers (the split-key projection and the
     // join-back) and `withSplit` two more (pack + final manifest): an
     // unpersisted near-dup stage would re-run the whole LSH→verify→CC
@@ -720,7 +731,10 @@ object TrainingData {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release: () => Unit =
       if (!nearDup) () => ()
-      else () => { canon.unpersist(blocking = false); () }
+      else () => {
+        canon.unpersist(blocking = false)
+        exactCanon.unpersist(blocking = false); ()
+      }
     val withSplit = canon.join(hashSplit(canon.select("doc_id", "text")),
       Seq("doc_id"))
     val packed = tokenPack(withSplit.where(col("split") === "train"), budget)

@@ -65,7 +65,8 @@ object IngestDedup {
   def gateBatch(batch: DataFrame, storePath: String,
                 threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val sigs = Dedup.minhashSignatures(batch.select(col("doc_id"), col("text")))
+    val sigs = Dedup.minhashSignatures(
+      batch.select(col("doc_id"), col("text")), pinned = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val store =
