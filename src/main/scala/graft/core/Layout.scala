@@ -27,6 +27,12 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** The session's shuffle width — the ONE home for its resolution
+    * (Stores.writeLayout and every pin derive from here). */
+  def sessionWidth(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+
   /** Repartition by `cols` at the session's FULL shuffle width,
     * pinned: AQE coalesces shuffles on their INPUT bytes and is blind
     * to downstream fan-out (a blocked candidate join whose output is
@@ -37,12 +43,6 @@ object Layout {
     * downstream operator keyed on a prefix of `cols` reuses the one
     * exchange. Use where a byte-light frame feeds compute-dense work;
     * leave byte-proportional stages to AQE. */
-  /** The session's shuffle width — the ONE home for its resolution
-    * (Stores.writeLayout and every pin derive from here). */
-  def sessionWidth(df: DataFrame): Int =
-    df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
-
   def pinWidth(df: DataFrame,
                cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(sessionWidth(df), cols: _*)

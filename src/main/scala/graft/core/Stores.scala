@@ -106,11 +106,14 @@ object Stores {
          Array[org.apache.spark.sql.Row]) = {
     val stamp = listingStamp(spark, dir)
     val hit = rowMemo.get(dir)
-    if (hit != null && hit._1 == stamp) return (hit._2, hit._3)
+    // clone on every return: the memo'd array must never alias a
+    // caller's copy (an in-place sort would silently corrupt every
+    // later read of the cached entry)
+    if (hit != null && hit._1 == stamp) return (hit._2, hit._3.clone())
     val df = spark.read.parquet(dir)
     val rows = df.collect()
     rowMemo.put(dir, (stamp, df.schema, rows))
-    (df.schema, rows)
+    (df.schema, rows.clone())
   }
 
   /** Stamp the bucket-partition geometry INSIDE the data directory it

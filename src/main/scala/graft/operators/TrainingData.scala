@@ -694,8 +694,21 @@ object TrainingData {
     * `Dedup.dedupCorpus` by hand. */
   def curateCorpus(docs: DataFrame, budget: Long,
                    minWords: Long = 30, nearDup: Boolean = false,
-                   nearDupThreshold: Double = 0.5): DataFrame =
-    curateCorpusScoped(docs, budget, minWords, nearDup, nearDupThreshold)._1
+                   nearDupThreshold: Double = 0.5): DataFrame = {
+    val (res, release) =
+      curateCorpusScoped(docs, budget, minWords, nearDup, nearDupThreshold)
+    if (!nearDup) res // nothing persisted on the exact-only path
+    else {
+      // non-scoped + nearDup: materialize, then release the internal
+      // persists (canon + exactCanon) so they never outlive the call —
+      // the round-6 leaked-cache hazard; the result frame itself stays
+      // persisted and caller-owned (the crossNearDups precedent)
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      release()
+      out
+    }
+  }
 
   def curateCorpusScoped(docs: DataFrame, budget: Long,
                          minWords: Long = 30, nearDup: Boolean = false,

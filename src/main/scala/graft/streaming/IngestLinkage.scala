@@ -463,8 +463,14 @@ object IngestLinkage {
       .agg(max(col("vseq")).as("ver"), cfg.merge.flatMap(mergeAggs): _*)
       .select((col("entity") +: col("ver") +:
         cfg.merge.map(m => col(m.field)) ++: auxTs.map(t => col(t._2))): _*)
+    // broadcast assign only while it is broadcast-SIZED: micro-batches
+    // (the steady-state discipline) always are, but a corpus-fraction
+    // bulk backfill run as one legal batch would otherwise collect the
+    // whole assignment through the driver — past the gate, fall back to
+    // the planner's join choice (n is already known driver-side)
+    val assignDoc = assign.withColumnRenamed("id", "doc_id")
     val outRows = batchP.join(
-      broadcast(assign.withColumnRenamed("id", "doc_id")), Seq("doc_id"))
+      if (n <= 4000000L) broadcast(assignDoc) else assignDoc, Seq("doc_id"))
     val memberRows = touched.select((col("id") +: col("block") +:
       fields.map(col) :+ col("entity")): _*)
     // refreshByPath ordering: only newGolden's lineage still READS a
